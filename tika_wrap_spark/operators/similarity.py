@@ -1,0 +1,127 @@
+"""Embedding similarity primitives — quantized-integer arithmetic so results
+are bit-identical across engines and runs.
+
+Floats are quantized ONCE (``floor(x*1000)`` -> int64); dot products and
+norms are then exact integer folds (``F.aggregate`` over ``F.zip_with`` —
+JVM-side, codegen'd, no Python). Cosine uses IEEE double sqrt/div of exact
+ints, which is deterministic bit-for-bit on any platform.
+
+Scale path: brute-force top-k is O(N) per query and fine when the query set
+is small and broadcast; the LSH variant buckets vectors by random-hyperplane
+signs so a 100 TB corpus only compares within matching buckets (classic
+Charikar SimHash-for-cosine). IVF would swap the bucket fn for kmeans cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1000
+
+
+def quantize(col: Column) -> Column:
+    """array<float> -> array<long>, exact in both Spark and any SQL oracle."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product: fold over zip_with, pure JVM expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_q(dot: Column, na: Column, nb: Column, scale: int = 1000) -> Column:
+    """floor(scale * dot / (sqrt(na)*sqrt(nb))) — deterministic IEEE."""
+    return F.floor(
+        F.lit(scale) * dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    ).cast("long")
+
+
+def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    q = quantize(F.col(vec_col))
+    return df.withColumn("eq", q).withColumn("nq", int_dot(F.col("eq"), F.col("eq")))
+
+
+def brute_force_topk(
+    df: DataFrame, query_df: DataFrame, k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Cosine top-k against a (small, broadcast) query set. The corpus side
+    never shuffles; ranking is TakeOrderedAndProject per query."""
+    corpus = with_quantized(df, vec_col).select(
+        F.col("vec_id").alias("cand_id"), "eq", "nq"
+    )
+    qs = with_quantized(query_df, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("nq").alias("q_nq"),
+    )
+    dot = int_dot(F.col("eq"), F.col("q_eq"))
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "cand_id",
+        cosine_q(dot, F.col("nq"), F.col("q_nq")).alias("cos_q"),
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_q", "rank")
+    )
+
+
+def lsh_plane_weight(p: int) -> str:
+    """Deterministic integer hyperplane weights, expressible in ANSI SQL:
+    w(p, i) = ((p*31 + i*17) % 13) - 6. Integer so bucket signs are exact."""
+    return f"((({p}*31 + i*17) % 13) - 6)"
+
+
+def lsh_bucket(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign-concatenation).
+    Comparisons at scale then happen within buckets only."""
+    out = with_quantized(df, vec_col)
+    bits = []
+    for p in range(n_planes):
+        sdot = (
+            f"aggregate(transform(sequence(0, size(eq)-1), "
+            f"i -> {lsh_plane_weight(p)} * eq[i]), 0L, (acc, x) -> acc + x)"
+        )
+        bits.append(f"IF(({sdot}) >= 0, '1', '0')")
+    bucket = F.expr("concat(" + ", ".join(bits) + ")")
+    return out.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    df: DataFrame, query_df: DataFrame, k: int = 10, n_planes: int = 8
+) -> DataFrame:
+    """ANN: candidates restricted to the query's bucket, then exact cosine
+    re-rank. Misses across bucket boundaries are the usual LSH recall
+    trade-off; multiple tables would raise recall."""
+    corpus = lsh_bucket(df, n_planes).select(
+        F.col("vec_id").alias("cand_id"), "eq", "nq", "bucket"
+    )
+    qs = lsh_bucket(query_df, n_planes).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("nq").alias("q_nq"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    dot = int_dot(F.col("eq"), F.col("q_eq"))
+    scored = corpus.join(
+        F.broadcast(qs), F.col("bucket") == F.col("q_bucket")
+    ).select("query_id", "cand_id", cosine_q(dot, F.col("nq"), F.col("q_nq")).alias("cos_q"))
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_q").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_q", "rank")
+    )

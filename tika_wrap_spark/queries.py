@@ -1,0 +1,484 @@
+"""The driver-facing operator/query surface (SURVEY.md §2C + training-data
+pipeline ops).
+
+Each entry couples an idiomatic-Spark DataFrame implementation with an
+ANSI-SQL oracle that DuckDB runs over the same parquet tables. Naming rule:
+every computed column is aliased IDENTICALLY in both. Float policy: doubles
+that cross engines are either (a) summed then ``round(x, 2|4)``, or
+(b) pre-quantized to int64 (``floor(x*1000)``) so arithmetic is exact and
+order-insensitive in both engines.
+
+Scale notes (100 TB / 1000-executor intent) are in each docstring; testdata
+sizes in TESTDATA.md.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tika_wrap_spark.portability import make_portable
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2C relational checklist
+# ---------------------------------------------------------------------------
+
+
+def q_scan_parquet(spark, d):
+    """Corpus scan (§2A#1). At scale: Iceberg scan with partition pruning +
+    min/max file skipping; here a raw parquet scan with column pruning."""
+    return _t(spark, d, "region").select("r_regionkey", "r_name")
+
+
+SQL_SCAN_PARQUET = "SELECT r_regionkey, r_name FROM region"
+
+
+def q_project_filter(spark, d):
+    """Projection + predicate (§2A#3). Both push to the parquet scan
+    (PushedFilters in .explain); at 100 TB this is the difference between
+    reading 2 columns of matching row-groups and reading everything."""
+    li = _t(spark, d, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice").filter(
+        (F.col("l_quantity") > 30)
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+
+
+SQL_PROJECT_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+WHERE l_quantity > 30 AND l_shipdate >= TIMESTAMP '1997-01-01'
+"""
+
+
+def q_mime_route(spark, d):
+    """Content-based routing (§2A#4): CASE over payload magic, then a
+    partial-aggregated count — no shuffle beyond the final 3-group agg."""
+    docs = _t(spark, d, "documents")
+    route = (
+        F.when(F.col("text").startswith("%PDF-"), F.lit("pdf"))
+        .when(F.lower(F.col("text")).contains("<html"), F.lit("html"))
+        .when(F.col("n_chars") < 100, F.lit("short_text"))
+        .otherwise(F.lit("text"))
+    )
+    return docs.select(route.alias("route")).groupBy("route").agg(F.count("*").alias("n"))
+
+
+SQL_MIME_ROUTE = """
+SELECT CASE WHEN text LIKE '%PDF-%' AND starts_with(text, '%PDF-') THEN 'pdf'
+            WHEN contains(lower(text), '<html') THEN 'html'
+            WHEN n_chars < 100 THEN 'short_text'
+            ELSE 'text' END AS route, count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_explode_spans(spark, d):
+    """Array flatten with ordinality (§2B archive row): posexplode is the
+    relational view of the interleaved spans array. Narrow op — no shuffle."""
+    emb = _t(spark, d, "embeddings").filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("val").cast("double") * 10000).cast("long").alias("val_q"),
+    )
+
+
+SQL_EXPLODE_SPANS = """
+SELECT vec_id, i - 1 AS pos,
+       CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS val_q
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+WHERE vec_id < 50
+"""
+
+
+def q_layout_sort(spark, d):
+    """Reading-order sort inside a doc (pdf_extract core): window
+    row_number per key. One shuffle on the partition key."""
+    li = _t(spark, d, "lineitem").filter(F.col("l_orderkey") < 1000)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber", F.row_number().over(w).alias("rn")
+    )
+
+
+SQL_LAYOUT_SORT = """
+SELECT l_orderkey, l_linenumber,
+       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+FROM lineitem WHERE l_orderkey < 1000
+"""
+
+
+def q_offset_rescan(spark, d):
+    """Running offset = sum of preceding kept lengths (§1.1 ordering
+    semantics) as a window prefix-sum."""
+    li = _t(spark, d, "lineitem").filter(F.col("l_orderkey") < 1000)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("l_quantity").over(w), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(off, 2).alias("offset"),
+    )
+
+
+SQL_OFFSET_RESCAN = """
+SELECT l_orderkey, l_linenumber,
+       round(coalesce(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 2) AS offset
+FROM lineitem WHERE l_orderkey < 1000
+"""
+
+
+def q_span_assembly(spark, d):
+    """Re-nest ordered members per group (ordered collect_list ≡
+    array_agg ORDER BY). String-joined so the oracle compare is exact."""
+    docs = _t(spark, d, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.concat_ws(
+            "|", F.array_sort(F.collect_list(F.lpad(F.col("doc_id").cast("string"), 8, "0")))
+        ).alias("doc_seq"),
+    )
+
+
+SQL_SPAN_ASSEMBLY = """
+SELECT lang, count(*) AS n_docs,
+       string_agg(lpad(doc_id::VARCHAR, 8, '0'), '|' ORDER BY lpad(doc_id::VARCHAR, 8, '0')) AS doc_seq
+FROM documents GROUP BY lang
+"""
+
+
+def q_meta_map(spark, d):
+    """Metadata map -> 'key{]value' lines (§2A#7 flatten; separator literal
+    from /root/reference/src/java-env.cpp:300). Values stringify — pins the
+    reference's lossy coercion of non-strings."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 50)
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"),
+        F.lit("source"), F.col("source"),
+        F.lit("n_chars"), F.col("n_chars").cast("string"),
+    )
+    return (
+        docs.select("doc_id", F.explode(F.map_entries(m)).alias("e"))
+        .select("doc_id", F.concat_ws("{]", F.col("e.key"), F.col("e.value")).alias("kv"))
+    )
+
+
+SQL_META_MAP = """
+SELECT doc_id, 'lang{]' || lang AS kv FROM documents WHERE doc_id < 50
+UNION ALL
+SELECT doc_id, 'source{]' || source FROM documents WHERE doc_id < 50
+UNION ALL
+SELECT doc_id, 'n_chars{]' || n_chars::VARCHAR FROM documents WHERE doc_id < 50
+"""
+
+
+def q_meta_parse(spark, d):
+    """Inverse of meta_map: split on '{]', keep well-formed pairs
+    (reference demo loop, example/demo1.cpp:30-41)."""
+    lines = q_meta_map(spark, d)
+    parts = F.split(F.col("kv"), "\\{\\]")
+    return (
+        lines.select("doc_id", parts.alias("p"))
+        .filter(F.size("p") == 2)
+        .select("doc_id", F.col("p")[0].alias("k"), F.col("p")[1].alias("v"))
+    )
+
+
+SQL_META_PARSE = f"""
+WITH lines AS ({SQL_META_MAP})
+SELECT doc_id, str_split(kv, '{{]')[1] AS k, str_split(kv, '{{]')[2] AS v
+FROM lines WHERE len(str_split(kv, '{{]')) = 2
+"""
+
+
+def q_agg_metrics(spark, d):
+    """Per-key tallies (lineage analog): partial/final hash agg, map-side
+    combine makes this shuffle only one row per (key, partition)."""
+    ev = _t(spark, d, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+SQL_AGG_METRICS = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+       round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_window_events(spark, d):
+    """Time-bucketed throughput metrics over the events stream table."""
+    ev = _t(spark, d, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_WINDOW_EVENTS = """
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS bucket_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_join_fixture(spark, d):
+    """Broadcast equi-join against a small dimension (fixture-verify shape):
+    customer broadcasts, no shuffle of the fact side."""
+    orders = _t(spark, d, "orders")
+    cust = _t(spark, d, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_JOIN_FIXTURE = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join_resume(spark, d):
+    """Resume primitive (north_rule): skip already-done keys via left_anti
+    (NOT EXISTS). At scale the 'done' side is small -> broadcast."""
+    cust = _t(spark, d, "customer")
+    done = _t(spark, d, "orders").filter(F.col("o_totalprice") > 150000)
+    return cust.join(
+        done, cust.c_custkey == done.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN_RESUME = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+)
+"""
+
+
+def q_dedup(spark, d):
+    """Deterministic dedup: keep first row per key by explicit order
+    (row_number = 1), never dropDuplicates' arbitrary pick — idempotence
+    under re-runs requires a total order."""
+    orders = _t(spark, d, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_DEDUP = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+"""
+
+
+def q_sort_limit_topk(spark, d):
+    """Top-k (skew diagnostics, §2C): Spark plans TakeOrderedAndProject —
+    per-partition heaps, no global sort."""
+    return (
+        _t(spark, d, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+SQL_SORT_LIMIT_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_union_paths(spark, d):
+    """Merge per-kind branch outputs (html/pdf/media paths) — unionByName
+    keeps lineage of which branch produced each row."""
+    li = _t(spark, d, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", F.lit("returned").alias("branch")
+    )
+    b = li.filter(F.col("l_returnflag") == "A").select(
+        "l_orderkey", "l_linenumber", F.lit("accepted").alias("branch")
+    )
+    return a.unionByName(b)
+
+
+SQL_UNION_PATHS = """
+SELECT l_orderkey, l_linenumber, 'returned' AS branch FROM lineitem WHERE l_returnflag = 'R'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'accepted' AS branch FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+
+_NORM = "regexp_replace(trim(lower(text)), '\\\\s+', ' ')"  # spark dialect
+_NORM_DUCK = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+def q_string_funcs(spark, d):
+    """Tokenize/clean built-ins — the string toolbox every extraction or
+    quality pass leans on; all JVM-side, whole-stage codegen'd."""
+    docs = _t(spark, d, "documents")
+    norm = F.expr(_NORM)
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("n_chars_norm"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.split(norm, " ")[0].alias("first_tok"),
+        F.upper(F.substring(norm, 1, 10)).alias("head_up"),
+    )
+
+
+SQL_STRING_FUNCS = f"""
+SELECT doc_id, length({_NORM_DUCK}) AS n_chars_norm,
+       len(str_split({_NORM_DUCK}, ' ')) AS n_tokens,
+       str_split({_NORM_DUCK}, ' ')[1] AS first_tok,
+       upper(substr({_NORM_DUCK}, 1, 10)) AS head_up
+FROM documents
+"""
+
+
+def q_hash_verify(spark, d):
+    """Order-sensitive row hash (span-sequence hash analog): md5 over a
+    canonical concat — the fixture-equality primitive."""
+    li = _t(spark, d, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.md5(
+            F.concat_ws(
+                "|", "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+            ).cast("binary")
+        ).alias("row_hash"),
+    )
+
+
+SQL_HASH_VERIFY = """
+SELECT l_orderkey, l_linenumber,
+       md5(concat_ws('|', l_orderkey, l_linenumber, l_returnflag, l_linestatus)) AS row_hash
+FROM lineitem WHERE l_orderkey < 500
+"""
+
+
+def q_tpch_q1(spark, d):
+    """TPC-H Q1 pricing summary — partial+final hash agg exercise."""
+    li = _t(spark, d, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_join_agg(spark, d):
+    """TPC-H Q3 shape: dim filter -> broadcast -> fact join -> hash agg ->
+    top-k. The canonical 100 TB pattern: small sides broadcast, the one big
+    shuffle is the groupBy on o_orderkey."""
+    cust = _t(spark, d, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, d, "orders")
+    li = _t(spark, d, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_JOIN_AGG = """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_grouped_map_norm(spark, d):
+    """Per-group batch transform via applyInPandas (grouped_map_norm §2C):
+    z-score events within event_type. Arrow-batched; oracle mirrors with a
+    window avg/stddev_samp (pandas std ddof=1 == stddev_samp)."""
+    make_portable()
+    import pandas as pd  # noqa: PLC0415
+
+    def znorm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - mean) / std
+        out = pdf[["event_id", "event_type"]].copy()
+        import numpy as np  # noqa: PLC0415
+
+        out["z_q"] = np.floor(z * 10000).astype("int64")
+        return out
+
+    ev = _t(spark, d, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        znorm, schema="event_id long, event_type string, z_q long"
+    )
+
+
+SQL_GROUPED_MAP_NORM = """
+SELECT event_id, event_type,
+       CAST(floor((value - avg(value) OVER (PARTITION BY event_type))
+            / stddev_samp(value) OVER (PARTITION BY event_type) * 10000) AS BIGINT) AS z_q
+FROM events
+"""

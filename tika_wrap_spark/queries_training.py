@@ -1,0 +1,472 @@
+"""Training-data pipeline queries: dedup family, similarity search, text
+analysis, multimodal + extraction-pipeline demos.
+
+Same contract as queries.py: Spark impl + DuckDB oracle with identical
+column names. Oracles for minhash/simhash/LSH are generated from the same
+parameters as the Spark expressions, so both engines compute the identical
+integer/string arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tika_wrap_spark.operators import dedup as dd
+from tika_wrap_spark.operators import similarity as sim
+from tika_wrap_spark.operators import text_analysis as ta
+from tika_wrap_spark.operators.multimodal import decode_media, media_payloads
+from tika_wrap_spark.operators.extract_ops import sniffed_spans
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_NORM_DUCK = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, d):
+    """Exact dedup via content digest (hash-groupBy)."""
+    return dd.exact_dedup_groups(_t(spark, d, "documents"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM_DUCK}) AS fp, count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark, d):
+    """n-gram Jaccard near-dup: 2-gram shingles, pairs within the same
+    source, exact integer Jaccard. At scale the shingle self-join is
+    bucket-limited (here: same-source + doc_id<100)."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 100)
+    grams = dd.doc_ngrams(docs, n=2)
+    src = docs.select("doc_id", "source")
+    g = grams.join(src, "doc_id").select("doc_id", "source", "gram")
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= 2)
+    )
+    return (
+        pairs.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("za.sz") + F.col("zb.sz") - F.col("inter")).alias("union_sz"),
+            F.floor(
+                F.lit(1000)
+                * F.col("inter")
+                / (F.col("za.sz") + F.col("zb.sz") - F.col("inter"))
+            ).cast("long").alias("j_q"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH docs AS (
+  SELECT doc_id, source, str_split({_NORM_DUCK}, ' ') AS w
+  FROM documents WHERE doc_id < 100
+), grams AS (
+  SELECT DISTINCT doc_id, source, w[t.i] || ' ' || w[t.i+1] AS gram
+  FROM docs, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, inter, za.sz + zb.sz - inter AS union_sz,
+       CAST(floor(1000.0 * inter / (za.sz + zb.sz - inter)) AS BIGINT) AS j_q
+FROM pairs JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
+"""
+
+
+N_MINHASH = 16
+BAND_ROWS = 4
+
+
+def q_dedup_minhash_lsh(spark, d):
+    """MinHash(16) + LSH(4 bands x 4 rows) over unigram shingles, candidates
+    verified with exact Jaccard. Restricted to doc_id<60 to bound the
+    all-pairs verify in the oracle."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 60)
+    toks = dd.doc_tokens(docs)
+    sigs = dd.minhash_signatures(toks, N_MINHASH)
+    pairs = dd.lsh_candidate_pairs(sigs, N_MINHASH, BAND_ROWS)
+    return dd.jaccard_verify(pairs, toks).select(
+        "doc_a", "doc_b", "n_shared_bands", "inter", "union_sz", "j_q"
+    )
+
+
+def _sql_minhash() -> str:
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(N_MINHASH)
+    )
+    n_bands = N_MINHASH // BAND_ROWS
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {idx} AS band_idx, md5({cat}) AS band_val FROM sigs".format(
+            idx=b,
+            cat=" || ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(str_split({_NORM_DUCK}, ' ')) AS tok
+        FROM documents WHERE doc_id < 60)
+  WHERE tok <> ''
+), sigs AS (
+  SELECT doc_id, {mins}
+  FROM toks GROUP BY doc_id
+), bands AS (
+{band_rows}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, p.n_shared_bands, count(*) AS inter
+  FROM pairs p
+  JOIN toks sa ON p.doc_a = sa.doc_id
+  JOIN toks sb ON p.doc_b = sb.doc_id AND sa.tok = sb.tok
+  GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, n_shared_bands, inter,
+       za.sz + zb.sz - inter AS union_sz,
+       CAST(floor(1000.0 * inter / (za.sz + zb.sz - inter)) AS BIGINT) AS j_q
+FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _sql_minhash()
+
+
+def q_dedup_simhash(spark, d):
+    """16-bit SimHash signature per doc (integer-exact bit votes)."""
+    docs = _t(spark, d, "documents")
+    return dd.simhash_16(dd.doc_tokens(docs))
+
+
+def _sql_simhash() -> str:
+    nibble = (
+        lambda pos: f"(strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1)"
+    )
+    h = f"({nibble(1)} * 4096 + {nibble(2)} * 256 + {nibble(3)} * 16 + {nibble(4)})"
+    bit_sums = ",\n         ".join(
+        f"sum(CAST(floor(h / {1 << b}) % 2 AS BIGINT) * 2 - 1) AS s{b}"
+        for b in range(16)
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(str_split({_NORM_DUCK}, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), hashed AS (
+  SELECT doc_id, {h} AS h FROM toks
+), sums AS (
+  SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM sums
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
+_EQ_DUCK = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+def q_embed_cosine_pairs(spark, d):
+    """Embedding-cosine near-dup: top pairs by quantized-int cosine among
+    vec_id<100 (brute force at this SF; LSH-bucketed is the scale path)."""
+    emb = sim.with_quantized(_t(spark, d, "embeddings").filter(F.col("vec_id") < 100))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("eq").alias("ea"), F.col("nq").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("eq").alias("eb"), F.col("nq").alias("nb"))
+    dot = sim.int_dot(F.col("ea"), F.col("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            sim.cosine_q(dot, F.col("na"), F.col("nb")).alias("cos_q"),
+        )
+        .orderBy(F.col("cos_q").desc(), "vec_a", "vec_b")
+        .limit(50)
+    )
+
+
+SQL_EMBED_COSINE_PAIRS = f"""
+WITH q AS (
+  SELECT vec_id, {_EQ_DUCK} AS eq FROM embeddings WHERE vec_id < 100
+), n AS (
+  SELECT vec_id, eq,
+         (SELECT CAST(sum(eq[t.i] * eq[t.i]) AS BIGINT)
+          FROM unnest(generate_series(1, len(eq))) AS t(i)) AS nq
+  FROM q
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(floor(1000 * (SELECT CAST(sum(a.eq[t.i] * b.eq[t.i]) AS BIGINT)
+                          FROM unnest(generate_series(1, len(a.eq))) AS t(i))::DOUBLE
+            / (sqrt(a.nq::DOUBLE) * sqrt(b.nq::DOUBLE))) AS BIGINT) AS cos_q
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+ORDER BY cos_q DESC, vec_a, vec_b LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark, d):
+    """Brute-force cosine top-k for query vectors (vec_id<3), broadcast
+    query side — the exact baseline an ANN index is measured against."""
+    emb = _t(spark, d, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id, {_EQ_DUCK} AS eq FROM embeddings
+), n AS (
+  SELECT vec_id, eq,
+         (SELECT CAST(sum(eq[t.i] * eq[t.i]) AS BIGINT)
+          FROM unnest(generate_series(1, len(eq))) AS t(i)) AS nq
+  FROM q
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(floor(1000 * (SELECT CAST(sum(qs.eq[t.i] * c.eq[t.i]) AS BIGINT)
+                            FROM unnest(generate_series(1, len(c.eq))) AS t(i))::DOUBLE
+              / (sqrt(c.nq::DOUBLE) * sqrt(qs.nq::DOUBLE))) AS BIGINT) AS cos_q
+  FROM n c, (SELECT * FROM n WHERE vec_id < 3) qs
+)
+SELECT query_id, cand_id, cos_q, rank FROM (
+  SELECT query_id, cand_id, cos_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+N_PLANES = 8
+
+
+def q_ann_lsh_bucket(spark, d):
+    """Random-hyperplane LSH buckets (the ANN scale path): per-vector
+    bucket id + bucket size. Integer plane weights => exact signs."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    b = sim.lsh_bucket(_t(spark, d, "embeddings"), N_PLANES)
+    return b.select(
+        "vec_id",
+        "bucket",
+        F.count("*").over(Window.partitionBy("bucket")).alias("bucket_size"),
+    )
+
+
+def _sql_lsh_bucket() -> str:
+    bits = " || ".join(
+        "(CASE WHEN (SELECT sum((((%d*31 + (t.i-1)*17) %% 13) - 6) * eq[t.i]) "
+        "FROM unnest(generate_series(1, len(eq))) AS t(i)) >= 0 THEN '1' ELSE '0' END)" % p
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_EQ_DUCK} AS eq FROM embeddings
+), b AS (
+  SELECT vec_id, {bits} AS bucket FROM q
+)
+SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS bucket_size FROM b
+"""
+
+
+SQL_ANN_LSH_BUCKET = _sql_lsh_bucket()
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_langid(spark, d):
+    """Language ID by stopword/charclass marker counts + argmax."""
+    return ta.lang_scores(_t(spark, d, "documents")).select(
+        "doc_id", "s_en", "s_fr", "s_es", "s_de", "s_zh", "pred_lang",
+        (F.col("pred_lang") == F.col("lang")).alias("is_match"),
+    )
+
+
+def _sql_langid() -> str:
+    scores = ",\n       ".join(
+        f"len(regexp_extract_all({_NORM_DUCK}, '{ta.LANG_MARKERS[lang][1]}')) AS s_{lang}"
+        for lang in ta.LANG_ORDER
+    )
+    # same tie-break: first language in LANG_ORDER wins
+    cases = []
+    for i, lang in enumerate(ta.LANG_ORDER[:-1]):
+        conds = []
+        for j, other in enumerate(ta.LANG_ORDER):
+            if other == lang:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    pred = "CASE " + " ".join(cases) + f" ELSE '{ta.LANG_ORDER[-1]}' END"
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, {scores} FROM documents
+)
+SELECT doc_id, s_en, s_fr, s_es, s_de, s_zh, {pred} AS pred_lang,
+       ({pred}) = lang AS is_match
+FROM s
+"""
+
+
+SQL_TEXT_LANGID = _sql_langid()
+
+
+def q_text_quality(spark, d):
+    """Quality features + bucket."""
+    return ta.quality_features(_t(spark, d, "documents")).select(
+        "doc_id", "n_chars_norm", "n_tokens", "punct_cnt", "stop_cnt",
+        "punct_ratio_q", "stop_ratio_q", "quality",
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+         length({_NORM_DUCK}) AS n_chars_norm,
+         len(str_split({_NORM_DUCK}, ' ')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS punct_cnt,
+         len(regexp_extract_all({_NORM_DUCK}, '{ta.STOPWORD_RE2}')) AS stop_cnt
+  FROM documents
+), r AS (
+  SELECT *,
+         CAST(floor(1000.0 * punct_cnt / greatest(n_chars_norm, 1)) AS BIGINT) AS punct_ratio_q,
+         CAST(floor(1000.0 * stop_cnt / greatest(n_tokens, 1)) AS BIGINT) AS stop_ratio_q
+  FROM f
+)
+SELECT doc_id, n_chars_norm, n_tokens, punct_cnt, stop_cnt, punct_ratio_q, stop_ratio_q,
+       CASE WHEN n_tokens < 10 THEN 'too_short'
+            WHEN punct_ratio_q > 300 THEN 'punct_heavy'
+            WHEN stop_ratio_q >= 100 THEN 'high'
+            ELSE 'medium' END AS quality
+FROM r
+"""
+
+
+def q_token_count(spark, d):
+    """Token counting, aggregated per source."""
+    tc = ta.token_counts(_t(spark, d, "documents"))
+    return tc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens_ws").alias("sum_tokens_ws"),
+        F.sum("tokens_bpe").alias("sum_tokens_bpe"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(str_split({_NORM_DUCK}, ' '))) AS BIGINT) AS sum_tokens_ws,
+       CAST(sum(len(regexp_extract_all(lower(text), '{ta.BPE_RE2}'))) AS BIGINT) AS sum_tokens_bpe
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_fingerprint(spark, d):
+    """Full/head/tail content digests per doc."""
+    return ta.fingerprints(_t(spark, d, "documents"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH n AS (SELECT doc_id, {_NORM_DUCK} AS norm FROM documents)
+SELECT doc_id, md5(norm) AS fp_full,
+       md5(substr(norm, 1, 64)) AS fp_head,
+       md5(substr(norm, greatest(length(norm) - 63, 1))) AS fp_tail
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline demos (rows-only: inputs are the synthetic corpus)
+# ---------------------------------------------------------------------------
+
+_CORPUS_DOCS = 200
+
+
+def _corpus_df(spark):
+    from tika_wrap_spark.corpus import generate_corpus  # noqa: PLC0415
+    from tika_wrap_spark.data import corpus_to_df  # noqa: PLC0415
+
+    return corpus_to_df(spark, generate_corpus(_CORPUS_DOCS, seed=42))
+
+
+def q_extract_pipeline(spark, d):
+    """Flagship: full sniff->route->extract->assemble over the synthetic
+    corpus; per-doc status + order-sensitive span-sequence hash."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark))
+    return ext.select(
+        "doc_id",
+        "parse_ok",
+        "error",
+        F.size("spans").alias("n_spans"),
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    F.col("spans"),
+                    lambda s: F.concat_ws("\x1e", s["kind"], s["text"], s["media_ref"]),
+                ),
+            ).cast("binary")
+        ).alias("span_seq_hash"),
+    )
+
+
+def q_sniff_route(spark, d):
+    """Per-span content sniffing (scalar pandas UDF) + route tallies."""
+    return (
+        sniffed_spans(_corpus_df(spark))
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_spans"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+def q_media_decode(spark, d):
+    """Multimodal stub plumbing: media spans -> binary payloads ->
+    mapInPandas decode -> typed metadata."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark))
+    return decode_media(media_payloads(ext), num_partitions=8)

@@ -1,0 +1,62 @@
+"""Single source of truth mapping operator slugs (SURVEY.md §2C + training
+ops) to (spark_fn, oracle_sql). ``oracle_sql=None`` marks genuinely
+non-SQL-expressible ops (pandas-UDF extraction, synthetic-corpus demos) —
+the driver records a rows-only check for those."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from tika_wrap_spark import queries as q
+from tika_wrap_spark import queries_training as qt
+
+REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # §2C relational checklist
+    "scan_parquet": (q.q_scan_parquet, q.SQL_SCAN_PARQUET),
+    "project_filter": (q.q_project_filter, q.SQL_PROJECT_FILTER),
+    "mime_route": (q.q_mime_route, q.SQL_MIME_ROUTE),
+    "explode_spans": (q.q_explode_spans, q.SQL_EXPLODE_SPANS),
+    "layout_sort": (q.q_layout_sort, q.SQL_LAYOUT_SORT),
+    "offset_rescan": (q.q_offset_rescan, q.SQL_OFFSET_RESCAN),
+    "span_assembly": (q.q_span_assembly, q.SQL_SPAN_ASSEMBLY),
+    "meta_map": (q.q_meta_map, q.SQL_META_MAP),
+    "meta_parse": (q.q_meta_parse, q.SQL_META_PARSE),
+    "agg_metrics": (q.q_agg_metrics, q.SQL_AGG_METRICS),
+    "window_events": (q.q_window_events, q.SQL_WINDOW_EVENTS),
+    "join_fixture": (q.q_join_fixture, q.SQL_JOIN_FIXTURE),
+    "anti_join_resume": (q.q_anti_join_resume, q.SQL_ANTI_JOIN_RESUME),
+    "dedup": (q.q_dedup, q.SQL_DEDUP),
+    "sort_limit_topk": (q.q_sort_limit_topk, q.SQL_SORT_LIMIT_TOPK),
+    "union_paths": (q.q_union_paths, q.SQL_UNION_PATHS),
+    "string_funcs": (q.q_string_funcs, q.SQL_STRING_FUNCS),
+    "hash_verify": (q.q_hash_verify, q.SQL_HASH_VERIFY),
+    "tpch_q1": (q.q_tpch_q1, q.SQL_TPCH_Q1),
+    "tpch_join_agg": (q.q_tpch_join_agg, q.SQL_TPCH_JOIN_AGG),
+    "grouped_map_norm": (q.q_grouped_map_norm, q.SQL_GROUPED_MAP_NORM),
+    # dedup family
+    "dedup_exact": (qt.q_dedup_exact, qt.SQL_DEDUP_EXACT),
+    "ngram_jaccard": (qt.q_ngram_jaccard, qt.SQL_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (qt.q_dedup_minhash_lsh, qt.SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (qt.q_dedup_simhash, qt.SQL_DEDUP_SIMHASH),
+    "embed_cosine_pairs": (qt.q_embed_cosine_pairs, qt.SQL_EMBED_COSINE_PAIRS),
+    # similarity search
+    "ann_cosine_topk": (qt.q_ann_cosine_topk, qt.SQL_ANN_COSINE_TOPK),
+    "ann_lsh_bucket": (qt.q_ann_lsh_bucket, qt.SQL_ANN_LSH_BUCKET),
+    # text analysis
+    "text_langid": (qt.q_text_langid, qt.SQL_TEXT_LANGID),
+    "text_quality": (qt.q_text_quality, qt.SQL_TEXT_QUALITY),
+    "token_count": (qt.q_token_count, qt.SQL_TOKEN_COUNT),
+    "doc_fingerprint": (qt.q_doc_fingerprint, qt.SQL_DOC_FINGERPRINT),
+    # extraction pipeline (rows-only: pandas-UDF core / synthetic corpus)
+    "extract_pipeline": (qt.q_extract_pipeline, None),
+    "sniff_route": (qt.q_sniff_route, None),
+    "media_decode": (qt.q_media_decode, None),
+}
+
+
+def spark_queries() -> dict[str, Callable]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
