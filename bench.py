@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "extract_docs_per_sec": ..., "extract_docs": ...}
+
+The flagship number mirrors BASELINE.json's metric (documents
+extracted/sec over the interleaved corpus); the relational/training
+queries cover the SURVEY.md §2C surface. Scaling evidence (local[8] vs
+local[32]) lives in tools/scaling_bench.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Headline subset of the registry: extraction flagship + one per family.
+HEADLINE = [
+    "extract_pipeline",
+    "sniff_route",
+    "span_assembly",
+    "offset_rescan",
+    "hash_verify",
+    "agg_metrics",
+    "window_events",
+    "tpch_q1",
+    "tpch_join_agg",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "ann_lsh_bucket",
+    "text_langid",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+]
+
+# docs in the synthetic interleaved corpus for the throughput measurement,
+# scaled so sf0.1 gets a meaningful run without dominating the bench
+EXTRACT_DOCS = {"0.001": 200, "0.01": 1000, "0.1": 4000}
+
+
+def _force(df) -> int:
+    """Force full computation without driver-side collect."""
+    return df.count()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    from tika_wrap_spark.registry import spark_queries
+    from tika_wrap_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="tika_wrap_bench")
+    qs = spark_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        df.count()  # warm: plan + scan cached by OS page cache
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # flagship throughput: docs extracted/sec over the interleaved corpus
+    from tika_wrap_spark.corpus import generate_corpus
+    from tika_wrap_spark.data import corpus_to_df
+    from tika_wrap_spark.pipeline import extract_in_memory
+
+    n_docs = EXTRACT_DOCS.get(sf, 4000)
+    corpus = corpus_to_df(spark, generate_corpus(n_docs, seed=7)).cache()
+    corpus.count()  # materialize input so we time extraction, not generation
+    t0 = time.monotonic()
+    n_out = extract_in_memory(spark, corpus).count()
+    extract_sec = time.monotonic() - t0
+    timings["extract_throughput"] = round(extract_sec, 3)
+    corpus.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "extract_docs": n_out,
+                "extract_docs_per_sec": round(n_out / max(extract_sec, 1e-9), 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
