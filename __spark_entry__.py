@@ -23,38 +23,18 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: treat sf0.001 ``documents`` as a corpus of single-text-span
     docs, run the full sniff->route->extract->assemble pipeline, and return
     the per-doc extraction summary joined with corpus stats."""
+    from tika_wrap_spark import functions as tw
     from tika_wrap_spark.pipeline import extract_in_memory
-    from tika_wrap_spark.schemas import SPAN_STRUCT
+    from tika_wrap_spark.sources import corpus_from_documents_table
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    corpus = docs.select(
-        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("doc_id"),
-        F.array(
-            F.struct(
-                F.lit("text").alias("kind"),
-                F.col("text").alias("text"),
-                F.lit("").alias("media_ref"),
-                F.lit(0).cast("int").alias("offset"),
-            ).cast(SPAN_STRUCT)
-        ).alias("spans"),
-    )
+    corpus = corpus_from_documents_table(spark, "/root/testdata/sf0.001")
     ext = extract_in_memory(spark, corpus, num_partitions=16)
     return ext.select(
         "doc_id",
         "parse_ok",
         F.size("spans").alias("n_spans"),
-        F.aggregate(
-            "spans", F.lit(0).cast("long"), lambda acc, s: acc + F.length(s["text"])
-        ).alias("n_chars_out"),
-        F.md5(
-            F.concat_ws(
-                "\x1f",
-                F.transform(
-                    F.col("spans"),
-                    lambda s: F.concat_ws("\x1e", s["kind"], s["text"], s["media_ref"]),
-                ),
-            ).cast("binary")
-        ).alias("span_seq_hash"),
+        tw.span_text_length("spans").alias("n_chars_out"),
+        tw.span_seq_hash("spans").alias("span_seq_hash"),
     )
 
 

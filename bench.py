@@ -48,7 +48,7 @@ HEADLINE = [
 
 # docs in the synthetic interleaved corpus for the throughput measurement,
 # scaled so sf0.1 gets a meaningful run without dominating the bench
-EXTRACT_DOCS = {"0.001": 200, "0.01": 1000, "0.1": 4000}
+EXTRACT_DOCS = {"0.001": 1000, "0.01": 6000, "0.1": 24000}
 
 
 def _force(df) -> int:
@@ -78,13 +78,13 @@ def main() -> int:
         _force(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
 
-    # flagship throughput: docs extracted/sec over the interleaved corpus
-    from tika_wrap_spark.corpus import generate_corpus
-    from tika_wrap_spark.data import corpus_to_df
+    # flagship throughput: docs extracted/sec over the interleaved corpus,
+    # synthesized on the executors (distributed_corpus_df — the 10^12 path)
+    from tika_wrap_spark.data import distributed_corpus_df
     from tika_wrap_spark.pipeline import extract_in_memory
 
     n_docs = EXTRACT_DOCS.get(sf, 4000)
-    corpus = corpus_to_df(spark, generate_corpus(n_docs, seed=7)).cache()
+    corpus = distributed_corpus_df(spark, n_docs, seed=7).cache()
     corpus.count()  # materialize input so we time extraction, not generation
     t0 = time.monotonic()
     n_out = extract_in_memory(spark, corpus).count()

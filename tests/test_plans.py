@@ -1,0 +1,96 @@
+"""Physical-plan regression pins: the scale properties SURVEY.md §4.2
+claims must be visible in `.explain("formatted")`, not just narrated.
+
+Each test asserts a plan property that matters at 100 TB:
+  * filters + column pruning reach the parquet scan
+  * small join sides broadcast (no shuffle of the fact side)
+  * aggregates are partial-then-final (map-side combine)
+  * top-k is TakeOrderedAndProject (no global sort)
+  * Python appears only as Arrow-vectorized nodes, never BatchEvalPython
+  * the extraction pipeline has exactly one Exchange (the explicit salt
+    repartition) ahead of the fused MapInPandas
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tika_wrap_spark import plans
+from tika_wrap_spark.registry import spark_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return spark_queries()
+
+
+def test_project_filter_pushdown_and_pruning(spark, q):
+    plan = plans.formatted_plan(q["project_filter"](spark, SF_DIR))
+    pushed = " ".join(plans.pushed_filters(plan))
+    assert "l_quantity" in pushed and "l_shipdate" in pushed, plan
+    (cols,) = plans.read_schema_columns(plan)
+    # scan reads only the projected + filtered columns, not all 11
+    assert cols <= {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    }, cols
+
+
+def test_broadcast_join_for_small_dims(spark, q):
+    for name in ("join_fixture", "tpch_join_agg"):
+        plan = plans.formatted_plan(q[name](spark, SF_DIR))
+        assert plans.has_node(plan, "BroadcastHashJoin"), (name, plan)
+
+
+def test_partial_final_agg(spark, q):
+    plan = plans.formatted_plan(q["tpch_q1"](spark, SF_DIR))
+    # partial + final hash aggregate around one exchange = map-side combine
+    assert plans.count_node(plan, "HashAggregate") >= 2, plan
+    assert plans.count_node(plan, "Exchange") == 1, plan
+
+
+def test_topk_no_global_sort(spark, q):
+    plan = plans.formatted_plan(q["sort_limit_topk"](spark, SF_DIR))
+    assert plans.has_node(plan, "TakeOrderedAndProject"), plan
+
+
+def test_no_per_row_python_anywhere(spark, q):
+    """input_hint mandate: vectorized UDFs only — BatchEvalPython (the
+    per-row pickle path) must never appear in any registered query plan."""
+    for name, fn in q.items():
+        plan = plans.formatted_plan(fn(spark, SF_DIR))
+        nodes = plans.python_eval_nodes(plan)
+        assert "BatchEvalPython" not in nodes, (name, plan)
+
+
+def test_extraction_single_exchange_before_fused_udf(spark):
+    from tika_wrap_spark.corpus import generate_corpus
+    from tika_wrap_spark.data import corpus_to_df
+    from tika_wrap_spark.pipeline import extract_in_memory
+
+    df = corpus_to_df(spark, generate_corpus(20, seed=3))
+    plan = plans.formatted_plan(extract_in_memory(spark, df, num_partitions=8))
+    assert "MapInPandas" in plan, plan
+    # exactly one Exchange: the explicit salted repartitionByRange; the
+    # sniff->route->extract chain is fused into a single python crossing
+    assert plans.count_node(plan, "Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_anti_join_resume_is_broadcast(spark):
+    """The resume anti-join broadcasts the small 'done' side so the corpus
+    scan is never shuffled (pipeline.run_extraction)."""
+    import tempfile
+
+    from tika_wrap_spark.corpus import generate_corpus
+    from tika_wrap_spark.data import corpus_to_df
+    from tika_wrap_spark.operators.skew import with_part_key
+    from tika_wrap_spark import pipeline as pl
+    from pyspark.sql import functions as F
+
+    df = with_part_key(corpus_to_df(spark, generate_corpus(20, seed=3)), 8)
+    done = pl.read_lineage(spark, tempfile.mkdtemp()).select("part_key").distinct()
+    todo = df.join(F.broadcast(done), "part_key", "left_anti")
+    plan = plans.formatted_plan(todo)
+    assert plans.has_node(plan, "BroadcastHashJoin"), plan

@@ -121,36 +121,43 @@ def _make_spans(payloads: list[tuple[str, str, str]]) -> list[dict[str, Any]]:
     return spans
 
 
+def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
+    """One corpus row, seeded per-doc: ``gen_doc(i, seed)`` depends only on
+    (i, seed), never on generation order — so the corpus can be synthesized
+    DISTRIBUTED (each executor generates its own id range) and is identical
+    under any partitioning. This is the 100 TB design: the corpus is never
+    materialized on the driver."""
+    rng = random.Random("%d:%09d" % (seed, i))
+    doc_id = "doc_%07d" % i
+    r = rng.random()
+    if r < 0.01:  # skew tail: giant pdf
+        payloads = [("pdf", _gen_pdf_payload(rng, giant=True), "")]
+    elif r < 0.41:
+        payloads = [("text", _gen_text_payload(rng), "")]
+    elif r < 0.66:
+        payloads = [("html", _gen_html_payload(rng), "")]
+    elif r < 0.86:
+        payloads = [("pdf", _gen_pdf_payload(rng), "")]
+    else:  # interleaved container doc (zip analog)
+        payloads = []
+        media_n = 0
+        for _ in range(rng.randint(3, 8)):
+            k = rng.random()
+            if k < 0.35:
+                payloads.append(("text", _gen_text_payload(rng), ""))
+            elif k < 0.6:
+                payloads.append(("html", _gen_html_payload(rng), ""))
+            elif k < 0.75:
+                payloads.append(("pdf", _gen_pdf_payload(rng), ""))
+            else:
+                payloads.append(("media", "", "blob://%s/%d" % (doc_id, media_n)))
+                media_n += 1
+    return {"doc_id": doc_id, "spans": _make_spans(payloads)}
+
+
 def generate_corpus(n_docs: int, seed: int = 42, adversarial: bool = True) -> list[dict[str, Any]]:
     """Return rows ``{doc_id, spans}`` — the raw input corpus."""
-    rng = random.Random(seed)
-    rows: list[dict[str, Any]] = []
-    for i in range(n_docs):
-        doc_id = "doc_%07d" % i
-        r = rng.random()
-        if r < 0.01:  # skew tail: giant pdf
-            payloads = [("pdf", _gen_pdf_payload(rng, giant=True), "")]
-        elif r < 0.41:
-            payloads = [("text", _gen_text_payload(rng), "")]
-        elif r < 0.66:
-            payloads = [("html", _gen_html_payload(rng), "")]
-        elif r < 0.86:
-            payloads = [("pdf", _gen_pdf_payload(rng), "")]
-        else:  # interleaved container doc (zip analog)
-            payloads = []
-            media_n = 0
-            for _ in range(rng.randint(3, 8)):
-                k = rng.random()
-                if k < 0.35:
-                    payloads.append(("text", _gen_text_payload(rng), ""))
-                elif k < 0.6:
-                    payloads.append(("html", _gen_html_payload(rng), ""))
-                elif k < 0.75:
-                    payloads.append(("pdf", _gen_pdf_payload(rng), ""))
-                else:
-                    payloads.append(("media", "", "blob://%s/%d" % (doc_id, media_n)))
-                    media_n += 1
-        rows.append({"doc_id": doc_id, "spans": _make_spans(payloads)})
+    rows: list[dict[str, Any]] = [gen_doc(i, seed) for i in range(n_docs)]
 
     if adversarial:
         base = n_docs

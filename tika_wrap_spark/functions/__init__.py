@@ -1,0 +1,77 @@
+"""Reusable column-expression library (the engine's `F`-level surface).
+
+Everything here is a pure JVM-side expression (whole-stage codegen, no
+Python) shared by the operators, the driver queries, and user code. The
+span-sequence expressions implement the north_star invariant — equality on
+``(kind, text, media_ref, order)`` — as columns, so fixture verification
+is a join + comparison, not a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# re-exported primitives (single definition point elsewhere)
+from tika_wrap_spark.operators.dedup import NORM_EXPR  # noqa: F401
+from tika_wrap_spark.operators.similarity import (  # noqa: F401
+    cosine_q,
+    int_dot,
+    quantize,
+)
+
+# unit separators for canonical span serialization (never appear in text
+# emitted by the extractor, which strips control chars via normalization)
+_FIELD_SEP = "\x1e"
+_SPAN_SEP = "\x1f"
+
+
+def norm_text(col: Column | str) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased text — THE normalization
+    every dedup/quality operator keys on (one definition, both engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def span_canonical(span: Column) -> Column:
+    """One span -> canonical string on (kind, text, media_ref). Offset is
+    excluded: order is the sequence position, offset is derived."""
+    return F.concat_ws(_FIELD_SEP, span["kind"], span["text"], span["media_ref"])
+
+
+def span_seq_hash(spans_col: Column | str) -> Column:
+    """Order-SENSITIVE digest of a spans array — two documents compare equal
+    under the north_star invariant iff these hashes match."""
+    c = F.col(spans_col) if isinstance(spans_col, str) else spans_col
+    return F.md5(
+        F.concat_ws(_SPAN_SEP, F.transform(c, span_canonical)).cast("binary")
+    )
+
+
+def span_text_length(spans_col: Column | str) -> Column:
+    """Total extracted characters across spans (the doc-cost proxy used by
+    skew salting), as a codegen'd integer fold."""
+    c = F.col(spans_col) if isinstance(spans_col, str) else spans_col
+    return F.aggregate(
+        F.coalesce(c, F.array()),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+    )
+
+
+def offsets_monotonic(spans_col: Column | str) -> Column:
+    """True iff span offsets are non-decreasing — the §1.1 ordering
+    invariant as a boolean column (property tests / data quality gates)."""
+    c = F.col(spans_col) if isinstance(spans_col, str) else spans_col
+    return F.coalesce(
+        F.aggregate(
+            c,
+            F.struct(F.lit(True).alias("ok"), F.lit(-1).alias("prev")),
+            lambda acc, s: F.struct(
+                (acc["ok"] & (s["offset"] >= acc["prev"])).alias("ok"),
+                s["offset"].alias("prev"),
+            ),
+            lambda acc: acc["ok"],
+        ),
+        F.lit(True),
+    )

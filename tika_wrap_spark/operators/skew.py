@@ -1,16 +1,25 @@
-"""Skew defense — explicit salting + cost-aware repartitioning (north_rule).
+"""Skew defense — explicit salting + salted range repartitioning (north_rule).
 
 Giant-PDF skew is *UDF-cost* skew: row counts per partition look balanced,
 but one 100x-payload document makes its partition the straggler. AQE's
 size-based stats cannot see this (SURVEY §4.2), so the salt is explicit:
 
-    salt     = pmod(xxhash64(doc_id), salt_buckets)
-    cost_bin = bucket of log2(total payload chars)   (giant docs spread out)
+    salt = pmod(xxhash64(doc_id), salt_buckets)        # uniform random
+    repartitionByRange(N, salt, doc_id)                # even split of salts
 
-``repartitionByRange`` over (cost_bin desc, salt, doc_id) range-partitions
-the heavy docs across many partitions while keeping the cheap long tail
-packed — at 1000 executors the same expression scales by raising
-``num_partitions`` only.
+Because the salt is uniform i.i.d. per doc, range-partitioning on it
+SPREADS the giant docs evenly across all N partitions (each partition gets
+~giants/N of them in expectation). ``salt_buckets >> N`` keeps the range
+boundaries fine-grained. At 1000 executors the same expression scales by
+raising ``num_partitions`` only.
+
+Measured dead end, kept as a warning: an earlier version led the range key
+with a ``cost_bin = log2(payload)`` DESC column, intending "heavy docs
+first". Range partitioning *clusters* by its leading key, so that packed
+every giant PDF into the first partition range — a 4x straggler regression
+vs. plain salting (see BENCH.md). Cost-awareness that actually helps is
+finer task granularity (2-4 tasks/core) so the scheduler overlaps a giant
+with many cheap tasks, not cost-sorted placement.
 """
 
 from __future__ import annotations
@@ -41,21 +50,32 @@ def doc_cost(df: DataFrame) -> DataFrame:
 
 
 def salt_repartition(
-    df: DataFrame, num_partitions: int, salt_buckets: int = 64
+    df: DataFrame,
+    num_partitions: int,
+    salt_buckets: int | None = None,
+    method: str = "hash",
 ) -> DataFrame:
-    """Salted, cost-binned range repartition ahead of the extraction UDF."""
-    salted = doc_cost(df).withColumn(
+    """Salted repartition ahead of the extraction UDF: uniform-random
+    spread of documents (and therefore of the giant-doc tail) across exactly
+    ``num_partitions`` tasks, deterministic in doc_id.
+
+    ``method="hash"`` (default) hash-partitions on the salt — one shuffle,
+    no extra work. ``method="range"`` range-partitions on (salt, doc_id);
+    because the salt is uniform the *placement* is equivalent, but Spark's
+    RangePartitioner runs an extra sampling job over the input to pick
+    boundaries, a whole extra stage the hash path doesn't pay (measured
+    ~10-20% of job wall at sandbox scale, BENCH.md). Kept for inputs where
+    salt-contiguous output partitions are wanted downstream."""
+    if salt_buckets is None:
+        salt_buckets = max(num_partitions * 16, 1024)
+    salted = df.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
     )
-    binned = salted.withColumn(
-        "cost_bin", F.floor(F.log2(F.col("cost") + F.lit(2))).cast("int")
-    )
-    return (
-        binned.repartitionByRange(
-            num_partitions, F.col("cost_bin").desc(), F.col("salt"), F.col("doc_id")
-        )
-        .drop("cost", "salt", "cost_bin")
-    )
+    if method == "range":
+        out = salted.repartitionByRange(num_partitions, F.col("salt"), F.col("doc_id"))
+    else:
+        out = salted.repartition(num_partitions, F.col("salt"))
+    return out.drop("salt")
 
 
 def skew_topk(df: DataFrame, k: int = 10) -> DataFrame:

@@ -436,21 +436,15 @@ def q_extract_pipeline(spark, d):
     corpus; per-doc status + order-sensitive span-sequence hash."""
     from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
 
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
     ext = extract_in_memory(spark, _corpus_df(spark))
     return ext.select(
         "doc_id",
         "parse_ok",
         "error",
         F.size("spans").alias("n_spans"),
-        F.md5(
-            F.concat_ws(
-                "\x1f",
-                F.transform(
-                    F.col("spans"),
-                    lambda s: F.concat_ws("\x1e", s["kind"], s["text"], s["media_ref"]),
-                ),
-            ).cast("binary")
-        ).alias("span_seq_hash"),
+        tw.span_seq_hash("spans").alias("span_seq_hash"),
     )
 
 

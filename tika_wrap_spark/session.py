@@ -13,7 +13,10 @@ from pyspark.sql import SparkSession
 # Arrow batch size is the rebuild's analog of the reference's 81,920-byte
 # HTTP streaming chunk (/root/reference/src/java-env.cpp:269): it bounds
 # per-crossing memory between the executor JVM and the python worker.
-ARROW_MAX_RECORDS = 512
+# Tuned on the extraction workload (BENCH.md): 512 -> 2048 raised top-level
+# throughput ~10% (fewer batch boundaries); 8192 regressed (cache pressure).
+# At ~3 KB/doc this is ~6 MB per crossing.
+ARROW_MAX_RECORDS = 2048
 
 
 def get_spark(
