@@ -34,7 +34,10 @@ HEADLINE = [
     "agg_metrics",
     "window_events",
     "tpch_q1",
+    "tpch_q6",
     "tpch_join_agg",
+    "sessionize",
+    "rollup_metrics",
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh",

@@ -453,6 +453,105 @@ GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 20
 """
 
 
+def q_sessionize(spark, d):
+    """Event sessionization (30-min inactivity gap): lag window marks
+    session starts, running sum assigns session indexes, one aggregate row
+    per session. Two window passes + one agg, all on the same user_id
+    partitioning — a single shuffle at 100 TB."""
+    ev = _t(spark, d, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = ev.withColumn("session_idx", F.sum(is_new).over(cum))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  -- floor(epoch) matches Spark's unix_timestamp (whole-second truncation)
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id < 40
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event,
+       CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_s
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def q_rollup_metrics(spark, d):
+    """Hierarchical totals via ROLLUP (order status -> priority -> grand
+    total) — partial-aggregable in one pass; null grouping slots coalesced
+    to a sentinel so both engines emit identical rows."""
+    orders = _t(spark, d, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+SQL_ROLLUP_METRICS = """
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_tpch_q6(spark, d):
+    """TPC-H Q6 forecasting revenue — pure scan-filter-agg; every predicate
+    pushes to the parquet scan, result is one row."""
+    li = _t(spark, d, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+"""
+
+
 def q_grouped_map_norm(spark, d):
     """Per-group batch transform via applyInPandas (grouped_map_norm §2C):
     z-score events within event_type. Arrow-batched; oracle mirrors with a

@@ -31,7 +31,10 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "string_funcs": (q.q_string_funcs, q.SQL_STRING_FUNCS),
     "hash_verify": (q.q_hash_verify, q.SQL_HASH_VERIFY),
     "tpch_q1": (q.q_tpch_q1, q.SQL_TPCH_Q1),
+    "tpch_q6": (q.q_tpch_q6, q.SQL_TPCH_Q6),
     "tpch_join_agg": (q.q_tpch_join_agg, q.SQL_TPCH_JOIN_AGG),
+    "sessionize": (q.q_sessionize, q.SQL_SESSIONIZE),
+    "rollup_metrics": (q.q_rollup_metrics, q.SQL_ROLLUP_METRICS),
     "grouped_map_norm": (q.q_grouped_map_norm, q.SQL_GROUPED_MAP_NORM),
     # dedup family
     "dedup_exact": (qt.q_dedup_exact, qt.SQL_DEDUP_EXACT),

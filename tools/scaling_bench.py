@@ -19,10 +19,13 @@ cores. 2->8 is the window where the HOST still scales, so the number
 this benchmark reports is Spark's own coordination overhead, which is
 what the north-rule criterion is about.
 
-Each level runs in a fresh subprocess (fresh JVM) so neither JIT warmup
-nor page-cache state leaks between levels; within a level we run one
-warmup pass then take the best of 3 timed passes (the host is a shared
-VM with visible noisy-neighbor variance).
+Each level runs in a fresh subprocess (fresh JVM), PINNED to exactly N
+host cores with taskset (an unpinned local[N] pipelines JVM serialization
+threads and python workers onto ~2N cores, inflating the small level —
+BENCH.md finding 5). Within a level: one warmup pass, then best of
+REPS timed passes; levels are interleaved over two rounds (the host is a
+shared VM with visible noisy-neighbor variance, and noise only ever adds
+time, so min is the robust estimator).
 
 Usage: python tools/scaling_bench.py [--docs 240000] [--write-md]
        python tools/scaling_bench.py --child <cores> <docs>   (internal)
@@ -32,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -80,6 +84,17 @@ def main() -> int:
         if a == "--docs":
             docs = int(sys.argv[i + 1])
 
+    # Pin each level to exactly N host cores (taskset): a local[N] JVM
+    # otherwise pipelines its serialization threads and python workers onto
+    # EXTRA cores, so "N cores" would understate what the small level
+    # really used and bias the ratio. Affinity = executors with dedicated
+    # cores, which is what the N->4N criterion models.
+    taskset = shutil.which("taskset")
+
+    def argv(cores: int) -> list[str]:
+        base = [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(docs)]
+        return [taskset, "-c", f"0-{cores - 1}", *base] if taskset else base
+
     # two interleaved rounds per level: a noisy-neighbor window then hits
     # both levels, not just one; min-of-all-passes is the noise-robust
     # estimator (interference only ever ADDS time)
@@ -87,7 +102,7 @@ def main() -> int:
     for _round in range(2):
         for cores in LEVELS:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(docs)],
+                argv(cores),
                 capture_output=True, text=True, check=True, cwd=_REPO,
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
