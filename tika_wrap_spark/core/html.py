@@ -52,20 +52,23 @@ MAX_LINK_DENSITY = 1.0 / 3.0
 
 
 def _decode_entities(s: str) -> str:
+    if "&" not in s:  # fast path: most blocks carry no entities
+        return s
     return _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
 
 
 def _normalize_ws(s: str) -> str:
-    return _WS_RE.sub(" ", s).strip()
+    # equivalent to _WS_RE.sub(" ", s).strip() for all whitespace the
+    # corpus can contain, ~3x faster (no regex machinery)
+    return " ".join(s.split())
 
 
 class _Block:
-    __slots__ = ("parts", "link_chars", "tag_count", "in_boilerplate")
+    __slots__ = ("parts", "link_chars", "in_boilerplate")
 
     def __init__(self, in_boilerplate: bool) -> None:
         self.parts: list[str] = []
         self.link_chars = 0
-        self.tag_count = 0
         self.in_boilerplate = in_boilerplate
 
     def text(self) -> str:
@@ -137,7 +140,7 @@ def extract_html_blocks(html: str) -> list[str]:
                 cur.parts.append(html[lt : gt + 1])
             pos = gt + 1
             continue
-        closing, name, _attrs, selfclose = m.groups()
+        closing, name, selfclose = m.group(1, 2, 4)
         name = name.lower()
         pos = m.end()
 
@@ -149,7 +152,6 @@ def extract_html_blocks(html: str) -> list[str]:
             drop_until = name
             continue
 
-        cur.tag_count += 1
         if name == "a":
             if closing:
                 link_depth = max(0, link_depth - 1)

@@ -56,21 +56,26 @@ def parse_pdf_pages(stream: str) -> list[list[tuple[float, float, str]]]:
         line = line.strip()
         if not line:
             continue
-        pm = _PAGE_RE.match(line)
-        if pm:
-            current = []
-            pages.append(current)
-            continue
+        # runs outnumber page markers ~400:1 on giant docs — test them first
         rm = _RUN_RE.match(line)
         if rm:
             if current is None:
                 raise ExtractError("text run before first %%Page marker")
             x, y, raw = rm.groups()
+            if "\\" not in raw and "(" not in raw and ")" not in raw:
+                # fast path: no escapes, nothing to validate or unescape
+                current.append((float(x), float(y), raw))
+                continue
             # reject unescaped-paren / trailing-backslash corruption
             stripped = raw.replace("\\\\", "").replace("\\(", "").replace("\\)", "")
             if "(" in stripped or ")" in stripped or stripped.endswith("\\"):
                 raise ExtractError("malformed string literal in run")
             current.append((float(x), float(y), _unescape(raw)))
+            continue
+        pm = _PAGE_RE.match(line)
+        if pm:
+            current = []
+            pages.append(current)
             continue
         if line.startswith("%"):  # other comments are ignorable
             continue
@@ -86,12 +91,10 @@ def extract_pdf_pages(stream: str) -> list[str]:
     """
     out: list[str] = []
     for runs in parse_pdf_pages(stream):
-        ordered = sorted(
-            range(len(runs)),
-            key=lambda i: (-runs[i][1], runs[i][0], i),
-        )
-        texts = [runs[i][2] for i in ordered]
-        page_text = "\n".join(t for t in texts)
+        # decorate-sort (tuple compare, no key fn); i breaks ties by
+        # appearance order before the text field is ever compared
+        decorated = sorted((-y, x, i) for i, (x, y, _t) in enumerate(runs))
+        page_text = "\n".join(runs[i][2] for _ny, _x, i in decorated)
         if page_text:
             out.append(page_text)
     return out

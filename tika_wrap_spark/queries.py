@@ -552,6 +552,59 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark, d):
+    """Pivot (long -> wide): per-user counts by event type. The pivot value
+    list is FIXED so the plan is a single partial-aggregable hash agg over
+    conditional counts — no distinct-values pre-pass, no second shuffle."""
+    ev = _t(spark, d, "events").filter(F.col("user_id") < 60)
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       {cols}
+FROM events WHERE user_id < 60 GROUP BY user_id
+""".format(
+    cols=",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+    )
+)
+
+
+def q_percentiles(spark, d):
+    """Exact interpolated percentiles per event type (Spark `percentile` ==
+    SQL quantile_cont). At 100 TB swap for approx_percentile — this is the
+    exact-agreement baseline an approximation is judged against."""
+    ev = _t(spark, d, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.max("value"), 2).alias("vmax"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(max(value), 2) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 def q_grouped_map_norm(spark, d):
     """Per-group batch transform via applyInPandas (grouped_map_norm §2C):
     z-score events within event_type. Arrow-batched; oracle mirrors with a

@@ -35,6 +35,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_join_agg": (q.q_tpch_join_agg, q.SQL_TPCH_JOIN_AGG),
     "sessionize": (q.q_sessionize, q.SQL_SESSIONIZE),
     "rollup_metrics": (q.q_rollup_metrics, q.SQL_ROLLUP_METRICS),
+    "pivot_events": (q.q_pivot_events, q.SQL_PIVOT_EVENTS),
+    "percentiles": (q.q_percentiles, q.SQL_PERCENTILES),
     "grouped_map_norm": (q.q_grouped_map_norm, q.SQL_GROUPED_MAP_NORM),
     # dedup family
     "dedup_exact": (qt.q_dedup_exact, qt.SQL_DEDUP_EXACT),
