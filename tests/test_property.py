@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) over the pure extraction core — no
+Spark session needed, so these run in milliseconds and explore far more
+input space than the fixture corpus.
+
+Invariants pinned (SURVEY.md §5.2):
+  * extract_document NEVER raises, for arbitrary span structures
+  * output offsets are the running sum of kept-text lengths (monotonic)
+  * plain-text spans pass through verbatim
+  * media spans keep their media_ref and contribute zero text
+  * html/pdf extraction is deterministic (same input -> same output)
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tika_wrap_spark.core.extract import extract_document
+from tika_wrap_spark.core.html import extract_html_blocks
+from tika_wrap_spark.core.sniff import sniff_kind
+
+# Arbitrary text, biased toward structure-triggering characters.
+payload_text = st.text(
+    alphabet=st.sampled_from(list("abc <>/!&#;()\\%-.\n\t\"'=xPDFhtml")),
+    max_size=400,
+)
+
+span = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["text", "html", "pdf", "media", "zip", ""]),
+        "text": st.one_of(st.none(), payload_text),
+        "media_ref": st.one_of(st.just(""), st.just("blob://x/0")),
+        "offset": st.integers(min_value=0, max_value=1 << 30),
+    }
+)
+spans = st.one_of(st.none(), st.lists(span, max_size=6))
+
+
+@given(spans)
+@settings(max_examples=300, deadline=None)
+def test_never_raises_and_offsets_run(spans_in):
+    res = extract_document(spans_in)
+    assert set(res) == {"spans", "parse_ok", "error", "meta"}
+    assert isinstance(res["parse_ok"], bool)
+    if not res["parse_ok"]:
+        assert res["spans"] == [] and res["error"]
+        return
+    # offsets = running sum of preceding kept-text lengths
+    off = 0
+    for s in res["spans"]:
+        assert s["offset"] == off
+        off += len(s["text"])
+    # metadata values are flat strings only (reference coercion pin)
+    assert all(isinstance(v, str) for v in res["meta"].values())
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="<%P"), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_plain_text_roundtrips(text):
+    """Text that can't sniff as html/pdf passes through verbatim."""
+    if sniff_kind(text) != "text":
+        return
+    res = extract_document([{"kind": "text", "text": text, "media_ref": "", "offset": 0}])
+    assert res["parse_ok"]
+    assert [s["text"] for s in res["spans"]] == [text]
+
+
+@given(st.integers(min_value=0, max_value=5))
+@settings(max_examples=20, deadline=None)
+def test_media_spans_preserved(n):
+    spans_in = [
+        {"kind": "media", "text": "", "media_ref": f"blob://d/{i}", "offset": i}
+        for i in range(n)
+    ]
+    res = extract_document(spans_in)
+    assert res["parse_ok"]
+    assert [s["media_ref"] for s in res["spans"]] == [f"blob://d/{i}" for i in range(n)]
+    assert all(s["text"] == "" and s["kind"] == "media" for s in res["spans"])
+
+
+@given(payload_text)
+@settings(max_examples=200, deadline=None)
+def test_html_extract_deterministic_or_raises_consistently(text):
+    html = "<html><body>" + text
+    try:
+        a = extract_html_blocks(html)
+    except Exception as e:
+        try:
+            extract_html_blocks(html)
+            raise AssertionError("nondeterministic raise")
+        except Exception as e2:
+            assert type(e) is type(e2)
+            return
+    b = extract_html_blocks(html)
+    assert a == b
+    for block in a:
+        assert block == " ".join(block.split())  # normalized

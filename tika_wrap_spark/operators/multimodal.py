@@ -93,3 +93,75 @@ def decode_media(media: DataFrame, num_partitions: int | None = None) -> DataFra
     if num_partitions:
         media = media.repartition(num_partitions, F.xxhash64("media_ref"))
     return media.mapInPandas(_decode_batches, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+    ]
+)
+
+
+def _resize_fake(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image resample (PIL seam): digest of
+    (payload, target dims) — stable across runs/partitionings."""
+    return hashlib.md5(payload + b"|%dx%d" % (w, h)).digest()
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """(media_ref, payload) -> resized binary at (width, height). Kernel is
+    the STUB `_resize_fake`; the Spark plumbing (binary in, binary out,
+    Arrow batching) is the real production shape."""
+    make_portable()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            refs = pdf["media_ref"].tolist()
+            payloads = pdf["payload"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "out_width": [width] * len(refs),
+                    "out_height": [height] * len(refs),
+                    "resized": [_resize_fake(bytes(p), width, height) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_feature", T.StringType(), False),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 30, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (1:N flatMap
+    shape — the row-count amplification a real decoder produces). Frame
+    count comes from the decode metadata; features are digest stubs."""
+    make_portable()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            refs, idxs, feats = [], [], []
+            for ref, payload in zip(pdf["media_ref"].tolist(), pdf["payload"].tolist()):
+                meta = _decode_fake(ref, bytes(payload))
+                n = min(max(meta["n_frames"] // every_n, 1), max_frames)
+                for k in range(n):
+                    refs.append(ref)
+                    idxs.append(k * every_n)
+                    feats.append(
+                        hashlib.md5(bytes(payload) + b"|f%d" % (k * every_n)).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(
+                {"media_ref": refs, "frame_idx": idxs, "frame_feature": feats}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

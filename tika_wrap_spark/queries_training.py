@@ -464,3 +464,25 @@ def q_media_decode(spark, d):
 
     ext = extract_in_memory(spark, _corpus_df(spark))
     return decode_media(media_payloads(ext), num_partitions=8)
+
+
+def q_media_resize(spark, d):
+    """Multimodal resize plumbing: binary in -> resized binary out, summary
+    counts (binary column itself isn't oracle-comparable)."""
+    from tika_wrap_spark.operators.multimodal import resize_media  # noqa: PLC0415
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark))
+    r = resize_media(media_payloads(ext), 224, 224)
+    return r.select(
+        "media_ref", "out_width", "out_height", F.length("resized").alias("n_bytes")
+    )
+
+
+def q_media_frames(spark, d):
+    """Video frame sampling: 1:N flatMap shape, one row per sampled frame."""
+    from tika_wrap_spark.operators.multimodal import frame_sample  # noqa: PLC0415
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark))
+    return frame_sample(media_payloads(ext))

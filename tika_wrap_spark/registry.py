@@ -56,6 +56,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "extract_pipeline": (qt.q_extract_pipeline, None),
     "sniff_route": (qt.q_sniff_route, None),
     "media_decode": (qt.q_media_decode, None),
+    "media_resize": (qt.q_media_resize, None),
+    "media_frames": (qt.q_media_frames, None),
 }
 
 

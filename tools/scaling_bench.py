@@ -78,7 +78,7 @@ def main() -> int:
         child(int(sys.argv[2]), int(sys.argv[3]))
         return 0
 
-    docs = 240_000
+    docs = 360_000  # sized so compute dominates the faster (r1-optimized) core
     write_md = "--write-md" in sys.argv
     for i, a in enumerate(sys.argv):
         if a == "--docs":
