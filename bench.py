@@ -89,6 +89,7 @@ def main() -> int:
     n_docs = EXTRACT_DOCS.get(sf, 4000)
     corpus = distributed_corpus_df(spark, n_docs, seed=7).cache()
     corpus.count()  # materialize input so we time extraction, not generation
+    extract_in_memory(spark, corpus).count()  # warm python workers + JIT
     t0 = time.monotonic()
     n_out = extract_in_memory(spark, corpus).count()
     extract_sec = time.monotonic() - t0

@@ -137,6 +137,30 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     )
 
 
+def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    character k-gram of the normalized text, slide a window of w hashes,
+    keep each window's minimum — the guaranteed-coverage local fingerprint
+    set used for plagiarism/near-dup detection. All JVM-side expressions
+    (substring/md5/array ops over sequence()); hex-string min is a valid
+    total order in both engines. O(n·w) string work per doc — bound the
+    doc set or pre-truncate at 100 TB."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(norm) - {k - 1}, 0)),"
+        f" i -> md5(cast(substring(norm, i, {k}) as binary)))"
+    )
+    wins = F.expr(
+        f"transform(sequence(1, greatest(size(grams) - {w - 1}, 0)),"
+        f" i -> array_min(slice(grams, i, {w})))"
+    )
+    return (
+        normalized(df)
+        .withColumn("grams", grams)
+        .withColumn("fp", F.explode(F.array_distinct(wins)))
+        .select("doc_id", "fp")
+    )
+
+
 def simhash_16(tokens: DataFrame) -> DataFrame:
     """16-bit SimHash: per-bit majority vote of token md5 hashes, all in
     exact integer arithmetic (hex chars -> nibbles via locate())."""

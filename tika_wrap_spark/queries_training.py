@@ -243,6 +243,30 @@ ORDER BY cos_q DESC, vec_a, vec_b LIMIT 50
 """
 
 
+def q_winnow_fp(spark, d):
+    """Winnowing (rolling k-gram min) fingerprints, k=8 w=4, doc_id<40."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 40)
+    return dd.winnow_fingerprints(docs, k=8, w=4)
+
+
+SQL_WINNOW_FP = f"""
+WITH n AS (
+  SELECT doc_id, {_NORM_DUCK} AS norm FROM documents WHERE doc_id < 40
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(norm) - 7, 0)),
+                        i -> md5(substr(norm, i, 8))) AS grams
+  FROM n
+), w AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(grams) - 3, 0)),
+                        i -> list_aggregate(grams[i : i + 3], 'min')) AS wins
+  FROM g
+)
+SELECT DISTINCT doc_id, unnest(wins) AS fp FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -44,6 +44,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_minhash_lsh": (qt.q_dedup_minhash_lsh, qt.SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (qt.q_dedup_simhash, qt.SQL_DEDUP_SIMHASH),
     "embed_cosine_pairs": (qt.q_embed_cosine_pairs, qt.SQL_EMBED_COSINE_PAIRS),
+    "winnow_fp": (qt.q_winnow_fp, qt.SQL_WINNOW_FP),
     # similarity search
     "ann_cosine_topk": (qt.q_ann_cosine_topk, qt.SQL_ANN_COSINE_TOPK),
     "ann_lsh_bucket": (qt.q_ann_lsh_bucket, qt.SQL_ANN_LSH_BUCKET),
