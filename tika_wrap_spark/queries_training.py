@@ -336,6 +336,46 @@ SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS bucket_size FROM b
 SQL_ANN_LSH_BUCKET = _sql_lsh_bucket()
 
 
+def q_ann_lsh_topk(spark, d):
+    """End-to-end ANN scale path: LSH-bucket both sides, compare only
+    within matching buckets, exact-cosine re-rank to top-k. The recall gap
+    vs ann_cosine_topk is the LSH trade-off; multiple tables raise it."""
+    emb = _t(spark, d, "embeddings")
+    return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=10, n_planes=N_PLANES)
+
+
+def _sql_lsh_topk() -> str:
+    bits = " || ".join(
+        "(CASE WHEN (SELECT sum((((%d*31 + (t.i-1)*17) %% 13) - 6) * eq[t.i]) "
+        "FROM unnest(generate_series(1, len(eq))) AS t(i)) >= 0 THEN '1' ELSE '0' END)" % p
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_EQ_DUCK} AS eq FROM embeddings
+), n AS (
+  SELECT vec_id, eq, {bits} AS bucket,
+         (SELECT CAST(sum(eq[t.i] * eq[t.i]) AS BIGINT)
+          FROM unnest(generate_series(1, len(eq))) AS t(i)) AS nq
+  FROM q
+), scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(floor(1000 * (SELECT CAST(sum(qs.eq[t.i] * c.eq[t.i]) AS BIGINT)
+                            FROM unnest(generate_series(1, len(c.eq))) AS t(i))::DOUBLE
+              / (sqrt(c.nq::DOUBLE) * sqrt(qs.nq::DOUBLE))) AS BIGINT) AS cos_q
+  FROM n c JOIN (SELECT * FROM n WHERE vec_id < 3) qs ON c.bucket = qs.bucket
+)
+SELECT query_id, cand_id, cos_q, rank FROM (
+  SELECT query_id, cand_id, cos_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_lsh_topk()
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -48,6 +48,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # similarity search
     "ann_cosine_topk": (qt.q_ann_cosine_topk, qt.SQL_ANN_COSINE_TOPK),
     "ann_lsh_bucket": (qt.q_ann_lsh_bucket, qt.SQL_ANN_LSH_BUCKET),
+    "ann_lsh_topk": (qt.q_ann_lsh_topk, qt.SQL_ANN_LSH_TOPK),
     # text analysis
     "text_langid": (qt.q_text_langid, qt.SQL_TEXT_LANGID),
     "text_quality": (qt.q_text_quality, qt.SQL_TEXT_QUALITY),
