@@ -70,6 +70,9 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     offset = 0
     n_in = 0
     kinds_seen: set[str] = set()
+    n_pages = 0  # pdf pages emitted (Tika's per-format metadata analog)
+    n_blocks = 0  # html content blocks kept
+    n_media = 0
 
     def emit(kind: str, text: str, media_ref: str) -> None:
         nonlocal offset
@@ -85,12 +88,15 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         kind = sniff_kind(text, media_ref)
         kinds_seen.add(kind)
         if kind == KIND_MEDIA:
+            n_media += 1
             emit(KIND_MEDIA, "", media_ref)
         elif kind == KIND_HTML:
             for block in extract_html_blocks(text):
+                n_blocks += 1
                 emit(KIND_TEXT, block, "")
         elif kind == KIND_PDF:
             for page in extract_pdf_pages(text):
+                n_pages += 1
                 emit(KIND_TEXT, page, "")
         elif kind == KIND_ZIP:
             # container payloads arrive pre-flattened as interleaved spans
@@ -100,10 +106,16 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             emit(KIND_TEXT, text, "")
 
     n_chars = sum(len(s["text"]) for s in out)
+    # per-kind counters mirror the per-format metadata Tika's /meta endpoint
+    # exposes (page counts etc.); values flat strings only (reference
+    # coercion, src/java-env.cpp:300)
     meta = {
         "n_spans_in": _stringify(n_in),
         "n_spans_out": _stringify(len(out)),
         "n_chars": _stringify(n_chars),
+        "n_pdf_pages": _stringify(n_pages),
+        "n_html_blocks": _stringify(n_blocks),
+        "n_media": _stringify(n_media),
         "kinds": ",".join(sorted(kinds_seen)),
         "parser": "tika_wrap_spark-0.1",
     }

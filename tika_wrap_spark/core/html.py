@@ -92,52 +92,49 @@ def extract_html_blocks(html: str) -> list[str]:
     drop_until: str | None = None  # inside script/style: skip until this close tag
 
     cur = _Block(in_boilerplate=False)
-
-    def flush() -> None:
-        nonlocal cur
-        if cur.parts:
-            blocks.append(cur)
-        cur = _Block(in_boilerplate=boiler_depth > 0)
+    cur_parts = cur.parts  # hot-loop local aliases (CPython attr lookups)
+    find = html.find
+    startswith = html.startswith
+    tag_match = _TAG_RE.match
 
     pos = 0
     n = len(html)
     while pos < n:
-        lt = html.find("<", pos)
+        lt = find("<", pos)
         if lt == -1:
-            text = html[pos:]
-            if drop_until is None and text:
-                cur.parts.append(text)
+            if drop_until is None:
+                text = html[pos:]
+                cur_parts.append(text)
                 if link_depth > 0:
                     cur.link_chars += len(_normalize_ws(text))
             break
-        if lt > pos:
+        if lt > pos and drop_until is None:
             text = html[pos:lt]
-            if drop_until is None and text:
-                cur.parts.append(text)
-                if link_depth > 0:
-                    cur.link_chars += len(_normalize_ws(text))
+            cur_parts.append(text)
+            if link_depth > 0:
+                cur.link_chars += len(_normalize_ws(text))
         # comments
-        if html.startswith("<!--", lt):
-            end = html.find("-->", lt + 4)
+        if startswith("<!--", lt):
+            end = find("-->", lt + 4)
             if end == -1:
                 raise ExtractError("unterminated comment")
             pos = end + 3
             continue
         # doctype / other declarations
-        if html.startswith("<!", lt):
-            end = html.find(">", lt)
+        if startswith("<!", lt):
+            end = find(">", lt)
             if end == -1 or end - lt > _MAX_TAG_LEN:
                 raise ExtractError("unterminated declaration")
             pos = end + 1
             continue
-        m = _TAG_RE.match(html, lt)
+        m = tag_match(html, lt)
         if m is None:
-            gt = html.find(">", lt)
+            gt = find(">", lt)
             if gt == -1 or gt - lt > _MAX_TAG_LEN:
                 raise ExtractError("unterminated tag at offset %d" % lt)
             # not a recognizable tag: treat '<...>' literally as text
             if drop_until is None:
-                cur.parts.append(html[lt : gt + 1])
+                cur_parts.append(html[lt : gt + 1])
             pos = gt + 1
             continue
         closing, name, selfclose = m.group(1, 2, 4)
@@ -158,7 +155,10 @@ def extract_html_blocks(html: str) -> list[str]:
             elif not selfclose:
                 link_depth += 1
         if name in _BLOCK_ELEMENTS:
-            flush()
+            if cur_parts:
+                blocks.append(cur)
+            cur = _Block(in_boilerplate=boiler_depth > 0)
+            cur_parts = cur.parts
         if name in _BOILERPLATE_CONTAINERS:
             if closing:
                 boiler_depth = max(0, boiler_depth - 1)
@@ -166,7 +166,8 @@ def extract_html_blocks(html: str) -> list[str]:
             elif not selfclose:
                 boiler_depth += 1
                 cur.in_boilerplate = True
-    flush()
+    if cur_parts:
+        blocks.append(cur)
 
     kept: list[str] = []
     for b in blocks:
