@@ -1,0 +1,87 @@
+"""Edge cases for the dedup family: documents shorter than the k-gram /
+window sizes must produce EMPTY fingerprint sets (DuckDB generate_series
+semantics), never spurious grams or a slice() crash.
+
+Regression for the Spark `sequence(1, 0) == [1, 0]` descending-sequence
+pitfall (ADVICE r1, high): slice(grams, 0, w) raises
+INVALID_PARAMETER_VALUE.START and used to abort the whole winnow_fp job.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from tika_wrap_spark.operators import dedup as dd
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+SHORT_TEXTS = [
+    "",  # empty
+    "a",  # < k
+    "abcdefg",  # k-1 chars
+    "abcdefgh",  # exactly k -> 1 gram, < w grams
+    "abcdefghij",  # k+2 chars -> 3 grams, still < w
+    "abcdefghijk",  # 4 grams == w -> exactly one window
+    "a much longer document with plenty of characters to fingerprint",
+]
+
+
+def test_winnow_short_docs_no_crash_and_duckdb_equal(spark):
+    df = _docs(spark, SHORT_TEXTS)
+    out = dd.winnow_fingerprints(df, k=8, w=4)
+    got = sorted((r["doc_id"], r["fp"]) for r in out.collect())
+
+    # same fixture through the DuckDB oracle arithmetic
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(SHORT_TEXTS)), "text": SHORT_TEXTS}))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+WITH n AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(norm) - 7, 0)),
+                        i -> md5(substr(norm, i, 8))) AS grams
+  FROM n
+), w AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(grams) - 3, 0)),
+                        i -> list_aggregate(grams[i : i + 3], 'min')) AS wins
+  FROM g
+)
+SELECT DISTINCT doc_id, unnest(wins) AS fp FROM w
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # docs with < k+w-1 = 11 normalized chars contribute nothing
+    short_ids = {i for i, t in enumerate(SHORT_TEXTS) if len(t) < 11}
+    assert short_ids.isdisjoint({d for d, _ in got})
+
+
+def test_doc_ngrams_short_docs_empty(spark):
+    df = _docs(spark, ["", "one", "one two", "one two three"])
+    got = sorted((r["doc_id"], r["gram"]) for r in dd.doc_ngrams(df, n=2).collect())
+    assert got == [(2, "one two"), (3, "one two"), (3, "two three")]
+
+
+def test_norm_text_column_path_matches_template(spark):
+    from pyspark.sql import functions as F
+
+    from tika_wrap_spark import functions as tw
+
+    df = _docs(spark, ["  Mixed   CASE\ttext  ", "", "ünïcode  \n ok"])
+    a = df.select(tw.norm_text(F.col("text")).alias("n"))
+    b = df.select(F.expr(tw.NORM_EXPR).alias("n"))
+    assert [r["n"] for r in a.collect()] == [r["n"] for r in b.collect()]

@@ -13,7 +13,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # re-exported primitives (single definition point elsewhere)
-from tika_wrap_spark.operators.dedup import NORM_EXPR  # noqa: F401
+from tika_wrap_spark.operators.dedup import (  # noqa: F401
+    NORM_EXPR,
+    NORM_TEMPLATE,
+    norm_col,
+)
 from tika_wrap_spark.operators.similarity import (  # noqa: F401
     cosine_q,
     int_dot,
@@ -28,9 +32,11 @@ _SPAN_SEP = "\x1f"
 
 def norm_text(col: Column | str) -> Column:
     """Whitespace-collapsed, trimmed, lowercased text — THE normalization
-    every dedup/quality operator keys on (one definition, both engines)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    every dedup/quality operator keys on. Built from the same
+    ``NORM_TEMPLATE`` as the SQL-string form (one definition point)."""
+    if isinstance(col, str):
+        return F.expr(NORM_TEMPLATE.format(col=col))
+    return norm_col(col)
 
 
 def span_canonical(span: Column) -> Column:

@@ -21,7 +21,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-NORM_EXPR = "regexp_replace(trim(lower(text)), '\\\\s+', ' ')"
+# THE normalization every dedup/quality operator keys on. Single template;
+# NORM_EXPR (SQL-string form over the `text` column) and functions.norm_text
+# (Column form) are both derived from it — they cannot drift.
+NORM_TEMPLATE = "regexp_replace(trim(lower({col})), '\\\\s+', ' ')"
+NORM_EXPR = NORM_TEMPLATE.format(col="text")
+
+
+def norm_col(c):
+    """Column form of NORM_TEMPLATE — the ONLY place the normalization is
+    written as pyspark functions; ``tests/test_sources_functions.py``
+    pins its equality with the SQL-string form."""
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
 
 
 def normalized(df: DataFrame) -> DataFrame:
@@ -51,9 +62,14 @@ def doc_tokens(df: DataFrame) -> DataFrame:
 def doc_ngrams(df: DataFrame, n: int = 2) -> DataFrame:
     """Distinct word n-gram shingles per doc, built JVM-side with
     transform(sequence(...)) — no Python."""
+    # Spark sequence(1, 0) yields DESCENDING [1, 0] (implicit step -1), unlike
+    # DuckDB generate_series(1, 0) = [] — guard the empty case explicitly or
+    # short docs emit spurious grams / crash slice() with start 0.
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(w, i, {n})))"
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {n}))) "
+        f"ELSE cast(array() as array<string>) END"
     )
     return (
         normalized(df)
@@ -145,13 +161,21 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     (substring/md5/array ops over sequence()); hex-string min is a valid
     total order in both engines. O(n·w) string work per doc — bound the
     doc set or pre-truncate at 100 TB."""
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark (DuckDB's generate_series
+    # gives []): docs shorter than k would emit spurious md5('') grams, and
+    # docs with fewer than w grams would evaluate slice(grams, 0, w), which
+    # raises INVALID_PARAMETER_VALUE.START and kills the whole job. Guard both.
     grams = F.expr(
-        f"transform(sequence(1, greatest(length(norm) - {k - 1}, 0)),"
-        f" i -> md5(cast(substring(norm, i, {k}) as binary)))"
+        f"CASE WHEN length(norm) >= {k} THEN "
+        f"transform(sequence(1, length(norm) - {k - 1}),"
+        f" i -> md5(cast(substring(norm, i, {k}) as binary))) "
+        f"ELSE cast(array() as array<string>) END"
     )
     wins = F.expr(
-        f"transform(sequence(1, greatest(size(grams) - {w - 1}, 0)),"
-        f" i -> array_min(slice(grams, i, {w})))"
+        f"CASE WHEN size(grams) >= {w} THEN "
+        f"transform(sequence(1, size(grams) - {w - 1}),"
+        f" i -> array_min(slice(grams, i, {w}))) "
+        f"ELSE cast(array() as array<string>) END"
     )
     return (
         normalized(df)
