@@ -1,0 +1,147 @@
+"""Recursive container (zip-analog) extraction — the reference README's own
+TODO ("recursively parse embedded content", /root/reference/README.md:25) and
+2/5 of its demo smoke inputs (example/demo1.cpp:48-49).
+
+Pure-core golden tests: dialect round-trip, recursion with media
+back-pointers, depth guard, and every malformed-container shape becoming a
+``parse_ok=false`` row (never an exception out of extract_document).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tika_wrap_spark.core.container import (
+    MAX_CONTAINER_DEPTH,
+    build_container,
+    parse_container,
+)
+from tika_wrap_spark.core.errors import ExtractError
+from tika_wrap_spark.core.extract import extract_document
+
+PNG = "\x89PNG\r\n\x1a\nabcdef"
+HTML = (
+    "<!DOCTYPE html><html><head><title>Inner Doc</title></head><body>"
+    "<p>This paragraph easily clears the twenty-five character keep bar.</p>"
+    "</body></html>"
+)
+PDF = "%PDF-1.4\n%%Page: 1\nBT 72.0 700.0 Td (pdf member line) Tj ET\n%%EOF"
+
+
+def _doc(payload):
+    return [{"kind": "zip", "text": payload, "media_ref": "", "offset": 0}]
+
+
+class TestDialect:
+    def test_roundtrip(self):
+        entries = [("a.txt", "hello"), ("weird name.bin", "PK\x05\x06\n inner"), ("", "")]
+        assert parse_container(build_container(entries)) == entries
+
+    def test_empty_container(self):
+        assert parse_container(build_container([])) == []
+
+    @pytest.mark.parametrize(
+        "payload",
+        [
+            "PK\x03\x04WRONG\n" + "PK\x05\x06\n",  # bad magic version
+            build_container([("a", "b")])[:-1],  # missing terminator tail
+            "PK\x03\x04TWC1\nE 3 5\nabc12",  # truncated member body
+            "PK\x03\x04TWC1\nX 1 1\nab" + "PK\x05\x06\n",  # bad header tag
+            "PK\x03\x04TWC1\nE x 1\nab" + "PK\x05\x06\n",  # non-numeric len
+            build_container([("a", "b")]) + "junk",  # trailing garbage
+        ],
+    )
+    def test_malformed_raises(self, payload):
+        with pytest.raises(ExtractError):
+            parse_container(payload)
+
+
+class TestRecursiveExtract:
+    def test_flat_members_flatten_in_order(self):
+        c = build_container(
+            [("one.log", "first text member"), ("two.png", PNG), ("three.log", "second text member")]
+        )
+        res = extract_document(_doc(c))
+        assert res["parse_ok"]
+        seq = [(s["kind"], s["text"], s["media_ref"]) for s in res["spans"]]
+        assert seq == [
+            ("text", "first text member", ""),
+            ("media", "", "zip://two.png"),
+            ("text", "second text member", ""),
+        ]
+        assert res["meta"]["n_containers"] == "1"
+        assert res["meta"]["n_container_entries"] == "3"
+        assert res["meta"]["container_depth"] == "1"
+
+    def test_members_route_by_content(self):
+        c = build_container([("page.html", HTML), ("doc.pdf", PDF)])
+        res = extract_document(_doc(c))
+        assert res["parse_ok"]
+        texts = [s["text"] for s in res["spans"]]
+        assert any("twenty-five character keep bar" in t for t in texts)
+        assert "pdf member line" in texts
+        assert res["meta"]["html_title"] == "Inner Doc"
+        assert res["meta"]["n_pdf_pages"] == "1"
+
+    def test_nested_container_recurses_with_path_refs(self):
+        inner = build_container([("deep.png", PNG), ("deep.log", "nested text")])
+        outer = build_container([("intro.log", "outer text"), ("inner.twc", inner)])
+        res = extract_document(_doc(outer))
+        assert res["parse_ok"]
+        seq = [(s["kind"], s["text"], s["media_ref"]) for s in res["spans"]]
+        assert seq == [
+            ("text", "outer text", ""),
+            ("media", "", "zip://inner.twc/deep.png"),
+            ("text", "nested text", ""),
+        ]
+        assert res["meta"]["n_containers"] == "2"
+        assert res["meta"]["n_container_entries"] == "4"
+        assert res["meta"]["container_depth"] == "2"
+
+    def test_offsets_are_running_sum_across_members(self):
+        c = build_container([("a.log", "alpha"), ("b.png", PNG), ("c.log", "beta")])
+        res = extract_document(_doc(c))
+        assert [s["offset"] for s in res["spans"]] == [0, 5, 5]
+
+    def test_depth_guard_is_data_not_crash(self):
+        bomb = "x"
+        for _ in range(MAX_CONTAINER_DEPTH + 2):
+            bomb = build_container([("d.twc", bomb)])
+        res = extract_document(_doc(bomb))
+        assert not res["parse_ok"]
+        assert "depth" in res["error"]
+        assert res["spans"] == []
+
+    def test_depth_at_limit_ok(self):
+        payload = "leaf text"
+        for _ in range(MAX_CONTAINER_DEPTH):
+            payload = build_container([("d.twc", payload)])
+        res = extract_document(_doc(payload))
+        assert res["parse_ok"]
+        assert [s["text"] for s in res["spans"]] == ["leaf text"]
+        assert res["meta"]["container_depth"] == str(MAX_CONTAINER_DEPTH)
+
+    def test_malformed_member_fails_whole_doc(self):
+        # a nested container that is itself truncated: error policy says the
+        # document becomes a parse_ok=false row
+        res = extract_document(_doc(build_container([("bad.twc", "PK\x03\x04TWC1\nE 1 99\na")])))
+        assert not res["parse_ok"]
+        assert "container" in res["error"]
+
+
+class TestPerFormatMeta:
+    def test_html_title_and_pdf_dims_at_top_level(self):
+        spans = [
+            {"kind": "html", "text": HTML, "media_ref": "", "offset": 0},
+            {"kind": "pdf", "text": PDF, "media_ref": "", "offset": 1},
+        ]
+        res = extract_document(spans)
+        assert res["meta"]["html_title"] == "Inner Doc"
+        assert res["meta"]["pdf_page1_w"] == "72.0"
+        assert res["meta"]["pdf_page1_h"] == "700.0"
+
+    def test_absent_formats_have_empty_keys(self):
+        res = extract_document([{"kind": "text", "text": "plain", "media_ref": "", "offset": 0}])
+        assert res["meta"]["html_title"] == ""
+        assert res["meta"]["pdf_page1_w"] == ""
+        assert res["meta"]["container_depth"] == "0"

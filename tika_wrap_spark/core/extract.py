@@ -18,9 +18,10 @@ from __future__ import annotations
 
 from typing import Any
 
+from tika_wrap_spark.core.container import MAX_CONTAINER_DEPTH, parse_container
 from tika_wrap_spark.core.errors import ExtractError
-from tika_wrap_spark.core.html import extract_html_blocks
-from tika_wrap_spark.core.pdf import extract_pdf_pages
+from tika_wrap_spark.core.html import extract_html_blocks, html_title
+from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
 from tika_wrap_spark.core.sniff import (
     KIND_HTML,
     KIND_MEDIA,
@@ -73,6 +74,11 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     n_pages = 0  # pdf pages emitted (Tika's per-format metadata analog)
     n_blocks = 0  # html content blocks kept
     n_media = 0
+    n_containers = 0  # container payloads parsed (nested ones included)
+    n_entries = 0  # members across all containers
+    depth_max = 0  # deepest container nesting level seen
+    title = ""  # first non-empty <title> across html payloads
+    pdf1_dims: tuple[float, float] | None = None  # first pdf's first page
 
     def emit(kind: str, text: str, media_ref: str) -> None:
         nonlocal offset
@@ -81,34 +87,57 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         )
         offset += len(text)
 
-    for span in spans or []:
-        n_in += 1
-        text = span.get("text") or ""
-        media_ref = span.get("media_ref") or ""
-        kind = sniff_kind(text, media_ref)
+    def route(kind: str, text: str, media_ref: str, path: tuple[str, ...], depth: int) -> None:
+        """Route one payload by sniffed kind; container members recurse with
+        their archive path (the reference README's own TODO — "recursively
+        parse embedded content", /root/reference/README.md:25; zip smoke
+        inputs at example/demo1.cpp:48-49)."""
+        nonlocal n_pages, n_blocks, n_media, n_containers, n_entries
+        nonlocal depth_max, title, pdf1_dims
         kinds_seen.add(kind)
         if kind == KIND_MEDIA:
             n_media += 1
+            if not media_ref and path:
+                # embedded media member: back-pointer into the archive
+                media_ref = "zip://" + "/".join(path)
             emit(KIND_MEDIA, "", media_ref)
         elif kind == KIND_HTML:
+            if not title:
+                title = html_title(text)
             for block in extract_html_blocks(text):
                 n_blocks += 1
                 emit(KIND_TEXT, block, "")
         elif kind == KIND_PDF:
-            for page in extract_pdf_pages(text):
+            pages = parse_pdf_pages(text)
+            if pdf1_dims is None:
+                pdf1_dims = page_dims(pages[0]) if pages else (0.0, 0.0)
+            for page in pages_to_texts(pages):
                 n_pages += 1
                 emit(KIND_TEXT, page, "")
         elif kind == KIND_ZIP:
-            # container payloads arrive pre-flattened as interleaved spans
-            # (FIXTURES.md §1); a raw zip payload is unparseable here.
-            raise ExtractError("raw container payload (zip) not supported")
+            if depth >= MAX_CONTAINER_DEPTH:
+                raise ExtractError(
+                    "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
+                )
+            entries = parse_container(text)
+            n_containers += 1
+            depth_max = max(depth_max, depth + 1)
+            for name, payload in entries:
+                n_entries += 1
+                route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
         else:
             emit(KIND_TEXT, text, "")
 
+    for span in spans or []:
+        n_in += 1
+        text = span.get("text") or ""
+        media_ref = span.get("media_ref") or ""
+        route(sniff_kind(text, media_ref), text, media_ref, (), 0)
+
     n_chars = sum(len(s["text"]) for s in out)
-    # per-kind counters mirror the per-format metadata Tika's /meta endpoint
-    # exposes (page counts etc.); values flat strings only (reference
-    # coercion, src/java-env.cpp:300)
+    # per-kind counters + per-format keys mirror the metadata Tika's /meta
+    # endpoint exposes (title, page counts/dims); values flat strings only
+    # (reference coercion, src/java-env.cpp:300)
     meta = {
         "n_spans_in": _stringify(n_in),
         "n_spans_out": _stringify(len(out)),
@@ -116,6 +145,12 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "n_pdf_pages": _stringify(n_pages),
         "n_html_blocks": _stringify(n_blocks),
         "n_media": _stringify(n_media),
+        "n_containers": _stringify(n_containers),
+        "n_container_entries": _stringify(n_entries),
+        "container_depth": _stringify(depth_max),
+        "html_title": title,
+        "pdf_page1_w": "" if pdf1_dims is None else "%.1f" % pdf1_dims[0],
+        "pdf_page1_h": "" if pdf1_dims is None else "%.1f" % pdf1_dims[1],
         "kinds": ",".join(sorted(kinds_seen)),
         "parser": "tika_wrap_spark-0.1",
     }

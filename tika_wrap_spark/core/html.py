@@ -63,6 +63,20 @@ def _normalize_ws(s: str) -> str:
     return " ".join(s.split())
 
 
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+
+
+def html_title(html: str) -> str:
+    """First ``<title>`` text, whitespace-normalized and entity-decoded —
+    the per-format metadata Tika surfaces as ``dc:title`` (the reference's
+    ``/meta`` flatten, /root/reference/src/java-env.cpp:290-305). Empty
+    string when the document has no title."""
+    m = _TITLE_RE.search(html)
+    if not m:
+        return ""
+    return _normalize_ws(_decode_entities(m.group(1)))
+
+
 class _Block:
     __slots__ = ("parts", "link_chars", "in_boilerplate")
 

@@ -83,14 +83,20 @@ def parse_pdf_pages(stream: str) -> list[list[tuple[float, float, str]]]:
     return pages
 
 
-def extract_pdf_pages(stream: str) -> list[str]:
-    """Return one reading-order text string per page.
+def page_dims(runs: list[tuple[float, float, str]]) -> tuple[float, float]:
+    """Layout extent of one page's runs: (max x, max y) over run origins —
+    the synthetic dialect's analog of Tika's per-format page-dimension
+    metadata. (0.0, 0.0) for an empty page."""
+    if not runs:
+        return (0.0, 0.0)
+    return (max(x for x, _y, _t in runs), max(y for _x, y, _t in runs))
 
-    Runs are sorted by (y descending, x ascending, appearance order) within
-    each page and joined with newlines. Empty pages yield no entry.
-    """
+
+def pages_to_texts(pages: list[list[tuple[float, float, str]]]) -> list[str]:
+    """Reading-order text per parsed page (shared by the extractor, which
+    parses once for both text and dimension metadata)."""
     out: list[str] = []
-    for runs in parse_pdf_pages(stream):
+    for runs in pages:
         # decorate-sort (tuple compare, no key fn); i breaks ties by
         # appearance order before the text field is ever compared
         decorated = sorted((-y, x, i) for i, (x, y, _t) in enumerate(runs))
@@ -98,3 +104,12 @@ def extract_pdf_pages(stream: str) -> list[str]:
         if page_text:
             out.append(page_text)
     return out
+
+
+def extract_pdf_pages(stream: str) -> list[str]:
+    """Return one reading-order text string per page.
+
+    Runs are sorted by (y descending, x ascending, appearance order) within
+    each page and joined with newlines. Empty pages yield no entry.
+    """
+    return pages_to_texts(parse_pdf_pages(stream))

@@ -22,6 +22,10 @@ KIND_ZIP = "zip"
 
 _HTML_MARKERS = ("<!doctype html", "<html", "<head", "<body")
 
+# Embedded-media magics (container members carry payload bytes-as-text;
+# top-level corpus media spans instead use empty text + media_ref).
+_MEDIA_MAGICS = ("\x89PNG\r\n", "\xff\xd8\xff")
+
 
 def sniff_kind(text: str, media_ref: str = "") -> str:
     """Classify a span payload by its leading bytes.
@@ -29,10 +33,14 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
     Routing rules (deterministic, order matters):
       1. empty text + non-empty media_ref         -> 'media'
       2. head starts with '%PDF-'                 -> 'pdf'
-      3. head (lstripped, lowercased) begins with an HTML marker,
+      3. head starts with 'PK\\x03\\x04'          -> 'zip' (container;
+         checked before the html-contains rule so an archive whose first
+         member is html is still an archive — magic-at-offset-0 wins)
+      4. head starts with a media magic (PNG/JPEG bytes-as-text,
+         as found inside container members)       -> 'media'
+      5. head (lstripped, lowercased) begins with an HTML marker,
          or contains '<html' in the first HEAD_WINDOW chars -> 'html'
-      4. head starts with 'PK\\x03\\x04'          -> 'zip' (container)
-      5. otherwise                                -> 'text'
+      6. otherwise                                -> 'text'
     """
     if (text is None or text == "") and media_ref:
         return KIND_MEDIA
@@ -41,12 +49,15 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
     head = text[:HEAD_WINDOW]
     if head.startswith("%PDF-"):
         return KIND_PDF
+    if head.startswith("PK\x03\x04"):
+        return KIND_ZIP
+    for magic in _MEDIA_MAGICS:
+        if head.startswith(magic):
+            return KIND_MEDIA
     lowered = head.lstrip().lower()
     for marker in _HTML_MARKERS:
         if lowered.startswith(marker):
             return KIND_HTML
     if "<html" in lowered:
         return KIND_HTML
-    if head.startswith("PK\x03\x04"):
-        return KIND_ZIP
     return KIND_TEXT

@@ -26,6 +26,7 @@ from __future__ import annotations
 import random
 from typing import Any
 
+from tika_wrap_spark.core.container import build_container
 from tika_wrap_spark.core.extract import extract_document
 
 _WORDS = (
@@ -111,6 +112,34 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
     return "\n".join(lines)
 
 
+def _gen_png_payload(rng: random.Random) -> str:
+    """Embedded-media member bytes-as-text: real PNG magic + seeded filler
+    (the sandbox has no image libs; the magic is what routing keys on)."""
+    filler = "".join(rng.choice("0123456789abcdef") for _ in range(rng.randint(32, 96)))
+    return "\x89PNG\r\n\x1a\n" + filler
+
+
+def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
+    """Raw TWC1 container payload (FIXTURES.md §1b): 2-6 members mixing
+    text/html/pdf/media, ~1-in-4 docs carrying one nested container."""
+    entries: list[tuple[str, str]] = []
+    nested_budget = 1 if (depth == 0 and rng.random() < 0.45) else 0
+    for i in range(rng.randint(2, 6)):
+        k = rng.random()
+        if nested_budget and k < 0.2:
+            nested_budget -= 1
+            entries.append(("nested_%d.twc" % i, _gen_container_payload(rng, depth + 1)))
+        elif k < 0.45:
+            entries.append(("member_%d.log" % i, _gen_text_payload(rng)))
+        elif k < 0.65:
+            entries.append(("member_%d.html" % i, _gen_html_payload(rng)))
+        elif k < 0.8:
+            entries.append(("member_%d.pdf" % i, _gen_pdf_payload(rng)))
+        else:
+            entries.append(("member_%d.png" % i, _gen_png_payload(rng)))
+    return build_container(entries)
+
+
 def _make_spans(payloads: list[tuple[str, str, str]]) -> list[dict[str, Any]]:
     """payloads: (kind_hint, text, media_ref) -> spans with raw byte offsets."""
     spans = []
@@ -138,7 +167,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
         payloads = [("html", _gen_html_payload(rng), "")]
     elif r < 0.86:
         payloads = [("pdf", _gen_pdf_payload(rng), "")]
-    else:  # interleaved container doc (zip analog)
+    elif r < 0.93:  # interleaved container doc (pre-flattened zip analog)
         payloads = []
         media_n = 0
         for _ in range(rng.randint(3, 8)):
@@ -152,6 +181,8 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             else:
                 payloads.append(("media", "", "blob://%s/%d" % (doc_id, media_n)))
                 media_n += 1
+    else:  # RAW container doc (TWC1 archive; recursive extraction path)
+        payloads = [("zip", _gen_container_payload(rng), "")]
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
@@ -178,6 +209,21 @@ def generate_corpus(n_docs: int, seed: int = 42, adversarial: bool = True) -> li
             }
         )
         rows.append({"doc_id": "doc_%07d" % (base + 2), "spans": []})  # empty doc
+        rows.append(
+            {
+                "doc_id": "doc_%07d" % (base + 3),  # truncated container body
+                "spans": _make_spans(
+                    [("zip", "PK\x03\x04TWC1\nE 8 5000\nbig.long payload cut short", "")]
+                ),
+            }
+        )
+        # container-depth bomb: self-nested past MAX_CONTAINER_DEPTH
+        bomb = "x"
+        for _ in range(12):
+            bomb = build_container([("deep.twc", bomb)])
+        rows.append(
+            {"doc_id": "doc_%07d" % (base + 4), "spans": _make_spans([("zip", bomb, "")])}
+        )
     return rows
 
 
@@ -202,10 +248,20 @@ def smoke_corpus() -> list[dict[str, Any]]:
     """FIXTURES.md §5: five named docs mirroring the reference demo's smoke
     list (/root/reference/example/demo1.cpp:45-52)."""
     rng = random.Random(1042)
+    # smoke_zip1 is a RAW TWC1 archive (the reference demo feeds literal .zip
+    # files); smoke_zip2 keeps the pre-flattened interleaved form.
     zip1 = [
-        ("text", _gen_text_payload(rng), ""),
-        ("media", "", "blob://smoke_zip1/0"),
-        ("html", _gen_html_payload(rng), ""),
+        (
+            "zip",
+            build_container(
+                [
+                    ("notes.log", _gen_text_payload(rng)),
+                    ("cover.png", _gen_png_payload(rng)),
+                    ("index.html", _gen_html_payload(rng)),
+                ]
+            ),
+            "",
+        ),
     ]
     zip2 = [
         ("pdf", _gen_pdf_payload(rng), ""),

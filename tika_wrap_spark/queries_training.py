@@ -512,6 +512,37 @@ def q_extract_pipeline(spark, d):
     )
 
 
+def q_container_extract(spark, d):
+    """Recursive container (zip-analog) extraction: raw TWC1 archives in the
+    corpus flatten into ordered child spans (nested archives recurse, media
+    members get zip:// back-pointers), malformed archives become
+    parse_ok=false rows. The reference's own TODO
+    (/root/reference/README.md:25; zip smoke inputs example/demo1.cpp:48-49)."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark))
+    zip_refs = F.size(
+        F.filter("spans", lambda s: s["media_ref"].startswith("zip://"))
+    )
+    # try_element_at: failed docs carry meta={} (ANSI element_at would raise)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return ext.filter(
+        ~meta_at("n_containers").isin("", "0") | F.col("error").contains("container")
+    ).select(
+        "doc_id",
+        "parse_ok",
+        "error",
+        meta_at("n_containers").alias("n_containers"),
+        meta_at("n_container_entries").alias("n_entries"),
+        meta_at("container_depth").alias("depth"),
+        zip_refs.alias("n_zip_media_refs"),
+        F.size("spans").alias("n_spans"),
+        tw.span_seq_hash("spans").alias("span_seq_hash"),
+    )
+
+
 def q_sniff_route(spark, d):
     """Per-span content sniffing (scalar pandas UDF) + route tallies."""
     return (
