@@ -76,6 +76,39 @@ def test_doc_ngrams_short_docs_empty(spark):
     assert got == [(2, "one two"), (3, "one two"), (3, "two three")]
 
 
+def test_ngram_jaccard_stop_shingle_bounded(spark, tmp_path):
+    """A shingle shared by every document must NOT turn the self-join
+    quadratic: with the document-frequency cap, candidate pairs stay O(docs)
+    — here the only surviving pair is the one sharing RARE shingles."""
+    from tika_wrap_spark.queries_training import q_ngram_jaccard
+
+    n = 80
+    texts = []
+    for i in range(n):
+        # every doc shares these 4 words (3 hot 2-grams, df = 80 >> cap)
+        t = "every single doc shares unique%d tail%d words%d" % (i, i, i)
+        texts.append(t)
+    # docs 0 and 1 additionally share a rare 3-word tail (2 rare 2-grams)
+    texts[0] += " rare shared ending"
+    texts[1] += " rare shared ending"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": texts,
+            "source": ["srcA"] * n,
+        }
+    )
+    d = str(tmp_path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf), d + "/documents.parquet")
+    out = q_ngram_jaccard(spark, d).collect()
+    # without the cap this corpus yields ~n^2/2 pairs (3 hot shared grams
+    # each); with it, only the rare-gram pair survives
+    assert [(r["doc_a"], r["doc_b"], r["inter"]) for r in out] == [(0, 1, 2)]
+
+
 def test_norm_text_column_path_matches_template(spark):
     from pyspark.sql import functions as F
 

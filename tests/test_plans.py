@@ -78,6 +78,30 @@ def test_extraction_single_exchange_before_fused_udf(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_sniff_route_tally_is_jvm_native(spark, q):
+    """The standalone route tally must be pure whole-stage codegen — no
+    ArrowEvalPython/MapInPandas crossing for logic that is a when/substring
+    chain (the fused extraction keeps the Python sniffer; this path must
+    not pay that boundary)."""
+    plan = plans.formatted_plan(q["sniff_route"](spark, SF_DIR))
+    assert not plans.python_eval_nodes(plan), plan
+    assert "MapInPandas" not in plan, plan
+
+
+def test_jvm_sniffer_matches_python_sniffer(spark):
+    """Full-corpus output equality between the codegen'd sniff column and
+    the pandas-UDF sniffer (containers, media magics, html, pdf, giants,
+    adversarial rows included)."""
+    from tika_wrap_spark.corpus import generate_corpus
+    from tika_wrap_spark.data import corpus_to_df
+    from tika_wrap_spark.operators.extract_ops import sniffed_spans
+
+    df = corpus_to_df(spark, generate_corpus(150, seed=21))
+    a = sniffed_spans(df, jvm=True).select("doc_id", "pos", "kind")
+    b = sniffed_spans(df, jvm=False).select("doc_id", "pos", "kind")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_anti_join_resume_is_broadcast(spark):
     """The resume anti-join broadcasts the small 'done' side so the corpus
     scan is never shuffled (pipeline.run_extraction)."""
@@ -94,3 +118,24 @@ def test_anti_join_resume_is_broadcast(spark):
     todo = df.join(F.broadcast(done), "part_key", "left_anti")
     plan = plans.formatted_plan(todo)
     assert plans.has_node(plan, "BroadcastHashJoin"), plan
+
+
+def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
+    """read_extracted on a committed store: broadcast semi join on the tiny
+    lineage side, NO Exchange/Window anywhere — a consistent read of a
+    100 TB store must not pay a global shuffle."""
+    from tika_wrap_spark.corpus import generate_corpus
+    from tika_wrap_spark.data import corpus_to_df
+    from tika_wrap_spark.pipeline import read_extracted, run_extraction
+
+    out = str(tmp_path_factory.mktemp("plan_read"))
+    df = corpus_to_df(spark, generate_corpus(30, seed=4))
+    run_extraction(spark, df, out, parts=4)
+    read = read_extracted(spark, out)
+    plan = plans.formatted_plan(read)
+    assert not plans.has_node(plan, "Window"), plan
+    assert not plans.has_node(plan, "Exchange"), plan
+    assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
+    # the committed-parts filter reaches the scan as a partition filter
+    assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
+    assert read.count() == 35  # 30 + 5 adversarial

@@ -62,3 +62,43 @@ def test_lineage_metrics(spark, corpus, tmp_path_factory):
     golden = generate_golden(generate_corpus(80, seed=7))
     assert sum(r["span_count"] for r in rows) == sum(len(g["spans"]) for g in golden)
     assert all(r["input_snapshot_id"].startswith("fp-") for r in rows)
+
+
+def test_write_is_idempotent_after_uncommitted_partition(spark, corpus, tmp_path_factory):
+    """Kill between data write and lineage commit: the partition's data
+    landed but is uncommitted. Resume must REWRITE it (dynamic partition
+    overwrite) — the final store holds exactly one copy of every row with
+    no read-path dedup."""
+    from tika_wrap_spark import catalog
+    from tika_wrap_spark.operators.extract_ops import extract_spans
+    from tika_wrap_spark.operators.skew import salt_repartition, with_part_key
+
+    out = str(tmp_path_factory.mktemp("run_idem"))
+    # simulate the kill: write part 0's data directly, commit NO lineage
+    keyed = with_part_key(corpus, PARTS)
+    part0 = keyed.filter("part_key = 0")
+    catalog.overwrite_partitions(
+        extract_spans(salt_repartition(part0, 4)),
+        out + "/extracted",
+        partition_by=["part_key"],
+    )
+    # resume: full run sees no lineage, processes everything incl. part 0
+    run_extraction(spark, corpus, out, parts=PARTS)
+    result = extracted_to_rows(read_extracted(spark, out).drop("part_key"))
+    assert len(result) == 85  # one copy per doc, no duplicates
+    assert len({r["doc_id"] for r in result}) == 85
+
+
+def test_lineage_scan_partition_prunes(spark, corpus, tmp_path_factory):
+    """The lineage aggregation for a resume run must scan ONLY that run's
+    part_key dirs (partition-pruned), never the whole store."""
+    from tika_wrap_spark import plans
+    from tika_wrap_spark.pipeline import lineage_for_run
+
+    out = str(tmp_path_factory.mktemp("run_prune"))
+    run_extraction(spark, corpus, out, parts=PARTS)
+    lin = lineage_for_run(spark, out, [2, 3], "fp-test", 0)
+    plan = plans.formatted_plan(lin)
+    assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:200], plan
+    got = {r["part_key"] for r in lin.collect()}
+    assert got <= {2, 3}

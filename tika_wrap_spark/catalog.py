@@ -39,6 +39,27 @@ def append_table(df: DataFrame, location: str, partition_by: list[str] | None = 
     writer.parquet(location)
 
 
+def overwrite_partitions(df: DataFrame, location: str, partition_by: list[str]) -> None:
+    """Dynamic partition overwrite: replaces ONLY the partitions present in
+    ``df``, leaving every other partition untouched (Iceberg
+    ``overwritePartitions`` semantics; parquet mode uses Spark's dynamic
+    ``partitionOverwriteMode``).
+
+    This makes the extraction write IDEMPOTENT per partition: a partition
+    written by a killed run (data landed, lineage never committed) is simply
+    rewritten on resume — no duplicate rows can persist, so the consistent
+    read path needs no global dedup shuffle."""
+    if location.startswith("iceberg:"):
+        df.writeTo(location[len("iceberg:") :]).overwritePartitions()
+        return
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(location)
+    )
+
+
 def input_snapshot_id(df: DataFrame) -> str:
     """Stable fingerprint of an input corpus (parquet-mode stand-in for the
     Iceberg snapshot id in lineage rows): order-insensitive xxhash64 fold of

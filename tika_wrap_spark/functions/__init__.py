@@ -39,6 +39,40 @@ def norm_text(col: Column | str) -> Column:
     return norm_col(col)
 
 
+def sniff_kind_col(text: Column, media_ref: Column) -> Column:
+    """JVM-native (whole-stage-codegen) form of ``core.sniff.sniff_kind`` —
+    the same routing rules as a ``when``/``substring`` chain, built from the
+    SAME marker/magic constants so the two cannot drift
+    (``tests/test_plans.py`` pins full-corpus output equality with the
+    Python sniffer).
+
+    Use this for standalone route tallies / relational routing; the Python
+    sniffer runs only inside the fused extraction pass, where the Arrow
+    crossing is already paid."""
+    from tika_wrap_spark.core import sniff as sn  # noqa: PLC0415
+
+    head = F.substring(text, 1, sn.HEAD_WINDOW)
+    lowered = F.lower(F.regexp_replace(head, r"^\s+", ""))
+    is_html = lowered.contains("<html")
+    for marker in sn._HTML_MARKERS:
+        is_html = is_html | lowered.startswith(marker)
+    is_media_magic = F.lit(False)
+    for magic in sn._MEDIA_MAGICS:
+        is_media_magic = is_media_magic | head.startswith(magic)
+    return (
+        F.when(
+            (text.isNull() | (text == "")) & media_ref.isNotNull() & (media_ref != ""),
+            F.lit(sn.KIND_MEDIA),
+        )
+        .when(text.isNull(), F.lit(sn.KIND_TEXT))
+        .when(head.startswith("%PDF-"), F.lit(sn.KIND_PDF))
+        .when(head.startswith("PK\x03\x04"), F.lit(sn.KIND_ZIP))
+        .when(is_media_magic, F.lit(sn.KIND_MEDIA))
+        .when(is_html, F.lit(sn.KIND_HTML))
+        .otherwise(F.lit(sn.KIND_TEXT))
+    )
+
+
 def span_canonical(span: Column) -> Column:
     """One span -> canonical string on (kind, text, media_ref). Offset is
     excluded: order is the sequence position, offset is derived."""

@@ -185,6 +185,52 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     )
 
 
+def simhash_pairs(
+    sigs: DataFrame, n_bands: int = 4, band_bits: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket by signature bands, verify hamming
+    within buckets only — never all-pairs.
+
+    Pigeonhole guarantee: with ``n_bands`` = ``max_hamming`` + 1 bands, any
+    pair within ``max_hamming`` bits differs in at most ``max_hamming``
+    bands, so at least one band matches — bucketing loses NO qualifying
+    pair. All integer arithmetic (band extract = floor-div/mod, hamming =
+    bit_count(xor)), DuckDB-oracle exact.
+    """
+    bands = F.array(
+        *[
+            F.expr(
+                f"CAST(floor(simhash / {1 << (band_bits * b)}) % {1 << band_bits} AS BIGINT)"
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(
+        "doc_id", "simhash", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    pairs = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # a pair matching in several bands appears once per band: group to
+        # dedup (one shuffle over candidate rows only)
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    return pairs.withColumn(
+        "hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("long")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_16(tokens: DataFrame) -> DataFrame:
     """16-bit SimHash: per-bit majority vote of token md5 hashes, all in
     exact integer arithmetic (hex chars -> nibbles via locate())."""

@@ -16,7 +16,9 @@ Arrow-vectorized at the batch level.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
+from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as _FutTimeout
 from typing import Any
 
 import pandas as pd
@@ -29,6 +31,67 @@ from tika_wrap_spark.core.extract import extract_document
 from tika_wrap_spark.core.sniff import sniff_kind
 from tika_wrap_spark.portability import make_portable
 from tika_wrap_spark.schemas import EXTRACTED_PART_SCHEMA, EXTRACTED_SCHEMA
+
+# --- per-document wall-clock budget (§2A#14) -------------------------------
+# The reference bounds every Tika transfer at 100 minutes
+# (/root/reference/src/java-env.cpp:229-231, setConnectTimeout/
+# setTransferTimeout); without an analog, one pathological document stalls a
+# Spark task forever. Documents whose total payload exceeds
+# ``GUARD_MIN_CHARS`` run on a guard thread and are abandoned after
+# ``DOC_TIMEOUT_S`` -> ``parse_ok=false, error='timeout: ...'`` rows, never a
+# task failure. Small documents skip the thread hop (the parsers are linear
+# scans; only giants can take meaningful wall-clock), so the guard costs
+# nothing on the hot path.
+DOC_TIMEOUT_S = 100.0 * 60.0  # reference parity: 100 min per transfer
+GUARD_MIN_CHARS = 1 << 19  # 512k chars: ~50x the corpus median document
+
+class _GuardPool:
+    """Lazy single-thread guard executor. Pickles as EMPTY (``__reduce__``)
+    so ``make_portable``'s by-value module pickling never tries to ship a
+    live executor (its queues are unpicklable); each python worker lazily
+    spawns its own."""
+
+    def __init__(self) -> None:
+        self._pool: ThreadPoolExecutor | None = None
+
+    def submit(self, fn, arg):
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=1)
+        return self._pool.submit(fn, arg)
+
+    def respawn(self) -> None:
+        self._pool = ThreadPoolExecutor(max_workers=1)
+
+    def __reduce__(self):
+        return (_GuardPool, ())
+
+
+_guard_pool = _GuardPool()
+
+
+def _extract_with_timeout(
+    spans: list[dict[str, Any]],
+    budget_s: float,
+    fn: Callable[[list[dict[str, Any]]], dict[str, Any]] = extract_document,
+) -> dict[str, Any]:
+    """Run one extraction under a wall-clock budget. On timeout the guard
+    thread is abandoned (and the pool respawned — the reference's
+    server-respawn analog, src/java-env.cpp restart path) and the document
+    becomes an error row."""
+    fut = _guard_pool.submit(fn, spans)
+    try:
+        return fut.result(timeout=budget_s)
+    except _FutTimeout:
+        fut.cancel()
+        # the stuck thread is abandoned with its pool; a fresh pool serves
+        # subsequent documents (task-local leak, bounded by the error rate)
+        _guard_pool.respawn()
+        return {
+            "spans": [],
+            "parse_ok": False,
+            "error": "timeout: document exceeded %.0fs extraction budget" % budget_s,
+            "meta": {},
+        }
 
 
 def _as_span_dicts(cell: Any) -> list[dict[str, Any]]:
@@ -52,40 +115,57 @@ def _as_span_dicts(cell: Any) -> list[dict[str, Any]]:
     return out
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        has_part = "part_key" in pdf.columns
-        doc_ids = pdf["doc_id"].tolist()
-        spans_col = pdf["spans"].tolist()
-        rows: dict[str, list[Any]] = {
-            "doc_id": doc_ids,
-            "spans": [],
-            "parse_ok": [],
-            "error": [],
-            "meta": [],
-        }
-        for cell in spans_col:
-            res = extract_document(_as_span_dicts(cell))
-            rows["spans"].append(res["spans"])
-            rows["parse_ok"].append(res["parse_ok"])
-            rows["error"].append(res["error"])
-            rows["meta"].append(res["meta"])
-        if has_part:
-            rows["part_key"] = pdf["part_key"].tolist()
-        yield pd.DataFrame(rows)
+def _make_extract_batches(
+    doc_timeout_s: float, guard_min_chars: int
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            has_part = "part_key" in pdf.columns
+            doc_ids = pdf["doc_id"].tolist()
+            spans_col = pdf["spans"].tolist()
+            rows: dict[str, list[Any]] = {
+                "doc_id": doc_ids,
+                "spans": [],
+                "parse_ok": [],
+                "error": [],
+                "meta": [],
+            }
+            for cell in spans_col:
+                spans = _as_span_dicts(cell)
+                payload = sum(len(s.get("text") or "") for s in spans)
+                if payload >= guard_min_chars:
+                    res = _extract_with_timeout(spans, doc_timeout_s)
+                else:
+                    res = extract_document(spans)
+                rows["spans"].append(res["spans"])
+                rows["parse_ok"].append(res["parse_ok"])
+                rows["error"].append(res["error"])
+                rows["meta"].append(res["meta"])
+            if has_part:
+                rows["part_key"] = pdf["part_key"].tolist()
+            yield pd.DataFrame(rows)
+
+    return _extract_batches
 
 
-def extract_spans(df: DataFrame) -> DataFrame:
+def extract_spans(
+    df: DataFrame,
+    doc_timeout_s: float = DOC_TIMEOUT_S,
+    guard_min_chars: int = GUARD_MIN_CHARS,
+) -> DataFrame:
     """corpus (doc_id, spans[, part_key]) -> extracted
     (doc_id, spans, parse_ok, error, meta[, part_key]).
 
     One fused Arrow pass; bad documents become ``parse_ok=false`` rows,
-    never task failures (reference error policy, src/java-env.cpp:316-325).
+    never task failures (reference error policy, src/java-env.cpp:316-325);
+    documents over ``guard_min_chars`` run under a ``doc_timeout_s``
+    wall-clock budget (reference transfer bound, src/java-env.cpp:229-231).
     """
     make_portable()  # UDF closures ship their own code (no worker import)
     schema = EXTRACTED_PART_SCHEMA if "part_key" in df.columns else EXTRACTED_SCHEMA
     cols = ["doc_id", "spans"] + (["part_key"] if "part_key" in df.columns else [])
-    return df.select(*cols).mapInPandas(_extract_batches, schema=schema)
+    fn = _make_extract_batches(doc_timeout_s, guard_min_chars)
+    return df.select(*cols).mapInPandas(fn, schema=schema)
 
 
 @F.pandas_udf(T.StringType())
@@ -97,19 +177,28 @@ def sniff_kind_udf(text: pd.Series, media_ref: pd.Series) -> pd.Series:
     )
 
 
-def sniffed_spans(df: DataFrame) -> DataFrame:
+def sniffed_spans(df: DataFrame, jvm: bool = True) -> DataFrame:
     """Explode the corpus to per-span rows with a content-sniffed kind column
-    (mime_route over real payloads; the provided ``kind`` is only a hint)."""
+    (mime_route over real payloads; the provided ``kind`` is only a hint).
+
+    ``jvm=True`` (default) evaluates the sniff as a pure whole-stage-codegen
+    ``when``/``substring`` chain — no Python crossing; ``jvm=False`` routes
+    through the pandas-UDF sniffer (kept for the fused extraction path and
+    for the equality pin in ``tests/test_plans.py``)."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
     make_portable()
-    return (
-        df.select("doc_id", F.posexplode("spans").alias("pos", "span"))
-        .select(
-            "doc_id",
-            "pos",
-            F.col("span.kind").alias("kind_hint"),
-            F.col("span.text").alias("text"),
-            F.col("span.media_ref").alias("media_ref"),
-            F.col("span.offset").alias("offset"),
-        )
-        .withColumn("kind", sniff_kind_udf(F.col("text"), F.col("media_ref")))
+    exploded = df.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        "pos",
+        F.col("span.kind").alias("kind_hint"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
     )
+    sniffer = (
+        tw.sniff_kind_col(F.col("text"), F.col("media_ref"))
+        if jvm
+        else sniff_kind_udf(F.col("text"), F.col("media_ref"))
+    )
+    return exploded.withColumn("kind", sniffer)

@@ -6,9 +6,12 @@ north_rule semantics:
   * resumable from checkpoint: lineage rows mark completed ``part_key``s;
     a rerun anti-joins them away and only processes the remainder
   * per-partition lineage: (part_key, input_snapshot_id, doc_count,
-    span_count, error_count, wall_ms)
-  * idempotent: final read dedups on doc_id, so a partition that was written
-    but not yet lineage-committed (killed mid-run) reprocesses harmlessly
+    span_count, error_count, wall_ms) — aggregated from a partition-pruned
+    scan of ONLY this run's part_key dirs (never the whole store)
+  * idempotent: the data write is a dynamic partition OVERWRITE, so a
+    partition written but not lineage-committed (killed mid-run) is simply
+    rewritten on resume — duplicates cannot persist and the consistent
+    read needs no dedup shuffle
 
 Layout under ``out_dir`` (parquet degradation path; Iceberg swaps in via
 catalog.py with identical semantics):
@@ -23,7 +26,6 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from tika_wrap_spark import catalog
 from tika_wrap_spark.operators.extract_ops import extract_spans
@@ -74,21 +76,61 @@ def run_extraction(
     t0 = time.monotonic()
 
     keyed = with_part_key(corpus, parts)
-    done = read_lineage(spark, out_dir).select("part_key").distinct()
+    # committed part_keys: tiny (≤ parts rows) — collected once, reused for
+    # the anti-join AND to partition-prune the lineage aggregation below
+    done_keys = {
+        r["part_key"]
+        for r in read_lineage(spark, out_dir).select("part_key").distinct().collect()
+    }
+    done = spark.createDataFrame([(k,) for k in sorted(done_keys)], "part_key int")
     todo = keyed.join(F.broadcast(done), "part_key", "left_anti")
     if part_filter is not None:
         todo = todo.filter(F.col("part_key").isin(part_filter))
+    run_keys = [k for k in range(parts) if k not in done_keys]
+    if part_filter is not None:
+        run_keys = [k for k in run_keys if k in set(part_filter)]
 
     snapshot = catalog.input_snapshot_id(corpus)
     extracted = extract_spans(salt_repartition(todo, num_partitions))
-    catalog.append_table(extracted, _extracted_path(out_dir), partition_by=["part_key"])
+    # dynamic partition overwrite: a partition left half-done by a killed run
+    # (data landed, lineage never committed) is REPLACED on resume, so the
+    # store never holds duplicate rows and the read path needs no dedup
+    catalog.overwrite_partitions(
+        extracted, _extracted_path(out_dir), partition_by=["part_key"]
+    )
 
-    # lineage committed AFTER the data append: a kill between the two leaves
-    # an uncommitted partition that simply reprocesses next run (dedup on read)
+    # lineage committed AFTER the data write, computed by re-reading ONLY
+    # this run's part_key dirs (partition-pruned scan — lineage I/O scales
+    # with THIS run's output, never with total store history)
     wall_ms = int((time.monotonic() - t0) * 1000)
-    lineage = (
+    lineage = lineage_for_run(spark, out_dir, run_keys, snapshot, wall_ms)
+    catalog.append_table(lineage, _lineage_path(out_dir))
+
+    committed = read_lineage(spark, out_dir)
+    return {
+        "snapshot": snapshot,
+        "wall_ms": wall_ms,
+        "parts_done": committed.select("part_key").distinct().count(),
+        "parts_total": parts,
+    }
+
+
+def lineage_for_run(
+    spark: SparkSession,
+    out_dir: str,
+    run_keys: list[int],
+    snapshot: str,
+    wall_ms: int,
+) -> DataFrame:
+    """Per-partition lineage rows for ONE run, aggregated from a
+    partition-pruned scan of only that run's ``part_key`` dirs (the store is
+    partitioned by part_key, so the isin filter reaches the scan as a
+    PartitionFilter — pinned in ``tests/test_resume.py``)."""
+    if not run_keys:  # fully-resumed no-op run: nothing to commit
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return (
         _read_extracted_raw(spark, out_dir)
-        .join(F.broadcast(done), "part_key", "left_anti")
+        .filter(F.col("part_key").isin(run_keys))
         .groupBy("part_key")
         .agg(
             F.count("*").alias("doc_count"),
@@ -102,36 +144,35 @@ def run_extraction(
             "error_count", "wall_ms",
         )
     )
-    if part_filter is not None:
-        lineage = lineage.filter(F.col("part_key").isin(part_filter))
-    catalog.append_table(lineage, _lineage_path(out_dir))
 
-    committed = read_lineage(spark, out_dir)
-    return {
-        "snapshot": snapshot,
-        "wall_ms": wall_ms,
-        "parts_done": committed.select("part_key").distinct().count(),
-        "parts_total": parts,
-    }
+
+# above this many committed partitions the consistent read falls back to a
+# broadcast semi join instead of an isin partition filter (expression size)
+_READ_ISIN_MAX_KEYS = 10_000
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Final consistent view: only lineage-committed partitions, one row per
-    doc (idempotent under kill/rerun)."""
-    done = read_lineage(spark, out_dir).select("part_key").distinct()
-    df = _read_extracted_raw(spark, out_dir)
-    deduped = (
-        df.join(F.broadcast(done), "part_key", "left_semi")
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.col("part_key"))
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    """Final consistent view: only lineage-committed partitions.
+
+    No dedup is needed: the data write is a dynamic partition OVERWRITE, so
+    a partition can only ever hold one copy of its rows — a kill between
+    data write and lineage commit leaves an uncommitted partition that is
+    excluded here and fully rewritten on resume.
+
+    The committed-parts set is tiny (≤ ``parts`` rows): it is collected once
+    and applied as an ``isin`` PARTITION FILTER, so a consistent read is a
+    partition-pruned scan with no join and no shuffle at all (pinned in
+    ``tests/test_plans.py``); with an extreme partition count it degrades to
+    a broadcast semi join — still shuffle-free on the data side."""
+    done_keys = sorted(
+        r["part_key"]
+        for r in read_lineage(spark, out_dir).select("part_key").distinct().collect()
     )
-    return deduped
+    df = _read_extracted_raw(spark, out_dir)
+    if len(done_keys) <= _READ_ISIN_MAX_KEYS:
+        return df.filter(F.col("part_key").isin(done_keys))
+    done = spark.createDataFrame([(k,) for k in done_keys], "part_key int")
+    return df.join(F.broadcast(done), "part_key", "left_semi")
 
 
 def extract_in_memory(spark: SparkSession, corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:

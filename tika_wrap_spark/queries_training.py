@@ -42,14 +42,28 @@ FROM documents GROUP BY 1
 """
 
 
+NGRAM_DF_CAP = 20
+
+
 def q_ngram_jaccard(spark, d):
     """n-gram Jaccard near-dup: 2-gram shingles, pairs within the same
-    source, exact integer Jaccard. At scale the shingle self-join is
-    bucket-limited (here: same-source + doc_id<100)."""
+    source, exact integer Jaccard.
+
+    Scale shape: a shingle appearing in d documents emits d^2 join rows, so
+    ONE hot stop-shingle makes the self-join quadratic at 100 TB. Shingles
+    with document frequency > NGRAM_DF_CAP are dropped BEFORE the join (they
+    carry no discriminative signal anyway); the DF tally is a
+    partial-aggregable groupBy and the filter join shuffles on the same
+    gram key as the pair join. ``tests/test_dedup_edge.py`` pins the
+    candidate bound on a stop-shingle-heavy corpus."""
     docs = _t(spark, d, "documents").filter(F.col("doc_id") < 100)
     grams = dd.doc_ngrams(docs, n=2)
     src = docs.select("doc_id", "source")
-    g = grams.join(src, "doc_id").select("doc_id", "source", "gram")
+    g0 = grams.join(src, "doc_id").select("doc_id", "source", "gram")
+    gram_df = g0.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    g = g0.join(
+        gram_df.filter(F.col("gram_df") <= NGRAM_DF_CAP), "gram"
+    ).select("doc_id", "source", "gram")
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (
         g.alias("a")
@@ -86,9 +100,14 @@ SQL_NGRAM_JACCARD = f"""
 WITH docs AS (
   SELECT doc_id, source, str_split({_NORM_DUCK}, ' ') AS w
   FROM documents WHERE doc_id < 100
-), grams AS (
+), grams0 AS (
   SELECT DISTINCT doc_id, source, w[t.i] || ' ' || w[t.i+1] AS gram
   FROM docs, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+), gdf AS (
+  SELECT gram, count(*) AS gram_df FROM grams0 GROUP BY gram
+), grams AS (
+  SELECT g.doc_id, g.source, g.gram
+  FROM grams0 g JOIN gdf USING (gram) WHERE gram_df <= {NGRAM_DF_CAP}
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
 ), pairs AS (
