@@ -83,19 +83,83 @@ def lsh_plane_weight(p: int) -> str:
     return f"((({p}*31 + i*17) % 13) - 6)"
 
 
-def lsh_bucket(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector (sign-concatenation).
-    Comparisons at scale then happen within buckets only."""
-    out = with_quantized(df, vec_col)
+def _bucket_expr(n_planes: int, plane_offset: int = 0) -> str:
     bits = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         sdot = (
             f"aggregate(transform(sequence(0, size(eq)-1), "
             f"i -> {lsh_plane_weight(p)} * eq[i]), 0L, (acc, x) -> acc + x)"
         )
         bits.append(f"IF(({sdot}) >= 0, '1', '0')")
-    bucket = F.expr("concat(" + ", ".join(bits) + ")")
-    return out.withColumn("bucket", bucket)
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def lsh_bucket(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign-concatenation).
+    Comparisons at scale then happen within buckets only."""
+    out = with_quantized(df, vec_col)
+    return out.withColumn("bucket", F.expr(_bucket_expr(n_planes)))
+
+
+def lsh_buckets_multi(
+    df: DataFrame, n_planes: int = 8, n_tables: int = 4, vec_col: str = "embedding"
+) -> DataFrame:
+    """L independent hash tables (table t uses planes t*n_planes ..):
+    one (table_idx, bucket) row per vector per table. A true near neighbor
+    only needs to collide in ONE table, so recall rises exponentially in L
+    while candidate volume grows linearly."""
+    out = with_quantized(df, vec_col)
+    buckets = F.array(
+        *[F.expr(_bucket_expr(n_planes, t * n_planes)) for t in range(n_tables)]
+    )
+    return out.select(
+        "*", F.posexplode(buckets).alias("table_idx", "bucket")
+    )
+
+
+def lsh_topk_multi(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Multi-table ANN: candidates = union over tables of same-bucket pairs,
+    deduped, exact-cosine re-ranked to top-k. The corpus never shuffles for
+    the probe (query side broadcast); the only shuffle is the candidate
+    dedup + per-query rank, both bounded by candidate volume."""
+    corpus = lsh_buckets_multi(df, n_planes, n_tables).select(
+        F.col("vec_id").alias("cand_id"), "eq", "nq", "table_idx", "bucket"
+    )
+    qs = lsh_buckets_multi(query_df, n_planes, n_tables).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("nq").alias("q_nq"),
+        F.col("table_idx").alias("q_table_idx"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    dot = int_dot(F.col("eq"), F.col("q_eq"))
+    scored = (
+        corpus.join(
+            F.broadcast(qs),
+            (F.col("table_idx") == F.col("q_table_idx"))
+            & (F.col("bucket") == F.col("q_bucket")),
+        )
+        .select(
+            "query_id", "cand_id", cosine_q(dot, F.col("nq"), F.col("q_nq")).alias("cos_q")
+        )
+        # a pair colliding in several tables appears once per table: dedup
+        .groupBy("query_id", "cand_id", "cos_q")
+        .agg(F.count("*").alias("n_tables_hit"))
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_q").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_q", "rank")
+    )
 
 
 def lsh_topk(

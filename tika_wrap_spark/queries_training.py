@@ -221,6 +221,50 @@ SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM sums
 SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_dedup_simhash_pairs(spark, d):
+    """SimHash near-dup PAIRS: band the 16-bit signatures (4x4), bucket-join
+    on equal bands, verify hamming <= 3 within buckets only. Pigeonhole:
+    4 bands never miss a <=3-bit pair; candidate volume stays bucket-bounded
+    at scale (no all-pairs)."""
+    docs = _t(spark, d, "documents")
+    sigs = dd.simhash_16(dd.doc_tokens(docs))
+    return dd.simhash_pairs(
+        sigs, SIMHASH_BANDS, SIMHASH_BAND_BITS, SIMHASH_MAX_HAMMING
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    base = _sql_simhash().strip()
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band_idx, "
+        f"CAST(floor(simhash / {1 << (SIMHASH_BAND_BITS * b)}) % {1 << SIMHASH_BAND_BITS} AS BIGINT) AS band_val FROM sig"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH sig AS ({base}),
+bands AS (
+{band_rows}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b, count(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, sig_a, sig_b, n_shared_bands,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+SQL_DEDUP_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
 _EQ_DUCK = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
@@ -393,6 +437,116 @@ SELECT query_id, cand_id, cos_q, rank FROM (
 
 
 SQL_ANN_LSH_TOPK = _sql_lsh_topk()
+
+# multi-table config: coarser buckets (4 planes = 16 buckets/table) x 8
+# tables. Measured on this corpus (tools sweep, BENCH.md): recall 17/30 vs
+# 5/30 for one 8-plane table, probing ~31% of the corpus — the synthetic
+# embeddings are near-uniform (worst case for LSH); clustered real
+# embeddings sharpen this trade-off dramatically.
+MULTI_PLANES = 4
+N_TABLES = 8
+
+
+def q_ann_lsh_topk_multi(spark, d):
+    """Multi-table ANN (L=8 independent 4-plane hash tables): union of
+    per-table bucket collisions, exact-cosine re-rank. A true neighbor only
+    needs to collide in ONE table — recall rises exponentially in L while
+    candidate volume grows linearly."""
+    emb = _t(spark, d, "embeddings")
+    return sim.lsh_topk_multi(
+        emb, emb.filter(F.col("vec_id") < 3), k=10, n_planes=MULTI_PLANES, n_tables=N_TABLES
+    )
+
+
+def _duck_bits(table: int) -> str:
+    return " || ".join(
+        "(CASE WHEN (SELECT sum((((%d*31 + (t.i-1)*17) %% 13) - 6) * eq[t.i]) "
+        "FROM unnest(generate_series(1, len(eq))) AS t(i)) >= 0 THEN '1' ELSE '0' END)"
+        % (table * MULTI_PLANES + p)
+        for p in range(MULTI_PLANES)
+    )
+
+
+def _sql_lsh_topk_multi() -> str:
+    tables_sql = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS table_idx, {_duck_bits(t)} AS bucket FROM n"
+        for t in range(N_TABLES)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_EQ_DUCK} AS eq FROM embeddings
+), n AS (
+  SELECT vec_id, eq,
+         (SELECT CAST(sum(eq[t.i] * eq[t.i]) AS BIGINT)
+          FROM unnest(generate_series(1, len(eq))) AS t(i)) AS nq
+  FROM q
+), b AS (
+{tables_sql}
+), pairs AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
+  FROM b cb JOIN b qb ON cb.table_idx = qb.table_idx AND cb.bucket = qb.bucket
+  WHERE qb.vec_id < 3
+), scored AS (
+  SELECT p.query_id, p.cand_id,
+         CAST(floor(1000 * (SELECT CAST(sum(qn.eq[t.i] * cn.eq[t.i]) AS BIGINT)
+                            FROM unnest(generate_series(1, len(cn.eq))) AS t(i))::DOUBLE
+              / (sqrt(cn.nq::DOUBLE) * sqrt(qn.nq::DOUBLE))) AS BIGINT) AS cos_q
+  FROM pairs p JOIN n cn ON p.cand_id = cn.vec_id JOIN n qn ON p.query_id = qn.vec_id
+)
+SELECT query_id, cand_id, cos_q, rank FROM (
+  SELECT query_id, cand_id, cos_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+SQL_ANN_LSH_TOPK_MULTI = _sql_lsh_topk_multi()
+
+
+def q_ann_recall(spark, d):
+    """Measured ANN recall: per query, |multi-table LSH top-k ∩ exact
+    top-k| / k — the quality metric that justifies the LSH scale path."""
+    emb = _t(spark, d, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    exact = sim.brute_force_topk(emb, qs, k=10).select("query_id", "cand_id")
+    approx = sim.lsh_topk_multi(
+        emb, qs, k=10, n_planes=MULTI_PLANES, n_tables=N_TABLES
+    ).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(
+                F.lit(1000) * F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k_exact")
+            ).cast("long").alias("recall_q"),
+        )
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH exact AS ({SQL_ANN_COSINE_TOPK.strip()}),
+approx AS ({SQL_ANN_LSH_TOPK_MULTI.strip()}),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+  GROUP BY 1
+)
+SELECT e.query_id, count(*) AS k_exact,
+       CAST(coalesce(any_value(h.n_hits), 0) AS BIGINT) AS n_hits,
+       CAST(floor(1000.0 * coalesce(any_value(h.n_hits), 0) / count(*)) AS BIGINT) AS recall_q
+FROM exact e LEFT JOIN hits h ON e.query_id = h.query_id
+GROUP BY e.query_id
+"""
 
 
 # ---------------------------------------------------------------------------

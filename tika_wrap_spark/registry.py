@@ -43,12 +43,15 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_jaccard": (qt.q_ngram_jaccard, qt.SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (qt.q_dedup_minhash_lsh, qt.SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (qt.q_dedup_simhash, qt.SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (qt.q_dedup_simhash_pairs, qt.SQL_DEDUP_SIMHASH_PAIRS),
     "embed_cosine_pairs": (qt.q_embed_cosine_pairs, qt.SQL_EMBED_COSINE_PAIRS),
     "winnow_fp": (qt.q_winnow_fp, qt.SQL_WINNOW_FP),
     # similarity search
     "ann_cosine_topk": (qt.q_ann_cosine_topk, qt.SQL_ANN_COSINE_TOPK),
     "ann_lsh_bucket": (qt.q_ann_lsh_bucket, qt.SQL_ANN_LSH_BUCKET),
     "ann_lsh_topk": (qt.q_ann_lsh_topk, qt.SQL_ANN_LSH_TOPK),
+    "ann_lsh_topk_multi": (qt.q_ann_lsh_topk_multi, qt.SQL_ANN_LSH_TOPK_MULTI),
+    "ann_recall": (qt.q_ann_recall, qt.SQL_ANN_RECALL),
     # text analysis
     "text_langid": (qt.q_text_langid, qt.SQL_TEXT_LANGID),
     "text_quality": (qt.q_text_quality, qt.SQL_TEXT_QUALITY),
