@@ -63,6 +63,10 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    try:  # non-'sf<float>' dir names must not lose an otherwise-complete run
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.0
 
     from tika_wrap_spark.registry import spark_queries
     from tika_wrap_spark.session import get_spark
@@ -104,7 +108,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf_num,
                 "extract_docs": n_out,
                 "extract_docs_per_sec": round(n_out / max(extract_sec, 1e-9), 1),
                 "cpus": int(cpus),

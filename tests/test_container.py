@@ -145,3 +145,49 @@ class TestPerFormatMeta:
         assert res["meta"]["html_title"] == ""
         assert res["meta"]["pdf_page1_w"] == ""
         assert res["meta"]["container_depth"] == "0"
+
+
+class TestMimeBreadth:
+    def test_new_kind_rules(self):
+        from tika_wrap_spark.core.sniff import sniff_kind
+
+        assert sniff_kind('<?xml version="1.0"?><doc>x</doc>') == "xml"
+        assert sniff_kind('{"k": "v"}') == "json"
+        assert sniff_kind("[1, 2, 3]") == "json"
+        assert sniff_kind("a,b,c\n1,2,3") == "csv"
+        assert sniff_kind("a,b\n1,2") == "text"  # one comma: not csv enough
+        assert sniff_kind("plain words here") == "text"
+        # xhtml with xml prolog pins to xml (rule order documented)
+        assert sniff_kind('<?xml version="1.0"?><html><body>x</body></html>') == "xml"
+
+    def test_xml_extracts_character_content(self):
+        res = extract_document(
+            [{"kind": "text", "text": '<?xml version="1.0"?><doc><a>alpha</a><b>beta &amp; gamma</b></doc>', "media_ref": "", "offset": 0}]
+        )
+        assert res["parse_ok"]
+        assert [s["text"] for s in res["spans"]] == ["alpha beta & gamma"]
+        assert res["meta"]["kinds"] == "xml"
+
+    def test_json_csv_pass_through(self):
+        for payload, kind in (('{"k": "v"}', "json"), ("a,b,c\n1,2,3", "csv")):
+            res = extract_document(
+                [{"kind": "text", "text": payload, "media_ref": "", "offset": 0}]
+            )
+            assert res["parse_ok"]
+            assert [s["text"] for s in res["spans"]] == [payload]
+            assert res["meta"]["kinds"] == kind
+
+    def test_ooxml_container_format(self):
+        c = build_container(
+            [("[Content_Types].xml", '<?xml version="1.0"?><Types/>'),
+             ("word/document.xml", '<?xml version="1.0"?><w>body words</w>')]
+        )
+        res = extract_document(_doc(c))
+        assert res["parse_ok"]
+        assert res["meta"]["container_format"] == "ooxml"
+        plain = build_container([("a.log", "plain member")])
+        assert extract_document(_doc(plain))["meta"]["container_format"] == "zip"
+        nothing = extract_document(
+            [{"kind": "text", "text": "no archive", "media_ref": "", "offset": 0}]
+        )
+        assert nothing["meta"]["container_format"] == ""

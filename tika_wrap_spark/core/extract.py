@@ -20,16 +20,21 @@ from typing import Any
 
 from tika_wrap_spark.core.container import MAX_CONTAINER_DEPTH, parse_container
 from tika_wrap_spark.core.errors import ExtractError
-from tika_wrap_spark.core.html import extract_html_blocks, html_title
+from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, html_title
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
 from tika_wrap_spark.core.sniff import (
     KIND_HTML,
     KIND_MEDIA,
     KIND_PDF,
     KIND_TEXT,
+    KIND_XML,
     KIND_ZIP,
     sniff_kind,
 )
+
+# container member marking an OOXML-analog archive (real OOXML is zip with
+# exactly this member; QMimeDatabase-style container-format distinction)
+OOXML_MARKER = "[Content_Types].xml"
 
 Span = dict[str, Any]  # {kind, text, media_ref, offset}
 
@@ -79,6 +84,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     depth_max = 0  # deepest container nesting level seen
     title = ""  # first non-empty <title> across html payloads
     pdf1_dims: tuple[float, float] | None = None  # first pdf's first page
+    container_format = ""  # 'ooxml' if any archive carries the marker member
 
     def emit(kind: str, text: str, media_ref: str) -> None:
         nonlocal offset
@@ -93,7 +99,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         parse embedded content", /root/reference/README.md:25; zip smoke
         inputs at example/demo1.cpp:48-49)."""
         nonlocal n_pages, n_blocks, n_media, n_containers, n_entries
-        nonlocal depth_max, title, pdf1_dims
+        nonlocal depth_max, title, pdf1_dims, container_format
         kinds_seen.add(kind)
         if kind == KIND_MEDIA:
             n_media += 1
@@ -122,10 +128,18 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             entries = parse_container(text)
             n_containers += 1
             depth_max = max(depth_max, depth + 1)
+            if any(name == OOXML_MARKER for name, _p in entries):
+                container_format = "ooxml"
+            elif not container_format:
+                container_format = "zip"
             for name, payload in entries:
                 n_entries += 1
                 route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
+        elif kind == KIND_XML:
+            emit(KIND_TEXT, extract_xml_text(text), "")
         else:
+            # text family: json/csv/plain keep their raw payload (Tika's
+            # text-family parsers pass content through); kind is tallied
             emit(KIND_TEXT, text, "")
 
     for span in spans or []:
@@ -148,6 +162,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "n_containers": _stringify(n_containers),
         "n_container_entries": _stringify(n_entries),
         "container_depth": _stringify(depth_max),
+        "container_format": container_format,
         "html_title": title,
         "pdf_page1_w": "" if pdf1_dims is None else "%.1f" % pdf1_dims[0],
         "pdf_page1_h": "" if pdf1_dims is None else "%.1f" % pdf1_dims[1],

@@ -64,6 +64,14 @@ def _normalize_ws(s: str) -> str:
 
 
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+_XML_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def extract_xml_text(xml: str) -> str:
+    """Generic XML -> character content: strip tags, decode entities,
+    collapse whitespace (Tika's generic XML parser behavior — element text
+    only, lenient on malformed markup). One text run per document."""
+    return _normalize_ws(_decode_entities(_XML_TAG_RE.sub(" ", xml)))
 
 
 def html_title(html: str) -> str:

@@ -19,6 +19,9 @@ KIND_HTML = "html"
 KIND_PDF = "pdf"
 KIND_MEDIA = "media"
 KIND_ZIP = "zip"
+KIND_XML = "xml"
+KIND_JSON = "json"
+KIND_CSV = "csv"
 
 _HTML_MARKERS = ("<!doctype html", "<html", "<head", "<body")
 
@@ -38,9 +41,17 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          member is html is still an archive — magic-at-offset-0 wins)
       4. head starts with a media magic (PNG/JPEG bytes-as-text,
          as found inside container members)       -> 'media'
-      5. head (lstripped, lowercased) begins with an HTML marker,
-         or contains '<html' in the first HEAD_WINDOW chars -> 'html'
-      6. otherwise                                -> 'text'
+      5. head (lstripped, lowercased) begins with an HTML marker -> 'html'
+      6. lstripped head begins with '<?xml'       -> 'xml' (so an xhtml
+         document with an xml prolog classifies xml — deterministic pin)
+      7. head contains '<html' in the first HEAD_WINDOW chars -> 'html'
+      8. lstripped head begins with '{' or '['    -> 'json'
+      9. first line of head has >= 2 commas       -> 'csv'
+     10. otherwise                                -> 'text'
+
+    The QMimeDatabase the reference consults
+    (/root/reference/src/java-env.cpp:233-242) knows these families too;
+    xml/json/csv extract as text-family but route and tally distinctly.
     """
     if (text is None or text == "") and media_ref:
         return KIND_MEDIA
@@ -58,6 +69,13 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
     for marker in _HTML_MARKERS:
         if lowered.startswith(marker):
             return KIND_HTML
+    if lowered.startswith("<?xml"):
+        return KIND_XML
     if "<html" in lowered:
         return KIND_HTML
+    if lowered.startswith("{") or lowered.startswith("["):
+        return KIND_JSON
+    first_line = head.split("\n", 1)[0]
+    if first_line.count(",") >= 2:
+        return KIND_CSV
     return KIND_TEXT

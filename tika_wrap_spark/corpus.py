@@ -112,6 +112,30 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
     return "\n".join(lines)
 
 
+def _gen_csv_payload(rng: random.Random) -> str:
+    cols = rng.sample(_WORDS, rng.randint(3, 6))
+    lines = [",".join(cols)]
+    for _ in range(rng.randint(3, 10)):
+        lines.append(",".join(rng.choice(_WORDS) for _ in cols))
+    return "\n".join(lines)
+
+
+def _gen_json_payload(rng: random.Random) -> str:
+    pairs = ", ".join(
+        '"%s": "%s"' % (rng.choice(_WORDS), _words(rng, rng.randint(1, 4)))
+        for _ in range(rng.randint(3, 8))
+    )
+    return "{%s}" % pairs
+
+
+def _gen_xml_payload(rng: random.Random) -> str:
+    items = "".join(
+        "<item id=\"%d\">%s</item>" % (i, _sentence(rng))
+        for i in range(rng.randint(2, 6))
+    )
+    return '<?xml version="1.0" encoding="UTF-8"?>\n<doc>%s</doc>' % items
+
+
 def _gen_png_payload(rng: random.Random) -> str:
     """Embedded-media member bytes-as-text: real PNG magic + seeded filler
     (the sandbox has no image libs; the magic is what routing keys on)."""
@@ -121,8 +145,16 @@ def _gen_png_payload(rng: random.Random) -> str:
 
 def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
     """Raw TWC1 container payload (FIXTURES.md §1b): 2-6 members mixing
-    text/html/pdf/media, ~1-in-4 docs carrying one nested container."""
+    text/html/pdf/media, ~1-in-4 docs carrying one nested container;
+    ~1-in-5 top-level archives are OOXML-shaped ([Content_Types].xml marker
+    + xml members — the zip-that-is-a-document case)."""
     entries: list[tuple[str, str]] = []
+    if depth == 0 and rng.random() < 0.2:  # OOXML-analog archive
+        entries.append(("[Content_Types].xml", _gen_xml_payload(rng)))
+        entries.append(("word/document.xml", _gen_xml_payload(rng)))
+        if rng.random() < 0.5:
+            entries.append(("word/media/image1.png", _gen_png_payload(rng)))
+        return build_container(entries)
     nested_budget = 1 if (depth == 0 and rng.random() < 0.45) else 0
     for i in range(rng.randint(2, 6)):
         k = rng.random()
@@ -162,7 +194,15 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     if r < 0.01:  # skew tail: giant pdf
         payloads = [("pdf", _gen_pdf_payload(rng, giant=True), "")]
     elif r < 0.41:
-        payloads = [("text", _gen_text_payload(rng), "")]
+        sub = rng.random()
+        if sub < 0.70:
+            payloads = [("text", _gen_text_payload(rng), "")]
+        elif sub < 0.82:
+            payloads = [("text", _gen_csv_payload(rng), "")]
+        elif sub < 0.92:
+            payloads = [("text", _gen_json_payload(rng), "")]
+        else:
+            payloads = [("text", _gen_xml_payload(rng), "")]
     elif r < 0.66:
         payloads = [("html", _gen_html_payload(rng), "")]
     elif r < 0.86:

@@ -53,12 +53,13 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
 
     head = F.substring(text, 1, sn.HEAD_WINDOW)
     lowered = F.lower(F.regexp_replace(head, r"^\s+", ""))
-    is_html = lowered.contains("<html")
+    html_marker = F.lit(False)
     for marker in sn._HTML_MARKERS:
-        is_html = is_html | lowered.startswith(marker)
+        html_marker = html_marker | lowered.startswith(marker)
     is_media_magic = F.lit(False)
     for magic in sn._MEDIA_MAGICS:
         is_media_magic = is_media_magic | head.startswith(magic)
+    first_line = F.substring_index(head, "\n", 1)
     return (
         F.when(
             (text.isNull() | (text == "")) & media_ref.isNotNull() & (media_ref != ""),
@@ -68,7 +69,11 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
         .when(head.startswith("%PDF-"), F.lit(sn.KIND_PDF))
         .when(head.startswith("PK\x03\x04"), F.lit(sn.KIND_ZIP))
         .when(is_media_magic, F.lit(sn.KIND_MEDIA))
-        .when(is_html, F.lit(sn.KIND_HTML))
+        .when(html_marker, F.lit(sn.KIND_HTML))
+        .when(lowered.startswith("<?xml"), F.lit(sn.KIND_XML))
+        .when(lowered.contains("<html"), F.lit(sn.KIND_HTML))
+        .when(lowered.startswith("{") | lowered.startswith("["), F.lit(sn.KIND_JSON))
+        .when(F.size(F.split(first_line, ",")) >= 3, F.lit(sn.KIND_CSV))
         .otherwise(F.lit(sn.KIND_TEXT))
     )
 

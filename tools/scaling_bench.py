@@ -82,6 +82,9 @@ def main() -> int:
     write_md = "--write-md" in sys.argv
     for i, a in enumerate(sys.argv):
         if a == "--docs":
+            if i + 1 >= len(sys.argv):
+                print("usage: scaling_bench.py [--docs N] [--write-md]", file=sys.stderr)
+                return 2
             docs = int(sys.argv[i + 1])
 
     # Pin each level to exactly N host cores (taskset): a local[N] JVM
