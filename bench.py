@@ -27,6 +27,7 @@ if _REPO not in sys.path:
 # Headline subset of the registry: extraction flagship + one per family.
 HEADLINE = [
     "extract_pipeline",
+    "container_extract",
     "sniff_route",
     "span_assembly",
     "offset_rescan",
@@ -43,6 +44,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_lsh_bucket",
+    "ann_lsh_topk_multi",
+    "ann_recall",
     "text_langid",
     "text_quality",
     "token_count",

@@ -47,3 +47,70 @@ def test_stream_extract_matches_batch_and_is_incremental(spark, tmp_path):
     assert got2.count() == len(first) + len(renamed)  # no reprocessing
     want_all = _hashes(spark, extract_spans(corpus_to_df(spark, first + renamed)))
     assert _hashes(spark, got2) == want_all
+
+
+def test_windowed_metrics_stream_equals_batch(spark, tmp_path):
+    """Watermarked tumbling-window agg over the event stream: the drained
+    stream (complete mode) must equal the same expression run in batch."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "ev")
+    (tmp_path / "ev").mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", in_dir + "/events.parquet")
+
+    ev = streaming.read_events_stream(spark, in_dir)
+    q = (
+        streaming.windowed_event_metrics(ev)
+        .writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.table("win_metrics").collect()
+    }
+    batch = streaming.windowed_event_metrics(
+        spark.read.parquet(in_dir)
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stateful_user_counts_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches —
+    with maxFilesPerTrigger=1 and two input files, the LAST update per
+    user equals the batch per-user count."""
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "ev2")
+    (tmp_path / "ev2").mkdir()
+    ev_all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # two separate files -> two micro-batches
+    ev_all.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(in_dir)
+    ev_all.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = streaming.read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    q = (
+        streaming.stateful_user_counts(stream)
+        .writeStream.format("memory")
+        .queryName("user_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.table("user_counts").collect()
+    assert len(updates) > 0
+    # last update per user (max running count) == batch count
+    got = {}
+    for r in updates:
+        got[r["user_id"]] = max(got.get(r["user_id"], 0), r["n_events"])
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev_all.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want

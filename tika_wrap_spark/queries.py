@@ -41,6 +41,24 @@ def q_scan_parquet(spark, d):
 SQL_SCAN_PARQUET = "SELECT r_regionkey, r_name FROM region"
 
 
+def q_source_single(spark, d):
+    """Point lookup of one document (§2A#2 — the reference's whole API is
+    parse ONE file, src/java-env.h:17). The doc_id equality predicate
+    pushes to the scan; at 100 TB an Iceberg identity-partition or z-order
+    on doc_id turns this into a single-file probe."""
+    return (
+        _t(spark, d, "documents")
+        .filter(F.col("doc_id") == 42)
+        .select("doc_id", "lang", "source", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
+    )
+
+
+SQL_SOURCE_SINGLE = """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+FROM documents WHERE doc_id = 42
+"""
+
+
 def q_project_filter(spark, d):
     """Projection + predicate (§2A#3). Both push to the parquet scan
     (PushedFilters in .explain); at 100 TB this is the difference between

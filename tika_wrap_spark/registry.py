@@ -13,6 +13,7 @@ from tika_wrap_spark import queries_training as qt
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # §2C relational checklist
     "scan_parquet": (q.q_scan_parquet, q.SQL_SCAN_PARQUET),
+    "source_single": (q.q_source_single, q.SQL_SOURCE_SINGLE),
     "project_filter": (q.q_project_filter, q.SQL_PROJECT_FILTER),
     "mime_route": (q.q_mime_route, q.SQL_MIME_ROUTE),
     "explode_spans": (q.q_explode_spans, q.SQL_EXPLODE_SPANS),

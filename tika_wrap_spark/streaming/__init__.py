@@ -57,3 +57,91 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# event-stream operators: watermarked windows + custom stateful aggregation
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def windowed_event_metrics(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window metrics over an event stream: late rows
+    beyond the watermark are dropped, windows age out of state — bounded
+    state at unbounded input, the Structured Streaming aggregation idiom.
+    Works identically on a batch DataFrame (same code, batch oracle)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+_USER_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _user_count_fn(key, pdf_iter, state):
+    """Custom stateful operator body: running per-user event count carried
+    across micro-batches in GroupState (applyInPandasWithState)."""
+    import pandas as pd  # noqa: PLC0415
+
+    n_new = sum(len(pdf) for pdf in pdf_iter)
+    (n_old,) = state.get if state.exists else (0,)
+    total = n_old + n_new
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Running per-user event counts via ``applyInPandasWithState`` — the
+    custom-stateful-operator seam (state survives micro-batch boundaries;
+    the last emitted row per user equals the batch groupBy count)."""
+    from tika_wrap_spark.portability import make_portable  # noqa: PLC0415
+
+    make_portable()
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_count_fn,
+        outputStructType=_USER_COUNT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
