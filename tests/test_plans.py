@@ -72,7 +72,8 @@ def test_extraction_single_exchange_before_fused_udf(spark):
     df = corpus_to_df(spark, generate_corpus(20, seed=3))
     plan = plans.formatted_plan(extract_in_memory(spark, df, num_partitions=8))
     assert "MapInPandas" in plan, plan
-    # exactly one Exchange: the explicit salted repartitionByRange; the
+    # exactly one Exchange: the explicit salted hash repartition (default
+    # method; range is opt-in — see operators/skew.py + BENCH.md f.2); the
     # sniff->route->extract chain is fused into a single python crossing
     assert plans.count_node(plan, "Exchange") == 1, plan
     assert "BatchEvalPython" not in plan, plan
