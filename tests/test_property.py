@@ -95,3 +95,42 @@ def test_html_extract_deterministic_or_raises_consistently(text):
     assert a == b
     for block in a:
         assert block == " ".join(block.split())  # normalized
+
+
+# --- container dialect properties ------------------------------------------
+
+from tika_wrap_spark.core.container import build_container, parse_container
+
+_member_name = st.text(
+    alphabet=st.characters(blacklist_characters="\x00", max_codepoint=0x2FF),
+    max_size=24,
+)
+_member_payload = st.one_of(
+    st.text(max_size=200),
+    # adversarial: payloads containing the dialect's own magic/terminator
+    st.sampled_from(["PK\x03\x04TWC1\n", "PK\x05\x06\n", "E 1 1\nxy"]),
+)
+
+
+@given(st.lists(st.tuples(_member_name, _member_payload), max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_container_roundtrip_any_members(entries):
+    """Length framing must round-trip ANY member content — including
+    payloads that contain the magic or terminator strings themselves."""
+    assert parse_container(build_container(entries)) == entries
+
+
+@given(st.lists(st.tuples(_member_name, st.text(max_size=60)), max_size=4),
+       st.integers(min_value=0, max_value=400))
+@settings(max_examples=200, deadline=None)
+def test_container_truncation_never_crashes_extract(entries, cut):
+    """Any prefix of a valid container is either still parseable (cut == 0
+    removed) or a clean parse_ok=false row — never an exception."""
+    payload = build_container(entries)
+    truncated = payload[: max(len(payload) - cut, len("PK\x03\x04"))]
+    res = extract_document(
+        [{"kind": "zip", "text": truncated, "media_ref": "", "offset": 0}]
+    )
+    assert isinstance(res["parse_ok"], bool)
+    if not res["parse_ok"]:
+        assert res["spans"] == [] and res["error"]

@@ -102,3 +102,22 @@ def test_lineage_scan_partition_prunes(spark, corpus, tmp_path_factory):
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:200], plan
     got = {r["part_key"] for r in lin.collect()}
     assert got <= {2, 3}
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, corpus, tmp_path_factory):
+    import glob
+
+    from tika_wrap_spark.pipeline import compact_extracted
+
+    out = str(tmp_path_factory.mktemp("run_compact"))
+    # high task count -> many files per partition dir
+    run_extraction(spark, corpus, out, parts=4, num_partitions=16)
+    files_before = glob.glob(out + "/extracted/part_key=*/*.parquet")
+    before = extracted_to_rows(read_extracted(spark, out).drop("part_key"))
+
+    m = compact_extracted(spark, out)
+    assert m["parts_compacted"] == 4
+    files_after = glob.glob(out + "/extracted/part_key=*/*.parquet")
+    assert len(files_after) < len(files_before), (len(files_after), len(files_before))
+    after = extracted_to_rows(read_extracted(spark, out).drop("part_key"))
+    assert after == before  # byte-identical content through the rewrite

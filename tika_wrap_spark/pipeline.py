@@ -180,3 +180,27 @@ def extract_in_memory(spark: SparkSession, corpus: DataFrame, num_partitions: in
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
     return extract_spans(salt_repartition(corpus, num_partitions))
+
+
+def compact_extracted(
+    spark: SparkSession, out_dir: str, files_per_partition: int = 1
+) -> dict:
+    """Small-files compaction: rewrite each COMMITTED partition's data as
+    ``files_per_partition`` files (default 1) via dynamic partition
+    overwrite, content-preserving.
+
+    The append/resume pattern leaves one file per task per partition dir;
+    at 10^12 docs that debris degrades every subsequent scan (file-listing
+    + per-file open cost dominate). Compaction clusters rows by part_key
+    (one shuffle over the committed store — the same cost a single read
+    pays) and atomically replaces only the committed partitions;
+    uncommitted partitions are untouched."""
+    df = read_extracted(spark, out_dir)
+    n_parts = df.select("part_key").distinct().count()
+    if n_parts == 0:
+        return {"parts_compacted": 0}
+    compacted = df.repartition(n_parts * files_per_partition, F.col("part_key"))
+    catalog.overwrite_partitions(
+        compacted, _extracted_path(out_dir), partition_by=["part_key"]
+    )
+    return {"parts_compacted": n_parts}
