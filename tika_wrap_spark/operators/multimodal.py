@@ -165,3 +165,45 @@ def frame_sample(media: DataFrame, every_n: int = 30, max_frames: int = 8) -> Da
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+def _embed_fake(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a vision-encoder forward pass (the model
+    seam): md5-chained pseudo-floats in [-1, 1), stable across runs and
+    partitionings. A real deployment swaps in an ONNX/torch encoder here;
+    the Arrow batch shape and output type are the production contract."""
+    out: list[float] = []
+    h = payload
+    while len(out) < dim:
+        h = hashlib.md5(h).digest()
+        out.extend((b - 128.0) / 128.0 for b in h)
+    return out[:dim]
+
+
+def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
+    """(media_ref, payload) -> (media_ref, embedding: array<float>) via
+    Arrow-batched mapInPandas — the bridge from the multimodal decode path
+    into the similarity operators (`operators/similarity.py` consumes this
+    column shape directly: quantize -> LSH bucket -> top-k)."""
+    make_portable()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            refs = pdf["media_ref"].tolist()
+            payloads = pdf["payload"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "embedding": [_embed_fake(bytes(p), dim) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=EMBED_SCHEMA)

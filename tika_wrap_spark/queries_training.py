@@ -747,6 +747,22 @@ def q_media_resize(spark, d):
     )
 
 
+def q_media_embed_ann(spark, d):
+    """End-to-end multimodal -> similarity bridge: media payloads ->
+    (stub) encoder embeddings -> quantize -> LSH bucket stats. Exercises
+    the full typed array<float> flow the ANN operators consume."""
+    from tika_wrap_spark.operators.multimodal import embed_media  # noqa: PLC0415
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark))
+    emb = embed_media(media_payloads(ext))
+    b = sim.lsh_bucket(emb, n_planes=4)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_media"),
+        F.min("media_ref").alias("first_ref"),
+    )
+
+
 def q_media_frames(spark, d):
     """Video frame sampling: 1:N flatMap shape, one row per sampled frame."""
     from tika_wrap_spark.operators.multimodal import frame_sample  # noqa: PLC0415

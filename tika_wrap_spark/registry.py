@@ -65,6 +65,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "media_decode": (qt.q_media_decode, None),
     "media_resize": (qt.q_media_resize, None),
     "media_frames": (qt.q_media_frames, None),
+    "media_embed_ann": (qt.q_media_embed_ann, None),
 }
 
 
