@@ -140,3 +140,13 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
     assert read.count() == 35  # 30 + 5 adversarial
+
+
+def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
+    """ann_lsh_topk_multi: the query side must broadcast (corpus never
+    shuffles for the probe); no sort-merge or nested-loop join anywhere."""
+    plan = plans.formatted_plan(q["ann_lsh_topk_multi"](spark, SF_DIR))
+    assert plans.has_node(plan, "BroadcastHashJoin"), plan
+    assert not plans.has_node(plan, "SortMergeJoin"), plan
+    assert not plans.has_node(plan, "CartesianProduct"), plan
+    assert not plans.has_node(plan, "BroadcastNestedLoopJoin"), plan
