@@ -150,3 +150,27 @@ def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
     assert not plans.has_node(plan, "SortMergeJoin"), plan
     assert not plans.has_node(plan, "CartesianProduct"), plan
     assert not plans.has_node(plan, "BroadcastNestedLoopJoin"), plan
+
+
+def test_jvm_sniffer_unicode_whitespace_parity(spark):
+    """Exotic leading whitespace (NBSP, ideographic space): Python lstrip()
+    strips unicode ws, so the JVM form must too ((?U) flag) — otherwise
+    '\\xa0<!doctype html>' routes html in Python but text in JVM."""
+    from tika_wrap_spark.core.sniff import sniff_kind
+    from tika_wrap_spark import functions as tw
+    from pyspark.sql import functions as F
+
+    payloads = [
+        "\xa0<!doctype html><body>x</body>",
+        "　<html><p>y</p></html>",
+        "\t\n {\"k\": 1}",
+        "\xa0<?xml version=\"1.0\"?><d/>",
+        "\xa0plain",
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "text string")
+    got = [
+        r["k"]
+        for r in df.select(tw.sniff_kind_col(F.col("text"), F.lit("")).alias("k")).collect()
+    ]
+    want = [sniff_kind(p, "") for p in payloads]
+    assert got == want, (got, want)

@@ -52,7 +52,10 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
     from tika_wrap_spark.core import sniff as sn  # noqa: PLC0415
 
     head = F.substring(text, 1, sn.HEAD_WINDOW)
-    lowered = F.lower(F.regexp_replace(head, r"^\s+", ""))
+    # (?U): Java \s matches only ASCII whitespace by default, but the Python
+    # sniffer's str.lstrip() strips unicode whitespace (NBSP etc.) — the
+    # unicode flag keeps the two rule sets identical on exotic leading ws
+    lowered = F.lower(F.regexp_replace(head, r"(?U)^\s+", ""))
     html_marker = F.lit(False)
     for marker in sn._HTML_MARKERS:
         html_marker = html_marker | lowered.startswith(marker)
