@@ -70,3 +70,24 @@ def input_snapshot_id(df: DataFrame) -> str:
     ).collect()[0]
     h = int(row["h"] or 0) & 0xFFFFFFFFFFFFFFFF
     return "fp-%x-%d" % (h, row["c"])
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on a join key.
+
+    Two tables bucketed identically on their join key co-locate: Spark
+    reads bucket i of both sides into the same task and the join runs with
+    NO Exchange on either side — at 100 TB this converts every recurring
+    fact-fact join on that key from a full shuffle into a local merge
+    (``tests/test_bucketed.py`` pins the exchange-free plan). Parquet
+    ``bucketBy`` matches Iceberg's bucket partition transform semantics."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
