@@ -165,3 +165,22 @@ def test_simhash_pairs_pigeonhole_complete(spark):
         and bin(a["simhash"] ^ b["simhash"]).count("1") <= 3
     }
     assert banded == brute
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-node chain (needs >1 round to converge),
+    a triangle, and an isolated pair each collapse to their min id."""
+    edges = spark.createDataFrame(
+        [(3, 4), (4, 5), (5, 6),      # chain 3-4-5-6
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # pair
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_id"], r["cluster"])
+        for r in dd.connected_components(edges).collect()
+    }
+    want = {(3, 3), (4, 3), (5, 3), (6, 3),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20)}
+    assert got == want

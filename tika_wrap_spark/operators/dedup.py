@@ -185,6 +185,63 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list: every node gets
+    ``cluster`` = the smallest node id reachable from it (the canonical
+    keeper of its near-dup group).
+
+    Iterative driver loop, each step fully distributed (join + partial-agg
+    groupBy); converges in <= diameter steps — near-dup components are
+    shallow (pairs share content), so the loop exits after 2-3 rounds via
+    the converged check. At 10^12 docs the same loop runs with the labels
+    DataFrame checkpointed per round to cut lineage growth.
+    """
+    # materialize the edge list ONCE: every propagation round joins against
+    # it, and without the cache each round would recompute the (expensive)
+    # upstream candidate-pair pipeline from scratch
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .cache()
+    )
+    nodes = sym.select(F.col("s").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label")).cache()
+    # labels are MONOTONICALLY non-increasing under min-propagation, so the
+    # label sum strictly decreases iff any label changed — convergence costs
+    # one tiny aggregate per round (which also materializes the new cache),
+    # not a separate join+count action
+    total = labels.agg(F.sum("label").cast("decimal(38,0)").alias("t")).collect()[0]["t"]
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym["s"] == labels["id"])
+            .groupBy(F.col("d").alias("id2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(prop, labels["id"] == prop["id2"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        new_total = new_labels.agg(
+            F.sum("label").cast("decimal(38,0)").alias("t")
+        ).collect()[0]["t"]
+        labels.unpersist()
+        labels = new_labels
+        if new_total == total:
+            break
+        total = new_total
+    sym.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
+
+
 def simhash_pairs(
     sigs: DataFrame, n_bands: int = 4, band_bits: int = 4, max_hamming: int = 3
 ) -> DataFrame:

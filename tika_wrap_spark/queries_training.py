@@ -306,6 +306,44 @@ ORDER BY cos_q DESC, vec_a, vec_b LIMIT 50
 """
 
 
+CLUSTER_JQ_MIN = 500
+
+
+def q_dedup_clusters(spark, d):
+    """Near-dup CLUSTERS: connected components (min-label propagation) over
+    the verified MinHash-LSH pairs with quantized Jaccard >= 0.5 — each doc
+    gets the smallest doc_id in its component as ``cluster`` and the
+    canonical keeper flag. Iterative (driver-coordinated loop, each step a
+    distributed join+agg); the DuckDB oracle computes the identical fixpoint
+    with a recursive CTE."""
+    pairs = q_dedup_minhash_lsh(spark, d).filter(F.col("j_q") >= CLUSTER_JQ_MIN)
+    cc = dd.connected_components(pairs.select("doc_a", "doc_b"))
+    return cc.select(
+        "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("is_keeper")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE base AS ({{minhash}}),
+pairs AS (
+  SELECT doc_a, doc_b FROM base WHERE j_q >= {CLUSTER_JQ_MIN}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON r.id = e.s
+)
+SELECT id AS doc_id, min(label) AS cluster, id = min(label) AS is_keeper
+FROM reach GROUP BY id
+""".format(minhash=SQL_DEDUP_MINHASH_LSH.strip())
+
+
 def q_winnow_fp(spark, d):
     """Winnowing (rolling k-gram min) fingerprints, k=8 w=4, doc_id<40."""
     docs = _t(spark, d, "documents").filter(F.col("doc_id") < 40)

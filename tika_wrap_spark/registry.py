@@ -45,6 +45,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_minhash_lsh": (qt.q_dedup_minhash_lsh, qt.SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (qt.q_dedup_simhash, qt.SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (qt.q_dedup_simhash_pairs, qt.SQL_DEDUP_SIMHASH_PAIRS),
+    "dedup_clusters": (qt.q_dedup_clusters, qt.SQL_DEDUP_CLUSTERS),
     "embed_cosine_pairs": (qt.q_embed_cosine_pairs, qt.SQL_EMBED_COSINE_PAIRS),
     "winnow_fp": (qt.q_winnow_fp, qt.SQL_WINNOW_FP),
     # similarity search
