@@ -109,3 +109,50 @@ def fingerprints(df: DataFrame) -> DataFrame:
             F.expr("substring(norm, greatest(length(norm) - 63, 1))").cast("binary")
         ).alias("fp_tail"),
     )
+
+
+def repetition_features(df: DataFrame) -> DataFrame:
+    """Repetition signals for training-data filtering (the Gopher /
+    RefinedWeb family of filters, see PAPERS.md): duplicate-line ratio and
+    most-frequent-token share, both exact quantized integers.
+
+    Pure codegen'd expressions: lines split on raw newlines; tokens from
+    THE normalization. max-token share uses aggregate() over the distinct
+    token list — no shuffle, per-row array math."""
+    lines = F.split(F.col("text"), "\n")
+    toks = F.split(F.col("norm"), " ")
+    toks_clean = F.filter(toks, lambda t: t != "")
+    # most-frequent-token count: for each distinct token, count occurrences
+    # in the full list; take the max — O(distinct * n) per row, array-local
+    max_tok = F.aggregate(
+        F.array_distinct(toks_clean),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.greatest(
+            acc, F.size(F.filter(toks_clean, lambda x: x == t)).cast("long")
+        ),
+    )
+    return (
+        df.withColumn("norm", F.expr(NORM_EXPR))
+        .select(
+            "doc_id",
+            F.size(lines).cast("long").alias("n_lines"),
+            F.size(F.array_distinct(lines)).cast("long").alias("n_uniq_lines"),
+            F.size(toks_clean).cast("long").alias("n_toks"),
+            max_tok.alias("max_tok_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_uniq_lines",
+            F.floor(
+                F.lit(1000)
+                * (F.col("n_lines") - F.col("n_uniq_lines"))
+                / F.greatest(F.col("n_lines"), F.lit(1))
+            ).cast("long").alias("dup_line_q"),
+            "n_toks",
+            "max_tok_cnt",
+            F.floor(
+                F.lit(1000) * F.col("max_tok_cnt") / F.greatest(F.col("n_toks"), F.lit(1))
+            ).cast("long").alias("max_tok_share_q"),
+        )
+    )

@@ -678,6 +678,42 @@ FROM documents GROUP BY source
 """
 
 
+def q_text_repetition(spark, d):
+    """Repetition filters (Gopher/RefinedWeb family): duplicate-line ratio
+    + most-frequent-token share, exact quantized integers (doc_id<200 to
+    bound the O(distinct x tokens) per-row array math in the oracle)."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 200)
+    return ta.repetition_features(docs)
+
+
+SQL_TEXT_REPETITION = f"""
+WITH n AS (
+  SELECT doc_id, text, {_NORM_DUCK} AS norm FROM documents WHERE doc_id < 200
+), f AS (
+  SELECT doc_id,
+         str_split(text, chr(10)) AS lines,
+         list_filter(str_split(norm, ' '), t -> t <> '') AS toks
+  FROM n
+), g AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_uniq_lines,
+         len(toks) AS n_toks,
+         coalesce(list_max(list_transform(list_distinct(toks),
+                  t -> len(list_filter(toks, x -> x = t)))), 0) AS max_tok_cnt
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_uniq_lines AS BIGINT) AS n_uniq_lines,
+       CAST(floor(1000.0 * (n_lines - n_uniq_lines) / greatest(n_lines, 1)) AS BIGINT) AS dup_line_q,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(max_tok_cnt AS BIGINT) AS max_tok_cnt,
+       CAST(floor(1000.0 * max_tok_cnt / greatest(n_toks, 1)) AS BIGINT) AS max_tok_share_q
+FROM g
+"""
+
+
 def q_doc_fingerprint(spark, d):
     """Full/head/tail content digests per doc."""
     return ta.fingerprints(_t(spark, d, "documents"))
