@@ -174,3 +174,39 @@ def test_jvm_sniffer_unicode_whitespace_parity(spark):
     ]
     want = [sniff_kind(p, "") for p in payloads]
     assert got == want, (got, want)
+
+
+def test_jvm_sniffer_fuzz_parity(spark):
+    """2000 seeded random payloads stitched from magic fragments and noise:
+    the JVM and Python sniffers must agree on EVERY one (single batched
+    comparison job)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tika_wrap_spark import functions as tw
+    from tika_wrap_spark.core.sniff import sniff_kind
+
+    rng = random.Random(4242)
+    frags = [
+        "%PDF-", "PK\x03\x04", "PK\x03\x04TWC1\n", "\x89PNG\r\n", "\xff\xd8\xff",
+        "<!doctype html>", "<html>", "<head>", "<body>", "<?xml", "{", "[",
+        ",", ",,", "\n", " ", "\t", "\xa0", "plain words", "a,b,c",
+        '{"k": 1}', "<p>inline</p>", "x" * 300,
+    ]
+    payloads = []
+    for _ in range(2000):
+        n = rng.randint(0, 4)
+        payloads.append("".join(rng.choice(frags) for _ in range(n)))
+    df = spark.createDataFrame([(p,) for p in payloads], "text string")
+    got = [
+        r["k"]
+        for r in df.select(
+            tw.sniff_kind_col(F.col("text"), F.lit("")).alias("k")
+        ).collect()
+    ]
+    want = [sniff_kind(p, "") for p in payloads]
+    mismatches = [
+        (p[:40], g, w) for p, g, w in zip(payloads, got, want) if g != w
+    ]
+    assert mismatches == [], mismatches[:5]

@@ -134,3 +134,32 @@ def test_container_truncation_never_crashes_extract(entries, cut):
     assert isinstance(res["parse_ok"], bool)
     if not res["parse_ok"]:
         assert res["spans"] == [] and res["error"]
+
+
+# --- pdf parser robustness --------------------------------------------------
+
+from tika_wrap_spark.core.errors import ExtractError
+from tika_wrap_spark.core.pdf import extract_pdf_pages
+
+_pdf_noise = st.one_of(
+    st.text(alphabet="BT ETdjTj()\\ %Page:0123456789.\n-", max_size=30),
+    st.sampled_from(["%%EOF", "%%Page: 1", "BT 1 2 Td (x) Tj ET"]),
+)
+
+
+@given(st.lists(_pdf_noise, max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_pdf_parser_total_on_garbage(parts):
+    """The PDF dialect parser is TOTAL on '%PDF-' inputs: any garbage body
+    either parses or raises ExtractError — never any other exception, and
+    deterministically."""
+    stream = "%PDF-1.4\n" + "\n".join(parts)
+    try:
+        a = extract_pdf_pages(stream)
+    except ExtractError:
+        try:
+            extract_pdf_pages(stream)
+            raise AssertionError("nondeterministic raise")
+        except ExtractError:
+            return
+    assert extract_pdf_pages(stream) == a
