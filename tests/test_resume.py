@@ -121,3 +121,22 @@ def test_compaction_preserves_content_and_reduces_files(spark, corpus, tmp_path_
     assert len(files_after) < len(files_before), (len(files_after), len(files_before))
     after = extracted_to_rows(read_extracted(spark, out).drop("part_key"))
     assert after == before  # byte-identical content through the rewrite
+
+
+def test_compaction_clusters_doc_id_for_row_group_skipping(spark, corpus, tmp_path_factory):
+    """Compacted files must hold doc_id in sorted runs so parquet row-group
+    min/max stats prune point lookups (the hot write stays salt-random)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tika_wrap_spark.pipeline import compact_extracted
+
+    out = str(tmp_path_factory.mktemp("run_cluster"))
+    run_extraction(spark, corpus, out, parts=4, num_partitions=16)
+    compact_extracted(spark, out)
+    files = glob.glob(out + "/extracted/part_key=*/*.parquet")
+    assert files
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids), f

@@ -199,7 +199,14 @@ def compact_extracted(
     n_parts = df.select("part_key").distinct().count()
     if n_parts == 0:
         return {"parts_compacted": 0}
-    compacted = df.repartition(n_parts * files_per_partition, F.col("part_key"))
+    # sortWithinPartitions(doc_id): compacted files carry monotone doc_id
+    # runs, so parquet row-group min/max stats prune point lookups to one
+    # row group. The HOT write path stays salt-randomized (sorting there
+    # would concentrate giants again); clustering belongs to this
+    # already-shuffling maintenance pass.
+    compacted = df.repartition(
+        n_parts * files_per_partition, F.col("part_key")
+    ).sortWithinPartitions("part_key", "doc_id")
     catalog.overwrite_partitions(
         compacted, _extracted_path(out_dir), partition_by=["part_key"]
     )
