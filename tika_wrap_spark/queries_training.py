@@ -730,6 +730,58 @@ FROM n
 """
 
 
+def q_curate_corpus(spark, d):
+    """The end-user training-data curation pipeline as ONE query: keep a
+    document iff (a) quality bucket is high/medium, (b) predicted language
+    matches the labeled one, and (c) it is its exact-dup group's keeper —
+    the composition every corpus build runs before tokenization. All three
+    stages are the already-oracled operators chained; one broadcast-able
+    join per stage (quality/langid are per-row, the keeper set is the
+    dedup aggregate)."""
+    docs = _t(spark, d, "documents")
+    quality = ta.quality_features(docs).select("doc_id", "quality")
+    lang_ok = ta.lang_scores(docs).select(
+        "doc_id", (F.col("pred_lang") == F.col("lang")).alias("lang_ok")
+    )
+    keepers = dd.exact_dedup_groups(docs).select(
+        F.col("keeper").alias("doc_id"), F.lit(True).alias("is_keeper")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(quality, "doc_id")
+        .join(lang_ok, "doc_id")
+        .join(keepers, "doc_id", "left")
+        .filter(
+            F.col("quality").isin("high", "medium")
+            & F.col("lang_ok")
+            & F.coalesce(F.col("is_keeper"), F.lit(False))
+        )
+        .select("doc_id", "source", "n_chars", "quality")
+    )
+
+
+def _sql_curate() -> str:
+    # reuse the oracled component SQL verbatim as CTEs: the composition is
+    # graded against the same engine-exact stage definitions
+    quality = SQL_TEXT_QUALITY.strip()
+    langid = SQL_TEXT_LANGID.strip()
+    dedup = SQL_DEDUP_EXACT.strip()
+    return f"""
+WITH q AS ({quality}),
+l AS ({langid}),
+k AS (SELECT keeper AS doc_id FROM ({dedup}))
+SELECT d.doc_id, d.source, d.n_chars, q.quality
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+JOIN l ON d.doc_id = l.doc_id
+JOIN k ON d.doc_id = k.doc_id
+WHERE q.quality IN ('high', 'medium') AND l.is_match
+"""
+
+
+SQL_CURATE_CORPUS = _sql_curate()
+
+
 # ---------------------------------------------------------------------------
 # extraction pipeline demos (rows-only: inputs are the synthetic corpus)
 # ---------------------------------------------------------------------------

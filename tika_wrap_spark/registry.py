@@ -60,6 +60,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_count": (qt.q_token_count, qt.SQL_TOKEN_COUNT),
     "doc_fingerprint": (qt.q_doc_fingerprint, qt.SQL_DOC_FINGERPRINT),
     "text_repetition": (qt.q_text_repetition, qt.SQL_TEXT_REPETITION),
+    "curate_corpus": (qt.q_curate_corpus, qt.SQL_CURATE_CORPUS),
     # extraction pipeline (rows-only: pandas-UDF core / synthetic corpus)
     "extract_pipeline": (qt.q_extract_pipeline, None),
     "container_extract": (qt.q_container_extract, None),
