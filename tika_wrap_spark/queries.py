@@ -600,6 +600,64 @@ FROM events WHERE user_id < 60 GROUP BY user_id
 )
 
 
+def q_asof_join(spark, d):
+    """As-of join — for every purchase, the latest view at-or-before it for
+    the same user (attribution shape). Spark lacks a native ASOF operator;
+    the idiomatic composition is a tagged union + running last_value window
+    (one shuffle on user_id, no range self-join blowup — the pattern scales
+    to per-user event streams of any length). DuckDB oracles it with its
+    native ASOF JOIN."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    ev = _t(spark, d, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        # views sort before purchases at equal ts => inclusive <= semantics
+        F.when(F.col("event_type") == "view", F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = tagged.withColumn(
+        "last_view_ts",
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        runs.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("string").alias("purchase_ts"),
+            F.col("last_view_ts").cast("string").alias("last_view_ts"),
+            F.floor(
+                F.unix_timestamp("ts") - F.unix_timestamp("last_view_ts")
+            ).cast("long").alias("gap_sec"),
+        )
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), matched AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts, v.ts AS v_ts
+  FROM purchases p ASOF LEFT JOIN views v
+    ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT purchase_id, user_id, CAST(p_ts AS VARCHAR) AS purchase_ts,
+       CAST(v_ts AS VARCHAR) AS last_view_ts,
+       CAST(floor(epoch(p_ts)) - floor(epoch(v_ts)) AS BIGINT) AS gap_sec
+FROM matched
+"""
+
+
 def q_percentiles(spark, d):
     """Exact interpolated percentiles per event type (Spark `percentile` ==
     SQL quantile_cont). At 100 TB swap for approx_percentile — this is the
