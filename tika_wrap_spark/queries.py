@@ -658,6 +658,74 @@ FROM matched
 """
 
 
+# irregular, non-overlapping [start, end) campaign periods — the interval
+# dimension for the range join; single literal source for BOTH engines
+RANGE_PERIODS: list[tuple[int, str, str]] = [
+    (1, "1995-01-01", "1995-07-15"),
+    (2, "1995-07-15", "1996-02-01"),
+    (3, "1996-02-01", "1997-11-20"),
+    (4, "1997-11-20", "1999-06-05"),
+    (5, "1999-06-05", "2002-01-01"),
+]
+
+
+def q_range_join(spark, d):
+    """Range (interval) join — orders matched to irregular campaign
+    periods by o_orderdate ∈ [start, end). A naive non-equi join is a
+    nested-loop O(orders x periods); the scale path BUCKETIZES: each
+    period explodes to its covered months, the fact side equi-joins on its
+    month (broadcast dim), then the exact range predicate filters. One
+    narrow broadcast join, zero shuffles of the fact side."""
+    orders = _t(spark, d, "orders")
+    periods = spark.createDataFrame(
+        RANGE_PERIODS, "period_id int, start_s string, end_s string"
+    ).select(
+        "period_id",
+        F.to_timestamp("start_s").alias("p_start"),
+        F.to_timestamp("end_s").alias("p_end"),
+    )
+    # explode every period to its covered calendar months (end-exclusive,
+    # but trunc(end) kept: a period ending mid-month still covers it)
+    months = periods.select(
+        "period_id",
+        "p_start",
+        "p_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "p_start"),
+                F.date_trunc("month", F.col("p_end") - F.expr("INTERVAL 1 SECOND")),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month"),
+    )
+    fact = orders.withColumn("month", F.date_trunc("month", "o_orderdate"))
+    matched = fact.join(F.broadcast(months), "month").filter(
+        (F.col("o_orderdate") >= F.col("p_start"))
+        & (F.col("o_orderdate") < F.col("p_end"))
+    )
+    return matched.groupBy("period_id").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+def _sql_range_join() -> str:
+    rows = ", ".join(
+        "(%d, TIMESTAMP '%s', TIMESTAMP '%s')" % (pid, s, e)
+        for pid, s, e in RANGE_PERIODS
+    )
+    return f"""
+WITH periods(period_id, p_start, p_end) AS (VALUES {rows})
+SELECT period_id, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_total
+FROM orders o JOIN periods p
+  ON o.o_orderdate >= p.p_start AND o.o_orderdate < p.p_end
+GROUP BY period_id
+"""
+
+
+SQL_RANGE_JOIN = _sql_range_join()
+
+
 def q_percentiles(spark, d):
     """Exact interpolated percentiles per event type (Spark `percentile` ==
     SQL quantile_cont). At 100 TB swap for approx_percentile — this is the
