@@ -658,6 +658,100 @@ FROM matched
 """
 
 
+def q_rollup_cascade(spark, d):
+    """Hypertable-style continuous-aggregate cascade: raw events -> HOURLY
+    partials -> DAILY re-aggregated FROM THE HOURLY LEVEL (never rescanning
+    raw) — the invariant that makes continuous aggregates correct at scale.
+    The oracle computes daily directly from raw, so a green hash proves
+    re-aggregation == raw aggregation. Values are QUANTIZED to integers
+    BEFORE the first aggregation — integer sums re-aggregate associatively
+    (float sums don't: hourly-then-daily summation order flips rounding at
+    boundaries); avg is derived at the end, never averaged-of-averages."""
+    ev = _t(spark, d, "events")
+    vq = F.floor(F.col("value").cast("double") * 1000).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum(vq).alias("svq"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "h").alias("day"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("svq").alias("svq"))
+    return daily.select(
+        F.col("day").cast("date").cast("string").alias("day"),
+        "event_type",
+        "n",
+        F.col("svq").cast("long").alias("sum_value_q"),
+        F.floor(F.col("svq") / F.col("n")).cast("long").alias("avg_value_q"),
+    )
+
+
+SQL_ROLLUP_CASCADE = """
+SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_value_q,
+       CAST(floor(sum(CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT))::DOUBLE / count(*)) AS BIGINT) AS avg_value_q
+FROM events GROUP BY 1, 2
+"""
+
+
+KMV_K = 32
+
+
+def q_sketch_kmv(spark, d):
+    """KMV (bottom-k / k-minimum-values) distinct-count sketch — the
+    mergeable cardinality estimator family HLL belongs to, built from
+    engine-exact primitives: per group keep the k smallest md5(user_id)
+    values; estimate = (k-1) / u_k where u_k is the k-th minimum hash
+    mapped to (0,1). Deterministic bit-for-bit in BOTH engines (hex-string
+    order + integer quantization), unlike engine-native HLL sketches whose
+    internals differ. Output carries the exact distinct count too, so the
+    row also RECORDS the sketch's observed error."""
+    ev = _t(spark, d, "events")
+    hashed = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string").cast("binary")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    bottomk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    # u_k in (0,1): first 12 hex chars as an integer / 16^12
+    u = F.conv(F.substring(F.max("h"), 1, 12), 16, 10).cast("double") / F.lit(
+        float(16**12)
+    )
+    per_type = bottomk.groupBy("event_type").agg(
+        F.count("*").alias("k_seen"),
+        F.floor(F.lit(KMV_K - 1) / u).cast("long").alias("distinct_est"),
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_true")
+    )
+    return per_type.join(truth, "event_type").select(
+        "event_type", "k_seen", "distinct_est", "distinct_true"
+    )
+
+
+SQL_SKETCH_KMV = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+), bottomk AS (
+  SELECT * FROM ranked WHERE rn <= {KMV_K}
+), per_type AS (
+  SELECT event_type, count(*) AS k_seen,
+         CAST(floor(({KMV_K} - 1) /
+              (('0x' || substr(max(h), 1, 12))::UBIGINT::DOUBLE / {float(16**12)!r}))
+              AS BIGINT) AS distinct_est
+  FROM bottomk GROUP BY event_type
+)
+SELECT p.event_type, p.k_seen, p.distinct_est, t.distinct_true
+FROM per_type p JOIN (
+  SELECT event_type, count(DISTINCT user_id) AS distinct_true FROM events GROUP BY 1
+) t ON p.event_type = t.event_type
+"""
+
+
 # irregular, non-overlapping [start, end) campaign periods — the interval
 # dimension for the range join; single literal source for BOTH engines
 RANGE_PERIODS: list[tuple[int, str, str]] = [

@@ -41,6 +41,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "grouped_map_norm": (q.q_grouped_map_norm, q.SQL_GROUPED_MAP_NORM),
     "asof_join": (q.q_asof_join, q.SQL_ASOF_JOIN),
     "range_join": (q.q_range_join, q.SQL_RANGE_JOIN),
+    "rollup_cascade": (q.q_rollup_cascade, q.SQL_ROLLUP_CASCADE),
+    "sketch_kmv": (q.q_sketch_kmv, q.SQL_SKETCH_KMV),
     # dedup family
     "dedup_exact": (qt.q_dedup_exact, qt.SQL_DEDUP_EXACT),
     "ngram_jaccard": (qt.q_ngram_jaccard, qt.SQL_NGRAM_JACCARD),
