@@ -39,6 +39,11 @@ HEADLINE = [
     "tpch_join_agg",
     "sessionize",
     "rollup_metrics",
+    "rollup_cascade",
+    "asof_join",
+    "range_join",
+    "sketch_kmv",
+    "curate_corpus",
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh",

@@ -83,3 +83,43 @@ def test_smoke_docs(spark):
     for g, r in zip(golden, result):
         assert _key_seq(g["spans"]) == _key_seq(r["spans"])
         assert g["parse_ok"] == r["parse_ok"]
+
+
+def test_cogrouped_fixture_verify_operator(spark):
+    """verify_against_golden (cogroup + applyInPandas) flags exactly the
+    perturbed documents and passes everything else."""
+    from pyspark.sql import functions as F
+
+    from tika_wrap_spark.operators.extract_ops import verify_against_golden
+
+    rows = generate_corpus(60, seed=33)
+    golden = corpus_to_df(
+        spark,
+        [
+            {"doc_id": g["doc_id"], "spans": g["spans"]}
+            for g in generate_golden(rows)
+        ],
+    )
+    actual = extract_in_memory(spark, corpus_to_df(spark, rows)).select("doc_id", "spans")
+
+    all_ok = verify_against_golden(golden, actual)
+    assert all_ok.filter(~F.col("seq_match")).count() == 0
+
+    # perturb one document's first span text
+    perturbed = actual.withColumn(
+        "spans",
+        F.when(
+            F.col("doc_id") == "doc_0000003",
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    F.concat(s["text"], F.lit("!")).alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ),
+        ).otherwise(F.col("spans")),
+    )
+    bad = verify_against_golden(golden, perturbed).filter(~F.col("seq_match"))
+    assert [r["doc_id"] for r in bad.collect()] == ["doc_0000003"]

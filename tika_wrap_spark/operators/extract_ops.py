@@ -202,3 +202,49 @@ def sniffed_spans(df: DataFrame, jvm: bool = True) -> DataFrame:
         else sniff_kind_udf(F.col("text"), F.col("media_ref"))
     )
     return exploded.withColumn("kind", sniffer)
+
+
+VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_expected", T.IntegerType(), False),
+        T.StructField("n_actual", T.IntegerType(), False),
+        T.StructField("seq_match", T.BooleanType(), False),
+    ]
+)
+
+
+def _verify_cogroups(key, expected: pd.DataFrame, actual: pd.DataFrame) -> pd.DataFrame:
+    def seq(pdf: pd.DataFrame) -> list[tuple]:
+        if len(pdf) == 0:
+            return []
+        (spans,) = pdf["spans"].tolist()[:1] or [[]]
+        return [
+            (s["kind"], s["text"], s["media_ref"]) for s in _as_span_dicts(spans)
+        ]
+
+    e, a = seq(expected), seq(actual)
+    return pd.DataFrame(
+        {
+            "doc_id": [key[0]],
+            "n_expected": [len(e)],
+            "n_actual": [len(a)],
+            "seq_match": [e == a and len(expected) == len(actual)],
+        }
+    )
+
+
+def verify_against_golden(expected: DataFrame, actual: DataFrame) -> DataFrame:
+    """The north_star invariant — per-document span-sequence equality on
+    (kind, text, media_ref, order) — as a DISTRIBUTED operator:
+    ``cogroup().applyInPandas`` aligns each doc's expected and actual rows
+    in one task (one shuffle per side on doc_id, no driver collect), so
+    fixture verification scales to the full corpus. Docs present on only
+    one side surface as ``seq_match=false`` with a 0 count."""
+    make_portable()
+    return (
+        expected.select("doc_id", "spans")
+        .groupby("doc_id")
+        .cogroup(actual.select("doc_id", "spans").groupby("doc_id"))
+        .applyInPandas(_verify_cogroups, schema=VERIFY_SCHEMA)
+    )

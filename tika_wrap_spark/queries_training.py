@@ -844,6 +844,25 @@ def q_container_extract(spark, d):
     )
 
 
+def q_fixture_verify(spark, d):
+    """north_star verification as a DISTRIBUTED operator: golden span
+    sequences vs the Spark pipeline's output, aligned per doc_id with
+    cogroup().applyInPandas (no driver collect — fixture verification that
+    scales to the full corpus). Output: per-doc match row; the pipeline is
+    correct iff every seq_match is true."""
+    from tika_wrap_spark.corpus import generate_corpus, generate_golden  # noqa: PLC0415
+    from tika_wrap_spark.data import corpus_to_df  # noqa: PLC0415
+    from tika_wrap_spark.operators.extract_ops import verify_against_golden  # noqa: PLC0415
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    rows = generate_corpus(_CORPUS_DOCS, seed=42)
+    golden = corpus_to_df(
+        spark, [{"doc_id": g["doc_id"], "spans": g["spans"]} for g in generate_golden(rows)]
+    )
+    actual = extract_in_memory(spark, corpus_to_df(spark, rows)).select("doc_id", "spans")
+    return verify_against_golden(golden, actual)
+
+
 def q_sniff_route(spark, d):
     """Per-span content sniffing (scalar pandas UDF) + route tallies."""
     return (
