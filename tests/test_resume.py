@@ -140,3 +140,40 @@ def test_compaction_clusters_doc_id_for_row_group_skipping(spark, corpus, tmp_pa
     for f in files:
         ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
         assert ids == sorted(ids), f
+
+
+def test_incremental_refresh_extracts_only_delta(spark):
+    from tika_wrap_spark.corpus import generate_corpus
+    from tika_wrap_spark.data import corpus_to_df
+    from tika_wrap_spark.pipeline import changed_docs, run_incremental
+
+    old_rows = generate_corpus(50, seed=44, adversarial=False)
+    new_rows = [dict(r) for r in old_rows]
+    # change 2 docs, add 1, remove 1
+    new_rows[3] = {
+        "doc_id": old_rows[3]["doc_id"],
+        "spans": [{"kind": "text", "text": "rewritten body", "media_ref": "", "offset": 0}],
+    }
+    new_rows[7] = {
+        "doc_id": old_rows[7]["doc_id"],
+        "spans": [{"kind": "text", "text": "also rewritten", "media_ref": "", "offset": 0}],
+    }
+    removed = new_rows.pop(10)
+    new_rows.append({
+        "doc_id": "doc_new_1",
+        "spans": [{"kind": "text", "text": "brand new document", "media_ref": "", "offset": 0}],
+    })
+    old_df = corpus_to_df(spark, old_rows)
+    new_df = corpus_to_df(spark, new_rows)
+
+    delta = {(r["doc_id"], r["status"]) for r in changed_docs(old_df, new_df).collect()}
+    assert delta == {
+        (old_rows[3]["doc_id"], "changed"),
+        (old_rows[7]["doc_id"], "changed"),
+        (removed["doc_id"], "removed"),
+        ("doc_new_1", "added"),
+    }
+    out = run_incremental(spark, old_df, new_df)
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {
+        old_rows[3]["doc_id"], old_rows[7]["doc_id"], "doc_new_1",
+    }

@@ -211,3 +211,44 @@ def compact_extracted(
         compacted, _extracted_path(out_dir), partition_by=["part_key"]
     )
     return {"parts_compacted": n_parts}
+
+
+def changed_docs(old_corpus: DataFrame, new_corpus: DataFrame) -> DataFrame:
+    """Snapshot-to-snapshot change detection: full outer join on doc_id of
+    the order-sensitive span-sequence hashes -> one row per differing doc,
+    tagged added / removed / changed. Unchanged docs drop out, so a daily
+    refresh of a 10^12-doc corpus re-extracts only the delta. The hash is
+    computed scan-side (codegen'd span fold) — the join carries 2 slim
+    columns, never payloads."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    o = old_corpus.select("doc_id", tw.span_seq_hash("spans").alias("old_h"))
+    n = new_corpus.select("doc_id", tw.span_seq_hash("spans").alias("new_h"))
+    joined = o.join(n, "doc_id", "full_outer")
+    return joined.filter(
+        F.col("old_h").isNull()
+        | F.col("new_h").isNull()
+        | (F.col("old_h") != F.col("new_h"))
+    ).select(
+        "doc_id",
+        F.when(F.col("old_h").isNull(), F.lit("added"))
+        .when(F.col("new_h").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+def run_incremental(
+    spark: SparkSession,
+    old_corpus: DataFrame,
+    new_corpus: DataFrame,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Incremental refresh: extract ONLY the added/changed documents of the
+    new snapshot (semi join against the delta — broadcast when small,
+    shuffle otherwise; removed docs are the caller's delete list)."""
+    delta = changed_docs(old_corpus, new_corpus).filter(
+        F.col("status").isin("added", "changed")
+    )
+    todo = new_corpus.join(delta.select("doc_id"), "doc_id", "left_semi")
+    return extract_in_memory(spark, todo, num_partitions=num_partitions)
