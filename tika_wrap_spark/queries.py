@@ -658,6 +658,50 @@ FROM matched
 """
 
 
+def q_session_window(spark, d):
+    """Sessionization via Spark's NATIVE session_window (streaming-capable
+    merging session windows) rather than the lag/cumsum composition of
+    `sessionize`. Boundary semantics differ by design: session_window
+    merges on gap < 30min STRICT (an event at exactly start+30min opens a
+    new session), which the lag-based oracle mirrors with `>= 1800` as the
+    new-session mark."""
+    ev = _t(spark, d, "events").filter(F.col("user_id") < 40)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id < 40
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM marked
+)
+SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start,
+       count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event
+FROM sessioned GROUP BY user_id, session_idx
+"""
+
+
 def q_rollup_cascade(spark, d):
     """Hypertable-style continuous-aggregate cascade: raw events -> HOURLY
     partials -> DAILY re-aggregated FROM THE HOURLY LEVEL (never rescanning

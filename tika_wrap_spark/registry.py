@@ -42,6 +42,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "asof_join": (q.q_asof_join, q.SQL_ASOF_JOIN),
     "range_join": (q.q_range_join, q.SQL_RANGE_JOIN),
     "rollup_cascade": (q.q_rollup_cascade, q.SQL_ROLLUP_CASCADE),
+    "session_window": (q.q_session_window, q.SQL_SESSION_WINDOW),
     "sketch_kmv": (q.q_sketch_kmv, q.SQL_SKETCH_KMV),
     # dedup family
     "dedup_exact": (qt.q_dedup_exact, qt.SQL_DEDUP_EXACT),
