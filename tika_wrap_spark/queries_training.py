@@ -734,26 +734,22 @@ def q_curate_corpus(spark, d):
     """The end-user training-data curation pipeline as ONE query: keep a
     document iff (a) quality bucket is high/medium, (b) predicted language
     matches the labeled one, and (c) it is its exact-dup group's keeper —
-    the composition every corpus build runs before tokenization. All three
-    stages are the already-oracled operators chained; one broadcast-able
-    join per stage (quality/langid are per-row, the keeper set is the
-    dedup aggregate)."""
+    the composition every corpus build runs before tokenization.
+
+    Quality and language are PER-ROW expressions, so they chain onto ONE
+    scan (no self-joins — at 100 TB a join per signal would shuffle the
+    corpus once per stage); the only join is the dedup-keeper set, which is
+    an aggregate of the same scan joined back on doc_id."""
     docs = _t(spark, d, "documents")
-    quality = ta.quality_features(docs).select("doc_id", "quality")
-    lang_ok = ta.lang_scores(docs).select(
-        "doc_id", (F.col("pred_lang") == F.col("lang")).alias("lang_ok")
-    )
+    signals = ta.lang_scores(ta.quality_features(docs))
     keepers = dd.exact_dedup_groups(docs).select(
         F.col("keeper").alias("doc_id"), F.lit(True).alias("is_keeper")
     )
     return (
-        docs.select("doc_id", "source", "n_chars")
-        .join(quality, "doc_id")
-        .join(lang_ok, "doc_id")
-        .join(keepers, "doc_id", "left")
+        signals.join(keepers, "doc_id", "left")
         .filter(
             F.col("quality").isin("high", "medium")
-            & F.col("lang_ok")
+            & (F.col("pred_lang") == F.col("lang"))
             & F.coalesce(F.col("is_keeper"), F.lit(False))
         )
         .select("doc_id", "source", "n_chars", "quality")
