@@ -753,8 +753,21 @@ def q_sketch_kmv(spark, d):
     hashed = ev.select(
         "event_type", F.md5(F.col("user_id").cast("string").cast("binary")).alias("h")
     ).distinct()
+    # TWO-STAGE bottom-k: a single window over event_type would funnel every
+    # hash of a type through one task (5 types = 5 tasks at any scale).
+    # Stage 1 takes bottom-k within (type, salt) buckets — parallel, bounded
+    # output k*SALTS per type; stage 2 takes the exact global bottom-k of
+    # those candidates. Bottom-k of per-bucket bottom-k's is exact, so the
+    # one-pass oracle is unchanged.
+    salts = 64
+    w1 = Window.partitionBy(
+        "event_type", F.pmod(F.xxhash64("h"), F.lit(salts))
+    ).orderBy("h")
+    cand = hashed.withColumn("rn1", F.row_number().over(w1)).filter(
+        F.col("rn1") <= KMV_K
+    )
     w = Window.partitionBy("event_type").orderBy("h")
-    bottomk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+    bottomk = cand.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= KMV_K
     )
     # u_k in (0,1): first 12 hex chars as an integer / 16^12
