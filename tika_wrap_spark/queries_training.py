@@ -840,6 +840,34 @@ def q_container_extract(spark, d):
     )
 
 
+def q_error_taxonomy(spark, d):
+    """Operational error observability: parse failures tallied by CLASS
+    (timeout / container / pdf / html / internal / other) — the monitoring
+    view a 10^12-doc run pages on. Pure when-chain over the error string +
+    partial-agg count; the reference exposes only a per-doc bool
+    (src/java-env.h:17), this is its production-grade upgrade."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark))
+    cls = (
+        F.when(F.col("parse_ok"), F.lit("ok"))
+        .when(F.col("error").startswith("timeout:"), F.lit("timeout"))
+        .when(F.col("error").contains("container"), F.lit("container"))
+        .when(F.col("error").contains("PDF"), F.lit("pdf"))
+        .when(
+            F.col("error").contains("tag") | F.col("error").contains("comment")
+            | F.col("error").contains("declaration"),
+            F.lit("html"),
+        )
+        .when(F.col("error").startswith("internal:"), F.lit("internal"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        ext.groupBy(cls.alias("error_class"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_fixture_verify(spark, d):
     """north_star verification as a DISTRIBUTED operator: golden span
     sequences vs the Spark pipeline's output, aligned per doc_id with

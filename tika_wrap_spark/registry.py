@@ -70,6 +70,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "extract_pipeline": (qt.q_extract_pipeline, None),
     "container_extract": (qt.q_container_extract, None),
     "fixture_verify": (qt.q_fixture_verify, None),
+    "error_taxonomy": (qt.q_error_taxonomy, None),
     "sniff_route": (qt.q_sniff_route, None),
     "media_decode": (qt.q_media_decode, None),
     "media_resize": (qt.q_media_resize, None),
