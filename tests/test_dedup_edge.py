@@ -184,3 +184,21 @@ def test_connected_components_chain_and_islands(spark):
             (10, 10), (11, 10), (12, 10),
             (20, 20), (21, 20)}
     assert got == want
+
+
+def test_connected_components_long_chain_string_ids(spark):
+    """Diameter-19 path graph with STRING node ids: needs ~19 propagation
+    rounds (past the old max_iter=12 and past several localCheckpoint
+    truncations), min label must still reach the far end, and string ids
+    must work (the convergence check is a changed-count, not a label sum —
+    no ANSI long-sum overflow, no numeric-id requirement)."""
+    n = 20
+    ids = ["n%02d" % i for i in range(n)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "doc_a string, doc_b string"
+    )
+    got = {
+        (r["doc_id"], r["cluster"])
+        for r in dd.connected_components(edges, checkpoint_every=4).collect()
+    }
+    assert got == {(i, "n00") for i in ids}

@@ -193,6 +193,9 @@ def test_jvm_sniffer_fuzz_parity(spark):
         "<!doctype html>", "<html>", "<head>", "<body>", "<?xml", "{", "[",
         ",", ",,", "\n", " ", "\t", "\xa0", "plain words", "a,b,c",
         '{"k": 1}', "<p>inline</p>", "x" * 300,
+        # control chars Python isspace() strips but Unicode White_Space
+        # (Java (?U)\s) does not — the lstrip parity gap's exact trigger
+        "\x1c", "\x1d", "\x1e", "\x1f", "\x0b", "\x85",
     ]
     payloads = []
     for _ in range(2000):

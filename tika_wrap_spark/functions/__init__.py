@@ -54,8 +54,12 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
     head = F.substring(text, 1, sn.HEAD_WINDOW)
     # (?U): Java \s matches only ASCII whitespace by default, but the Python
     # sniffer's str.lstrip() strips unicode whitespace (NBSP etc.) — the
-    # unicode flag keeps the two rule sets identical on exotic leading ws
-    lowered = F.lower(F.regexp_replace(head, r"(?U)^\s+", ""))
+    # unicode flag keeps the two rule sets identical on exotic leading ws.
+    # Python's str.isspace() is additionally true for the file/group/record/
+    # unit separators \x1c-\x1f, which Unicode White_Space (Java (?U)\s) is
+    # NOT — the explicit class closes that parity gap (fuzz + control-char
+    # corpus pinned in tests/test_plans.py).
+    lowered = F.lower(F.regexp_replace(head, r"(?U)^[\s\x1c-\x1f]+", ""))
     html_marker = F.lit(False)
     for marker in sn._HTML_MARKERS:
         html_marker = html_marker | lowered.startswith(marker)

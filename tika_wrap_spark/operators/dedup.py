@@ -189,17 +189,22 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 12,
+    max_iter: int = 64,
+    checkpoint_every: int = 6,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list: every node gets
     ``cluster`` = the smallest node id reachable from it (the canonical
-    keeper of its near-dup group).
+    keeper of its near-dup group). Node ids may be ANY orderable type —
+    numeric or string (min/least are total orders either way).
 
     Iterative driver loop, each step fully distributed (join + partial-agg
     groupBy); converges in <= diameter steps — near-dup components are
-    shallow (pairs share content), so the loop exits after 2-3 rounds via
-    the converged check. At 10^12 docs the same loop runs with the labels
-    DataFrame checkpointed per round to cut lineage growth.
+    shallow (pairs share content), so the loop usually exits after 2-3
+    rounds via the converged check, but ``max_iter`` leaves headroom for
+    long-chain graphs (``tests/test_dedup_edge.py`` pins a diameter-19
+    path). Every ``checkpoint_every`` rounds the labels are
+    ``localCheckpoint``ed to truncate lineage, so plan size stays bounded
+    no matter how many rounds a deep component needs.
     """
     # materialize the edge list ONCE: every propagation round joins against
     # it, and without the cache each round would recompute the (expensive)
@@ -210,34 +215,37 @@ def connected_components(
         .cache()
     )
     nodes = sym.select(F.col("s").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("label")).cache()
-    # labels are MONOTONICALLY non-increasing under min-propagation, so the
-    # label sum strictly decreases iff any label changed — convergence costs
-    # one tiny aggregate per round (which also materializes the new cache),
-    # not a separate join+count action
-    total = labels.agg(F.sum("label").cast("decimal(38,0)").alias("t")).collect()[0]["t"]
-    for _ in range(max_iter):
+    labels = nodes.select("id", F.col("id").alias("label"))
+    cached = labels.cache()
+    for it in range(max_iter):
         prop = (
             sym.join(labels, sym["s"] == labels["id"])
             .groupBy(F.col("d").alias("id2"))
             .agg(F.min("label").alias("nl"))
         )
-        new_labels = (
-            labels.join(prop, labels["id"] == prop["id2"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
-            )
-            .cache()
+        # carry a per-node `changed` flag through the step: convergence is
+        # then sum(changed) == 0 on the SAME materializing aggregate — no
+        # extra join, no arithmetic over the label values themselves (a
+        # long-sum would both overflow under ANSI at 10^12 nodes and bar
+        # string ids; a 0/1 count does neither)
+        stepped = labels.join(prop, labels["id"] == prop["id2"], "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+            (F.col("nl").isNotNull() & (F.col("nl") < F.col("label")))
+            .cast("long")
+            .alias("changed"),
         )
-        new_total = new_labels.agg(
-            F.sum("label").cast("decimal(38,0)").alias("t")
-        ).collect()[0]["t"]
-        labels.unpersist()
-        labels = new_labels
-        if new_total == total:
+        if (it + 1) % checkpoint_every == 0:
+            # truncate lineage: each round's plan otherwise nests the
+            # previous round's join, growing the DAG linearly in rounds
+            stepped = stepped.localCheckpoint(eager=False)
+        new_cached = stepped.cache()
+        n_changed = new_cached.agg(F.sum("changed").alias("c")).collect()[0]["c"] or 0
+        cached.unpersist()
+        cached = new_cached
+        labels = new_cached.select("id", "label")
+        if n_changed == 0:
             break
-        total = new_total
     sym.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 

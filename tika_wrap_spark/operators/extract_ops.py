@@ -16,9 +16,8 @@ Arrow-vectorized at the batch level.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable, Iterator
-from concurrent.futures import ThreadPoolExecutor
-from concurrent.futures import TimeoutError as _FutTimeout
 from typing import Any
 
 import pandas as pd
@@ -45,53 +44,47 @@ from tika_wrap_spark.schemas import EXTRACTED_PART_SCHEMA, EXTRACTED_SCHEMA
 DOC_TIMEOUT_S = 100.0 * 60.0  # reference parity: 100 min per transfer
 GUARD_MIN_CHARS = 1 << 19  # 512k chars: ~50x the corpus median document
 
-class _GuardPool:
-    """Lazy single-thread guard executor. Pickles as EMPTY (``__reduce__``)
-    so ``make_portable``'s by-value module pickling never tries to ship a
-    live executor (its queues are unpicklable); each python worker lazily
-    spawns its own."""
-
-    def __init__(self) -> None:
-        self._pool: ThreadPoolExecutor | None = None
-
-    def submit(self, fn, arg):
-        if self._pool is None:
-            self._pool = ThreadPoolExecutor(max_workers=1)
-        return self._pool.submit(fn, arg)
-
-    def respawn(self) -> None:
-        self._pool = ThreadPoolExecutor(max_workers=1)
-
-    def __reduce__(self):
-        return (_GuardPool, ())
-
-
-_guard_pool = _GuardPool()
-
-
 def _extract_with_timeout(
     spans: list[dict[str, Any]],
     budget_s: float,
     fn: Callable[[list[dict[str, Any]]], dict[str, Any]] = extract_document,
 ) -> dict[str, Any]:
-    """Run one extraction under a wall-clock budget. On timeout the guard
-    thread is abandoned (and the pool respawned — the reference's
-    server-respawn analog, src/java-env.cpp restart path) and the document
-    becomes an error row."""
-    fut = _guard_pool.submit(fn, spans)
-    try:
-        return fut.result(timeout=budget_s)
-    except _FutTimeout:
-        fut.cancel()
-        # the stuck thread is abandoned with its pool; a fresh pool serves
-        # subsequent documents (task-local leak, bounded by the error rate)
-        _guard_pool.respawn()
+    """Run one extraction under a wall-clock budget on a DAEMON guard thread.
+
+    On timeout the thread is abandoned and the document becomes an error
+    row (the reference's server-respawn analog, src/java-env.cpp restart
+    path). Daemon threads never join at interpreter exit, so a genuinely
+    non-terminating document can neither stall a task nor keep the python
+    worker from shutting down (a non-daemon ThreadPoolExecutor would be
+    re-joined by concurrent.futures' atexit hook). A fresh thread serves
+    each guarded document — spawn cost is ~50µs against a >=512k-char
+    parse, and only giants take this path at all. No live thread/pool
+    object lives at module scope, so ``make_portable``'s by-value module
+    pickling has nothing unpicklable to ship."""
+    box: dict[str, Any] = {}
+    done = threading.Event()
+
+    def _runner() -> None:
+        try:
+            box["res"] = fn(spans)
+        except BaseException as exc:  # propagate to the caller's thread
+            box["exc"] = exc
+        finally:
+            done.set()
+
+    threading.Thread(target=_runner, daemon=True, name="tw-extract-guard").start()
+    if not done.wait(budget_s):
+        # the stuck daemon thread is abandoned (task-local leak bounded by
+        # the error rate; it dies with the worker process, blocking nothing)
         return {
             "spans": [],
             "parse_ok": False,
             "error": "timeout: document exceeded %.0fs extraction budget" % budget_s,
             "meta": {},
         }
+    if "exc" in box:
+        raise box["exc"]
+    return box["res"]
 
 
 def _as_span_dicts(cell: Any) -> list[dict[str, Any]]:

@@ -93,19 +93,26 @@ def windowed_event_metrics(
     """Watermarked tumbling-window metrics over an event stream: late rows
     beyond the watermark are dropped, windows age out of state — bounded
     state at unbounded input, the Structured Streaming aggregation idiom.
-    Works identically on a batch DataFrame (same code, batch oracle)."""
+    Works identically on a batch DataFrame (same code, batch oracle).
+
+    Values are quantized to integers BEFORE the aggregation (the
+    rollup_cascade convention): double summation is order-dependent, so a
+    rounded double sum can flake between the streaming and batch plans when
+    a window's total lands near a rounding boundary — an integer sum is
+    associative and re-aggregates exactly."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
-        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        src.withColumn("value_q", F.floor(F.col("value") * 1000).cast("long"))
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("value_q").alias("sum_value_q"),
         )
         .select(
             F.col("w.start").alias("win_start"),
             "event_type",
             "n",
-            "sum_value",
+            "sum_value_q",
         )
     )
 
