@@ -129,6 +129,112 @@ class TestRecursiveExtract:
         assert "container" in res["error"]
 
 
+class TestRealZip:
+    """Real PK-zip binary parsing (core/zipbin.py): the reference's actual
+    smoke inputs are literal .zip files (example/demo1.cpp:48-49). Covers
+    stored + deflate members, nesting across dialects, OOXML-shaped
+    archives, stdlib-zipfile cross-validation both ways, and every
+    malformed shape becoming an ExtractError / parse_ok=false row."""
+
+    def test_roundtrip_stored_and_deflate(self):
+        from tika_wrap_spark.core.zipbin import build_zip, parse_zip
+
+        ents = [("a.log", b"hello world"), ("b/c.bin", b"\x00\xff" * 300)]
+        for deflate in (False, True, [True, False]):
+            assert parse_zip(build_zip(ents, deflate=deflate)) == ents
+
+    def test_stdlib_zipfile_cross_validation(self):
+        import io
+        import zipfile
+
+        from tika_wrap_spark.core.zipbin import build_zip, parse_zip
+
+        ents = [("n1.txt", b"stdlib member one"), ("n2.bin", b"\x00\x01\x02 data")]
+        # stdlib reads ours
+        zf = zipfile.ZipFile(io.BytesIO(build_zip(ents, deflate=True)))
+        assert [(i.filename, zf.read(i)) for i in zf.infolist()] == ents
+        # we read stdlib's (both compression methods)
+        for method in (zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED):
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", method) as z:
+                for name, payload in ents:
+                    z.writestr(name, payload)
+            assert parse_zip(buf.getvalue()) == ents
+
+    def test_extracts_like_any_container(self):
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        zt = build_zip_text(
+            [("m.log", "zip member text"), ("p.png", PNG), ("page.html", HTML)],
+            deflate=[False, True, True],
+        )
+        res = extract_document(_doc(zt))
+        assert res["parse_ok"], res["error"]
+        seq = [(s["kind"], s["media_ref"]) for s in res["spans"]]
+        assert seq[0] == ("text", "") and seq[1] == ("media", "zip://p.png")
+        assert res["spans"][0]["text"] == "zip member text"
+        assert res["meta"]["container_format"] == "zip"
+        assert res["meta"]["html_title"] == "Inner Doc"
+
+    def test_nested_across_dialects(self):
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        # real zip containing a TWC1 archive containing a real zip
+        inner_zip = build_zip_text([("leaf.log", "deep text")], deflate=True)
+        twc = build_container([("mid.zip", inner_zip)])
+        outer = build_zip_text([("outer.twc", twc)])
+        res = extract_document(_doc(outer))
+        assert res["parse_ok"], res["error"]
+        assert [s["text"] for s in res["spans"]] == ["deep text"]
+        assert res["meta"]["n_containers"] == "3"
+        assert res["meta"]["container_depth"] == "3"
+
+    def test_ooxml_real_zip(self):
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        zt = build_zip_text(
+            [("[Content_Types].xml", '<?xml version="1.0"?><Types/>'),
+             ("word/document.xml", '<?xml version="1.0"?><w>body words</w>')],
+            deflate=True,
+        )
+        res = extract_document(_doc(zt))
+        assert res["parse_ok"]
+        assert res["meta"]["container_format"] == "ooxml"
+        assert "body words" in [s["text"] for s in res["spans"]]
+
+    def test_malformed_shapes_raise(self):
+        import struct
+
+        from tika_wrap_spark.core.errors import ExtractError as EE
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        ok = build_zip_text([("m.log", "zip member text")], deflate=False)
+        bads = [
+            ok[:-12],  # EOCD cut off
+            ok.replace("zip member", "zap member", 1),  # stored-member crc mismatch
+            "PK\x03\x04garbage with no directory at all",
+            ok[: len(ok) // 2] + ok[len(ok) // 2 + 3 :],  # mid-stream bytes dropped
+            "PK\x05\x06",  # EOCD magic alone, too short
+        ]
+        # unsupported compression method (bzip2=12) in both records
+        method12 = ok.replace(
+            struct.pack("<HH", 0x800, 0).decode("latin-1"),
+            struct.pack("<HH", 0x800, 12).decode("latin-1"),
+        )
+        bads.append(method12)
+        for bad in bads:
+            with pytest.raises(EE):
+                parse_container(bad)
+            if bad.startswith("PK\x03\x04"):  # else sniffs text, not zip
+                res = extract_document(_doc(bad))
+                assert not res["parse_ok"] and res["spans"] == []
+
+    def test_non_latin1_payload_is_error_row(self):
+        res = extract_document(_doc("PK\x03\x04☃ snowman payload"))
+        assert not res["parse_ok"]
+        assert "latin-1" in res["error"] or "zip" in res["error"]
+
+
 class TestPerFormatMeta:
     def test_html_title_and_pdf_dims_at_top_level(self):
         spans = [

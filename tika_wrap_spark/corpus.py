@@ -28,6 +28,7 @@ from typing import Any
 
 from tika_wrap_spark.core.container import build_container
 from tika_wrap_spark.core.extract import extract_document
+from tika_wrap_spark.core.zipbin import build_zip_text
 
 _WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
@@ -143,18 +144,31 @@ def _gen_png_payload(rng: random.Random) -> str:
     return "\x89PNG\r\n\x1a\n" + filler
 
 
+def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
+    """Serialize members as a REAL PK-zip byte stream (~half the archives;
+    seeded per-member stored/deflate mix) or the TWC1 analog dialect — the
+    extraction core routes both through the same recursion (zipbin.py vs
+    container.py after the shared PK\\x03\\x04 magic)."""
+    if rng.random() < 0.5:
+        return build_zip_text(
+            entries, deflate=[rng.random() < 0.5 for _ in entries]
+        )
+    return build_container(entries)
+
+
 def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
-    """Raw TWC1 container payload (FIXTURES.md §1b): 2-6 members mixing
+    """Raw container payload (FIXTURES.md §1b): 2-6 members mixing
     text/html/pdf/media, ~1-in-4 docs carrying one nested container;
     ~1-in-5 top-level archives are OOXML-shaped ([Content_Types].xml marker
-    + xml members — the zip-that-is-a-document case)."""
+    + xml members — the zip-that-is-a-document case). ~Half of all archives
+    (every nesting level, every shape) serialize as REAL PK-zip binary."""
     entries: list[tuple[str, str]] = []
     if depth == 0 and rng.random() < 0.2:  # OOXML-analog archive
         entries.append(("[Content_Types].xml", _gen_xml_payload(rng)))
         entries.append(("word/document.xml", _gen_xml_payload(rng)))
         if rng.random() < 0.5:
             entries.append(("word/media/image1.png", _gen_png_payload(rng)))
-        return build_container(entries)
+        return _encode_archive(rng, entries)
     nested_budget = 1 if (depth == 0 and rng.random() < 0.45) else 0
     for i in range(rng.randint(2, 6)):
         k = rng.random()
@@ -169,7 +183,7 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
             entries.append(("member_%d.pdf" % i, _gen_pdf_payload(rng)))
         else:
             entries.append(("member_%d.png" % i, _gen_png_payload(rng)))
-    return build_container(entries)
+    return _encode_archive(rng, entries)
 
 
 def _make_spans(payloads: list[tuple[str, str, str]]) -> list[dict[str, Any]]:
@@ -226,44 +240,65 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
+N_ADVERSARIAL = 7
+
+
+def adversarial_rows(base: int) -> list[dict[str, Any]]:
+    """The ``N_ADVERSARIAL`` deterministic malformed docs appended after doc
+    index ``base`` — every parser's failure path pinned as corpus data."""
+    rows: list[dict[str, Any]] = []
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % base,  # malformed html: unterminated tag
+            "spans": _make_spans(
+                [("html", "<!DOCTYPE html><html><body><p>broken <a href=" + "x" * 2000, "")]
+            ),
+        }
+    )
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 1),  # truncated pdf: no %%EOF
+            "spans": _make_spans(
+                [("pdf", "%PDF-1.4\n%%Page: 1\nBT 72.0 700.0 Td (cut", "")]
+            ),
+        }
+    )
+    rows.append({"doc_id": "doc_%07d" % (base + 2), "spans": []})  # empty doc
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 3),  # truncated container body
+            "spans": _make_spans(
+                [("zip", "PK\x03\x04TWC1\nE 8 5000\nbig.long payload cut short", "")]
+            ),
+        }
+    )
+    # container-depth bomb: self-nested past MAX_CONTAINER_DEPTH
+    bomb = "x"
+    for _ in range(12):
+        bomb = build_container([("deep.twc", bomb)])
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 4), "spans": _make_spans([("zip", bomb, "")])}
+    )
+    # REAL zip, EOCD cut off: binary-parser truncation path
+    cut_zip = build_zip_text([("a.log", "member body text")])[:-12]
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 5), "spans": _make_spans([("zip", cut_zip, "")])}
+    )
+    # REAL zip with corrupted member bytes: CRC-mismatch path
+    bad_crc = build_zip_text([("x.log", "hello archive world")]).replace(
+        "hello", "jello", 1
+    )
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 6), "spans": _make_spans([("zip", bad_crc, "")])}
+    )
+    return rows
+
+
 def generate_corpus(n_docs: int, seed: int = 42, adversarial: bool = True) -> list[dict[str, Any]]:
     """Return rows ``{doc_id, spans}`` — the raw input corpus."""
     rows: list[dict[str, Any]] = [gen_doc(i, seed) for i in range(n_docs)]
-
     if adversarial:
-        base = n_docs
-        rows.append(
-            {
-                "doc_id": "doc_%07d" % base,  # malformed html: unterminated tag
-                "spans": _make_spans(
-                    [("html", "<!DOCTYPE html><html><body><p>broken <a href=" + "x" * 2000, "")]
-                ),
-            }
-        )
-        rows.append(
-            {
-                "doc_id": "doc_%07d" % (base + 1),  # truncated pdf: no %%EOF
-                "spans": _make_spans(
-                    [("pdf", "%PDF-1.4\n%%Page: 1\nBT 72.0 700.0 Td (cut", "")]
-                ),
-            }
-        )
-        rows.append({"doc_id": "doc_%07d" % (base + 2), "spans": []})  # empty doc
-        rows.append(
-            {
-                "doc_id": "doc_%07d" % (base + 3),  # truncated container body
-                "spans": _make_spans(
-                    [("zip", "PK\x03\x04TWC1\nE 8 5000\nbig.long payload cut short", "")]
-                ),
-            }
-        )
-        # container-depth bomb: self-nested past MAX_CONTAINER_DEPTH
-        bomb = "x"
-        for _ in range(12):
-            bomb = build_container([("deep.twc", bomb)])
-        rows.append(
-            {"doc_id": "doc_%07d" % (base + 4), "spans": _make_spans([("zip", bomb, "")])}
-        )
+        rows.extend(adversarial_rows(n_docs))
     return rows
 
 
@@ -288,17 +323,19 @@ def smoke_corpus() -> list[dict[str, Any]]:
     """FIXTURES.md §5: five named docs mirroring the reference demo's smoke
     list (/root/reference/example/demo1.cpp:45-52)."""
     rng = random.Random(1042)
-    # smoke_zip1 is a RAW TWC1 archive (the reference demo feeds literal .zip
-    # files); smoke_zip2 keeps the pre-flattened interleaved form.
+    # smoke_zip1 is a REAL PK-zip byte stream (the reference demo feeds
+    # literal .zip files — example/demo1.cpp:48-49); smoke_zip2 keeps the
+    # pre-flattened interleaved form.
     zip1 = [
         (
             "zip",
-            build_container(
+            build_zip_text(
                 [
                     ("notes.log", _gen_text_payload(rng)),
                     ("cover.png", _gen_png_payload(rng)),
                     ("index.html", _gen_html_payload(rng)),
-                ]
+                ],
+                deflate=[False, True, True],
             ),
             "",
         ),
