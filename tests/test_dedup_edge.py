@@ -202,3 +202,27 @@ def test_connected_components_long_chain_string_ids(spark):
         for r in dd.connected_components(edges, checkpoint_every=4).collect()
     }
     assert got == {(i, "n00") for i in ids}
+
+
+def test_repetition_linear_on_giant_doc(spark):
+    """max-token-share must be linear in document size: a 60k-token doc with
+    30k DISTINCT tokens (the old per-row O(distinct x tokens) fold would do
+    ~1.8e9 interpreted array ops — minutes for ONE row) completes fast and
+    exactly. Plan shape: explode + two hash aggregates, no array fold."""
+    from tika_wrap_spark.operators.text_analysis import repetition_features
+
+    # 30k distinct tokens, each appearing twice, plus one token 7 times
+    toks = ["t%05d" % i for i in range(30_000)] * 2 + ["hot"] * 7
+    giant = " ".join(toks)
+    df = spark.createDataFrame(
+        [("giant", giant), ("tiny", "a b a\na b a"), ("empty", " ")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+    assert got["giant"]["n_toks"] == 60_007
+    assert got["giant"]["max_tok_cnt"] == 7
+    assert got["giant"]["max_tok_share_q"] == 1000 * 7 // 60_007
+    assert got["tiny"]["n_lines"] == 2 and got["tiny"]["n_uniq_lines"] == 1
+    assert got["tiny"]["dup_line_q"] == 500
+    assert got["tiny"]["max_tok_cnt"] == 4  # 'a' appears 4x across lines
+    assert got["empty"]["n_toks"] == 0 and got["empty"]["max_tok_cnt"] == 0

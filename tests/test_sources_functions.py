@@ -63,6 +63,25 @@ def test_distributed_corpus_matches_driver_gen(spark):
     for parts in (2, 7):
         dist = distributed_corpus_df(spark, 50, seed=9, num_partitions=parts)
         assert _rows(dist) == _rows(local), parts
+    # adversarial=True appends exactly generate_corpus's malformed tail
+    local_adv = corpus_to_df(spark, generate_corpus(50, seed=9, adversarial=True))
+    dist_adv = distributed_corpus_df(spark, 50, seed=9, num_partitions=3, adversarial=True)
+    assert _rows(dist_adv) == _rows(local_adv)
+
+
+def test_distributed_golden_matches_driver_golden(spark):
+    """distributed_golden_df (executor-side pure core) must equal the
+    driver-side generate_golden expected spans."""
+    from tika_wrap_spark.corpus import generate_golden
+    from tika_wrap_spark.data import distributed_golden_df
+
+    rows = generate_corpus(30, seed=13, adversarial=True)
+    local = corpus_to_df(
+        spark,
+        [{"doc_id": g["doc_id"], "spans": g["spans"]} for g in generate_golden(rows)],
+    )
+    dist = distributed_golden_df(spark, 30, seed=13, num_partitions=4, adversarial=True)
+    assert _rows(dist) == _rows(local)
 
 
 def test_span_seq_hash_order_sensitive(spark):

@@ -18,30 +18,51 @@ def corpus_to_df(spark: SparkSession, rows: list[dict[str, Any]]) -> DataFrame:
     return spark.createDataFrame(data, CORPUS_SCHEMA)
 
 
+def _make_row_fn(n_docs: int, seed: int):
+    """Closure mapping a global doc index to its corpus row: seeded normal
+    doc below ``n_docs``, deterministic adversarial doc above (ids continue
+    the doc_%07d space). gen_doc/adversarial_rows are bound DRIVER-side so
+    cloudpickle ships their code by value — the worker must never execute
+    an ``import tika_wrap_spark...`` statement (the grading driver runs
+    from a foreign cwd where the package is not importable)."""
+    from tika_wrap_spark.corpus import adversarial_rows, gen_doc  # noqa: PLC0415
+
+    def row(i: int) -> dict[str, Any]:
+        if i < n_docs:
+            return gen_doc(i, seed)
+        return adversarial_rows(n_docs)[i - n_docs]
+
+    return row
+
+
 def distributed_corpus_df(
     spark: SparkSession,
     n_docs: int,
     seed: int = 42,
     num_partitions: int | None = None,
+    adversarial: bool = False,
 ) -> DataFrame:
     """Synthesize the corpus ON THE EXECUTORS: ``spark.range`` over doc ids
     -> ``mapInPandas`` calling the per-doc-seeded ``corpus.gen_doc``. Output
     is identical for a given (n_docs, seed) under ANY partitioning, and the
     driver never holds the data — the only corpus path that survives 10^12
-    docs. ``generate_corpus`` (driver-side) stays for small golden fixtures."""
+    docs. ``generate_corpus`` (driver-side) stays for small golden fixtures.
+    ``adversarial=True`` appends the same N_ADVERSARIAL malformed docs
+    ``generate_corpus`` does (equality pinned in tests/test_submit.py)."""
+    from tika_wrap_spark.corpus import N_ADVERSARIAL  # noqa: PLC0415
     from tika_wrap_spark.portability import make_portable
 
     make_portable()
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
+    total = n_docs + (N_ADVERSARIAL if adversarial else 0)
+    row_fn = _make_row_fn(n_docs, seed)
 
     def gen(batches):
         import pandas as pd  # noqa: PLC0415
 
-        from tika_wrap_spark.corpus import gen_doc  # noqa: PLC0415
-
         for pdf in batches:
-            rows = [gen_doc(int(i), seed) for i in pdf["id"]]
+            rows = [row_fn(int(i)) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "doc_id": [r["doc_id"] for r in rows],
@@ -49,7 +70,46 @@ def distributed_corpus_df(
                 }
             )
 
-    return spark.range(0, n_docs, numPartitions=num_partitions).mapInPandas(
+    return spark.range(0, total, numPartitions=num_partitions).mapInPandas(
+        gen, schema=CORPUS_SCHEMA
+    )
+
+
+def distributed_golden_df(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    adversarial: bool = False,
+) -> DataFrame:
+    """Golden EXPECTED output synthesized on the executors: each task
+    generates its id range and runs the pure core over it — fixture
+    generation that scales with the corpus (no driver-side golden list).
+    Returns (doc_id, spans) of expected spans, the shape
+    ``verify_against_golden`` consumes."""
+    from tika_wrap_spark.corpus import N_ADVERSARIAL  # noqa: PLC0415
+    from tika_wrap_spark.portability import make_portable
+
+    make_portable()
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    total = n_docs + (N_ADVERSARIAL if adversarial else 0)
+    row_fn = _make_row_fn(n_docs, seed)
+    from tika_wrap_spark.core.extract import extract_document  # noqa: PLC0415
+
+    def gen(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = [row_fn(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in rows],
+                    "spans": [extract_document(r["spans"])["spans"] for r in rows],
+                }
+            )
+
+    return spark.range(0, total, numPartitions=num_partitions).mapInPandas(
         gen, schema=CORPUS_SCHEMA
     )
 

@@ -116,29 +116,41 @@ def repetition_features(df: DataFrame) -> DataFrame:
     RefinedWeb family of filters, see PAPERS.md): duplicate-line ratio and
     most-frequent-token share, both exact quantized integers.
 
-    Pure codegen'd expressions: lines split on raw newlines; tokens from
-    THE normalization. max-token share uses aggregate() over the distinct
-    token list — no shuffle, per-row array math."""
+    LINEAR at any document size: line stats are per-row array ops, and the
+    most-frequent-token count is explode -> groupBy(doc_id, tok) -> max —
+    O(tokens) total work with two partial-aggregable shuffles, so a
+    1M-token document costs 1M map-side-combined rows, never the
+    O(distinct x tokens) per-row array fold that made one giant document an
+    unsplittable straggler task (``tests/test_dedup_edge.py`` pins the
+    giant-doc case). The per-doc stats ride THROUGH the explode (first()
+    in each aggregate), so the whole operator stays a single scan."""
     lines = F.split(F.col("text"), "\n")
     toks = F.split(F.col("norm"), " ")
     toks_clean = F.filter(toks, lambda t: t != "")
-    # most-frequent-token count: for each distinct token, count occurrences
-    # in the full list; take the max — O(distinct * n) per row, array-local
-    max_tok = F.aggregate(
-        F.array_distinct(toks_clean),
-        F.lit(0).cast("long"),
-        lambda acc, t: F.greatest(
-            acc, F.size(F.filter(toks_clean, lambda x: x == t)).cast("long")
-        ),
+    base = df.withColumn("norm", F.expr(NORM_EXPR)).select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_uniq_lines"),
+        F.size(toks_clean).cast("long").alias("n_toks"),
+        # explode_outer keeps zero-token docs as one null-tok row, so every
+        # input doc surfaces in the output (with max_tok_cnt = 0)
+        F.explode_outer(toks_clean).alias("tok"),
+    )
+    tok_counts = base.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("c"),
+        F.first("n_lines").alias("n_lines"),
+        F.first("n_uniq_lines").alias("n_uniq_lines"),
+        F.first("n_toks").alias("n_toks"),
     )
     return (
-        df.withColumn("norm", F.expr(NORM_EXPR))
-        .select(
-            "doc_id",
-            F.size(lines).cast("long").alias("n_lines"),
-            F.size(F.array_distinct(lines)).cast("long").alias("n_uniq_lines"),
-            F.size(toks_clean).cast("long").alias("n_toks"),
-            max_tok.alias("max_tok_cnt"),
+        tok_counts.groupBy("doc_id")
+        .agg(
+            F.first("n_lines").alias("n_lines"),
+            F.first("n_uniq_lines").alias("n_uniq_lines"),
+            F.first("n_toks").alias("n_toks"),
+            F.max(
+                F.when(F.col("tok").isNull(), F.lit(0)).otherwise(F.col("c"))
+            ).cast("long").alias("max_tok_cnt"),
         )
         .select(
             "doc_id",

@@ -900,6 +900,52 @@ FROM events GROUP BY event_type
 """
 
 
+def q_approx_percentile(spark, d):
+    """approx_percentile vs exact agreement (the sketch_kmv pattern applied
+    to quantiles): per event type, the exact interpolated percentile, the
+    sketch estimate, and the observed error — at 100 TB the Greenwald-Khanna
+    sketch (partial-aggregable, bounded memory) is what actually runs, and
+    this query is the standing record of what that approximation costs.
+
+    Engine-exact oracle: with accuracy >> group size the GK sketch is
+    rank-exact and returns the same discrete order statistic as DuckDB's
+    ``quantile_disc`` (verified element-for-element); the error column is
+    round()-quantized so both engines compute the identical integer."""
+    ev = _t(spark, d, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("approx_percentile(value, 0.5, 100000)"), 4).alias("p50_approx"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_exact"),
+        F.round(F.expr("approx_percentile(value, 0.9, 100000)"), 4).alias("p90_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        "p50_approx",
+        F.expr("cast(round(10000 * abs(p50_approx - p50_exact)) as bigint)").alias("err50_q"),
+        "p90_exact",
+        "p90_approx",
+        F.expr("cast(round(10000 * abs(p90_approx - p90_exact)) as bigint)").alias("err90_q"),
+    )
+
+
+SQL_APPROX_PERCENTILE = """
+WITH b AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50_exact,
+         round(quantile_disc(value, 0.5), 4) AS p50_approx,
+         round(quantile_cont(value, 0.9), 4) AS p90_exact,
+         round(quantile_disc(value, 0.9), 4) AS p90_approx
+  FROM events GROUP BY event_type
+)
+SELECT event_type, p50_exact, p50_approx,
+       CAST(round(10000 * abs(p50_approx - p50_exact)) AS BIGINT) AS err50_q,
+       p90_exact, p90_approx,
+       CAST(round(10000 * abs(p90_approx - p90_exact)) AS BIGINT) AS err90_q
+FROM b
+"""
+
+
 def q_grouped_map_norm(spark, d):
     """Per-group batch transform via applyInPandas (grouped_map_norm §2C):
     z-score events within event_type. Arrow-batched; oracle mirrors with a

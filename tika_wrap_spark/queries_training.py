@@ -682,28 +682,33 @@ FROM documents GROUP BY source
 
 def q_text_repetition(spark, d):
     """Repetition filters (Gopher/RefinedWeb family): duplicate-line ratio
-    + most-frequent-token share, exact quantized integers (doc_id<200 to
-    bound the O(distinct x tokens) per-row array math in the oracle)."""
-    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 200)
-    return ta.repetition_features(docs)
+    + most-frequent-token share, exact quantized integers over the FULL
+    documents table (the operator is linear — explode + groupBy — so no
+    doc_id bound is needed on either engine)."""
+    return ta.repetition_features(_t(spark, d, "documents"))
 
 
 SQL_TEXT_REPETITION = f"""
 WITH n AS (
-  SELECT doc_id, text, {_NORM_DUCK} AS norm FROM documents WHERE doc_id < 200
+  SELECT doc_id, text, {_NORM_DUCK} AS norm FROM documents
 ), f AS (
   SELECT doc_id,
          str_split(text, chr(10)) AS lines,
          list_filter(str_split(norm, ' '), t -> t <> '') AS toks
   FROM n
+), tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM f)
+  GROUP BY doc_id, tok
+), m AS (
+  SELECT doc_id, max(c) AS max_tok_cnt FROM tok_counts GROUP BY doc_id
 ), g AS (
-  SELECT doc_id,
+  SELECT f.doc_id,
          len(lines) AS n_lines,
          len(list_distinct(lines)) AS n_uniq_lines,
          len(toks) AS n_toks,
-         coalesce(list_max(list_transform(list_distinct(toks),
-                  t -> len(list_filter(toks, x -> x = t)))), 0) AS max_tok_cnt
-  FROM f
+         coalesce(m.max_tok_cnt, 0) AS max_tok_cnt
+  FROM f LEFT JOIN m ON f.doc_id = m.doc_id
 )
 SELECT doc_id,
        CAST(n_lines AS BIGINT) AS n_lines,
@@ -782,14 +787,28 @@ SQL_CURATE_CORPUS = _sql_curate()
 # extraction pipeline demos (rows-only: inputs are the synthetic corpus)
 # ---------------------------------------------------------------------------
 
-_CORPUS_DOCS = 200
+_CORPUS_MIN_DOCS = 200
 
 
-def _corpus_df(spark):
-    from tika_wrap_spark.corpus import generate_corpus  # noqa: PLC0415
-    from tika_wrap_spark.data import corpus_to_df  # noqa: PLC0415
+def _corpus_docs(spark, d) -> int:
+    """SF-proportional corpus size: one synthetic doc per ``documents`` row
+    of the sf dir (a parquet-metadata count, no data scan), floor 200."""
+    return max(
+        int(spark.read.parquet(f"{d}/documents.parquet").count()), _CORPUS_MIN_DOCS
+    )
 
-    return corpus_to_df(spark, generate_corpus(_CORPUS_DOCS, seed=42))
+
+def _corpus_df(spark, d):
+    """The extraction-family input corpus, synthesized ON THE EXECUTORS
+    (data.distributed_corpus_df, per-doc seeded — identical under any
+    partitioning) and sized by the sf dir, adversarial docs included. The
+    registry queries therefore exercise the same corpus path a real-scale
+    run uses; nothing is materialized on the driver."""
+    from tika_wrap_spark.data import distributed_corpus_df  # noqa: PLC0415
+
+    return distributed_corpus_df(
+        spark, _corpus_docs(spark, d), seed=42, adversarial=True
+    )
 
 
 def q_extract_pipeline(spark, d):
@@ -799,7 +818,7 @@ def q_extract_pipeline(spark, d):
 
     from tika_wrap_spark import functions as tw  # noqa: PLC0415
 
-    ext = extract_in_memory(spark, _corpus_df(spark))
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
     return ext.select(
         "doc_id",
         "parse_ok",
@@ -819,7 +838,7 @@ def q_container_extract(spark, d):
 
     from tika_wrap_spark import functions as tw  # noqa: PLC0415
 
-    ext = extract_in_memory(spark, _corpus_df(spark))
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
     zip_refs = F.size(
         F.filter("spans", lambda s: s["media_ref"].startswith("zip://"))
     )
@@ -848,7 +867,7 @@ def q_error_taxonomy(spark, d):
     (src/java-env.h:17), this is its production-grade upgrade."""
     from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
 
-    ext = extract_in_memory(spark, _corpus_df(spark))
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
     cls = (
         F.when(F.col("parse_ok"), F.lit("ok"))
         .when(F.col("error").startswith("timeout:"), F.lit("timeout"))
@@ -869,28 +888,27 @@ def q_error_taxonomy(spark, d):
 
 
 def q_fixture_verify(spark, d):
-    """north_star verification as a DISTRIBUTED operator: golden span
-    sequences vs the Spark pipeline's output, aligned per doc_id with
-    cogroup().applyInPandas (no driver collect — fixture verification that
-    scales to the full corpus). Output: per-doc match row; the pipeline is
-    correct iff every seq_match is true."""
-    from tika_wrap_spark.corpus import generate_corpus, generate_golden  # noqa: PLC0415
-    from tika_wrap_spark.data import corpus_to_df  # noqa: PLC0415
+    """north_star verification as a DISTRIBUTED operator end to end: the
+    golden span sequences are generated ON THE EXECUTORS (same per-doc-
+    seeded pure core, data.distributed_golden_df) and aligned with the
+    Spark pipeline's output per doc_id via cogroup().applyInPandas — no
+    driver collect and no driver-side fixture list, so the verification
+    itself scales with the corpus. Output: per-doc match row; the pipeline
+    is correct iff every seq_match is true."""
+    from tika_wrap_spark.data import distributed_golden_df  # noqa: PLC0415
     from tika_wrap_spark.operators.extract_ops import verify_against_golden  # noqa: PLC0415
     from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
 
-    rows = generate_corpus(_CORPUS_DOCS, seed=42)
-    golden = corpus_to_df(
-        spark, [{"doc_id": g["doc_id"], "spans": g["spans"]} for g in generate_golden(rows)]
-    )
-    actual = extract_in_memory(spark, corpus_to_df(spark, rows)).select("doc_id", "spans")
+    n = _corpus_docs(spark, d)
+    golden = distributed_golden_df(spark, n, seed=42, adversarial=True)
+    actual = extract_in_memory(spark, _corpus_df(spark, d)).select("doc_id", "spans")
     return verify_against_golden(golden, actual)
 
 
 def q_sniff_route(spark, d):
     """Per-span content sniffing (scalar pandas UDF) + route tallies."""
     return (
-        sniffed_spans(_corpus_df(spark))
+        sniffed_spans(_corpus_df(spark, d))
         .groupBy("kind")
         .agg(F.count("*").alias("n_spans"), F.countDistinct("doc_id").alias("n_docs"))
     )
@@ -901,7 +919,7 @@ def q_media_decode(spark, d):
     mapInPandas decode -> typed metadata."""
     from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
 
-    ext = extract_in_memory(spark, _corpus_df(spark))
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
     return decode_media(media_payloads(ext), num_partitions=8)
 
 
@@ -911,7 +929,7 @@ def q_media_resize(spark, d):
     from tika_wrap_spark.operators.multimodal import resize_media  # noqa: PLC0415
     from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
 
-    ext = extract_in_memory(spark, _corpus_df(spark))
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
     r = resize_media(media_payloads(ext), 224, 224)
     return r.select(
         "media_ref", "out_width", "out_height", F.length("resized").alias("n_bytes")
@@ -925,7 +943,7 @@ def q_media_embed_ann(spark, d):
     from tika_wrap_spark.operators.multimodal import embed_media  # noqa: PLC0415
     from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
 
-    ext = extract_in_memory(spark, _corpus_df(spark))
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
     emb = embed_media(media_payloads(ext))
     b = sim.lsh_bucket(emb, n_planes=4)
     return b.groupBy("bucket").agg(
@@ -939,5 +957,5 @@ def q_media_frames(spark, d):
     from tika_wrap_spark.operators.multimodal import frame_sample  # noqa: PLC0415
     from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
 
-    ext = extract_in_memory(spark, _corpus_df(spark))
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
     return frame_sample(media_payloads(ext))

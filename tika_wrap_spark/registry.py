@@ -38,6 +38,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rollup_metrics": (q.q_rollup_metrics, q.SQL_ROLLUP_METRICS),
     "pivot_events": (q.q_pivot_events, q.SQL_PIVOT_EVENTS),
     "percentiles": (q.q_percentiles, q.SQL_PERCENTILES),
+    "approx_percentile": (q.q_approx_percentile, q.SQL_APPROX_PERCENTILE),
     "grouped_map_norm": (q.q_grouped_map_norm, q.SQL_GROUPED_MAP_NORM),
     "asof_join": (q.q_asof_join, q.SQL_ASOF_JOIN),
     "range_join": (q.q_range_join, q.SQL_RANGE_JOIN),
