@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucket",
     "ann_lsh_topk_multi",
+    "ann_ivf_topk",
     "ann_recall",
     "text_langid",
     "text_quality",

@@ -80,6 +80,34 @@ class TestHtml:
             "alpha & beta <tag> spaced out enough characters to pass the minimum."
         ]
 
+    def test_numeric_and_named_entity_breadth(self):
+        """Numeric refs (decimal + hex), the HTML5 named set beyond the
+        legacy 7, cp1252-remapped C1 refs, invalid refs -> U+FFFD, unknown
+        names left literal — Tika decodes all of these."""
+        html = (
+            "<html><body><p>deg &#176; eq &#x3D; copy &copy; euro &euro; "
+            "mdash &mdash; dash &#150; bad &#xD800; unknown &nosuch; "
+            "padding so the block passes the keep threshold.</p></body></html>"
+        )
+        (block,) = extract_html_blocks(html)
+        assert "deg °" in block
+        assert "eq =" in block
+        assert "copy ©" in block
+        assert "euro €" in block
+        assert "mdash —" in block
+        assert "dash –" in block  # &#150; -> cp1252 EN DASH, not U+0096
+        assert "bad �" in block  # surrogate ref -> replacement char
+        assert "unknown &nosuch;" in block  # unknown name stays literal
+
+    def test_entities_in_title_and_xml(self):
+        from tika_wrap_spark.core.html import extract_xml_text, html_title
+
+        assert html_title("<title>A &dagger; B &#8212; C</title>") == "A † B — C"
+        assert (
+            extract_xml_text('<?xml version="1.0"?><d>x &#x41; &Omega; y</d>')
+            == "x A Ω y"
+        )
+
     def test_blocks_in_document_order(self):
         html = (
             "<html><body>"

@@ -53,6 +53,73 @@ def test_embed_feeds_similarity_ops(spark):
     assert all(len(r["bucket"]) == 4 and set(r["bucket"]) <= {"0", "1"} for r in rows)
 
 
+def test_image_header_parse_pure():
+    """PNG IHDR / JPEG SOF dims parse for real: crafted headers (incl.
+    progressive SOF2), stdlib-independent, total on garbage."""
+    from tika_wrap_spark.core.media import (
+        build_jpeg,
+        build_png,
+        image_dims,
+        jpeg_dims,
+        png_dims,
+    )
+
+    assert png_dims(build_png(640, 480)) == (640, 480)
+    assert png_dims(build_png(1, 1, b"trailing")) == (1, 1)
+    assert jpeg_dims(build_jpeg(800, 600)) == (800, 600)
+    assert jpeg_dims(build_jpeg(321, 123, progressive=True)) == (321, 123)
+    assert image_dims(build_png(10, 20)) == (10, 20)
+    assert image_dims(build_jpeg(30, 40)) == (30, 40)
+    # total on malformed/foreign bytes
+    assert png_dims(build_png(640, 480)[:20]) is None
+    assert png_dims(b"\x89PNG\r\n\x1a\nnot-ihdr-here-at-all....") is None
+    assert jpeg_dims(build_jpeg(800, 600)[:6]) is None
+    assert jpeg_dims(b"\xff\xd8\xff\xd9") is None  # EOI before SOF
+    assert image_dims(b"random bytes") is None
+    assert image_dims(b"") is None
+
+
+def test_decode_media_returns_true_image_dims(spark):
+    """decode_media over crafted REAL PNG/JPEG payloads returns the exact
+    header dimensions (multimodal image path graduates from stub)."""
+    from tika_wrap_spark.core.media import build_jpeg, build_png
+
+    rows = [
+        ("png://a", bytearray(build_png(640, 480))),
+        ("jpg://b", bytearray(build_jpeg(1024, 768))),
+        ("jpg://c", bytearray(build_jpeg(77, 55, progressive=True))),
+        ("blob://d", bytearray(b"\x00opaque-not-an-image\x00\x01")),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = {r["media_ref"]: r for r in decode_media(df).collect()}
+    assert (got["png://a"]["width"], got["png://a"]["height"]) == (640, 480)
+    assert (got["jpg://b"]["width"], got["jpg://b"]["height"]) == (1024, 768)
+    assert (got["jpg://c"]["width"], got["jpg://c"]["height"]) == (77, 55)
+    assert all(got[k]["media_kind"] == "image" for k in ("png://a", "jpg://b", "jpg://c"))
+    assert got["blob://d"]["media_kind"] in ("audio", "video")  # stub path
+    # the fake fetch emits parseable image heads for ~2/3 of refs
+    fetched = decode_media(_media(spark))
+    kinds = {r["media_kind"] for r in fetched.collect()}
+    assert "image" in kinds
+
+
+def test_extract_meta_records_media_dims():
+    """A container member with a real PNG/JPEG head surfaces true dims in
+    the per-document metadata (media1_w/media1_h)."""
+    from tika_wrap_spark.core.extract import extract_document
+    from tika_wrap_spark.core.media import build_png
+    from tika_wrap_spark.core.zipbin import build_zip_text
+
+    png_text = build_png(512, 256, b"fill").decode("latin-1")
+    zt = build_zip_text([("img.png", png_text), ("t.log", "text member")])
+    res = extract_document([{"kind": "zip", "text": zt, "media_ref": "", "offset": 0}])
+    assert res["parse_ok"]
+    assert res["meta"]["media1_w"] == "512" and res["meta"]["media1_h"] == "256"
+    # docs with no media keep empty keys
+    res2 = extract_document([{"kind": "text", "text": "plain", "media_ref": "", "offset": 0}])
+    assert res2["meta"]["media1_w"] == "" and res2["meta"]["media1_h"] == ""
+
+
 def test_resize_and_frames_shapes(spark):
     media = _media(spark).cache()
     n = media.count()

@@ -21,6 +21,7 @@ from typing import Any
 from tika_wrap_spark.core.container import MAX_CONTAINER_DEPTH, parse_container
 from tika_wrap_spark.core.errors import ExtractError
 from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, html_title
+from tika_wrap_spark.core.media import image_dims_text
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
 from tika_wrap_spark.core.sniff import (
     KIND_HTML,
@@ -84,6 +85,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     depth_max = 0  # deepest container nesting level seen
     title = ""  # first non-empty <title> across html payloads
     pdf1_dims: tuple[float, float] | None = None  # first pdf's first page
+    media1_dims: tuple[int, int] | None = None  # first parseable image's w,h
     container_format = ""  # 'ooxml' if any archive carries the marker member
 
     def emit(kind: str, text: str, media_ref: str) -> None:
@@ -99,10 +101,15 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         parse embedded content", /root/reference/README.md:25; zip smoke
         inputs at example/demo1.cpp:48-49)."""
         nonlocal n_pages, n_blocks, n_media, n_containers, n_entries
-        nonlocal depth_max, title, pdf1_dims, container_format
+        nonlocal depth_max, title, pdf1_dims, media1_dims, container_format
         kinds_seen.add(kind)
         if kind == KIND_MEDIA:
             n_media += 1
+            if media1_dims is None and text:
+                # embedded member carries real bytes: PNG IHDR / JPEG SOF
+                # header parse (pure stdlib, core/media.py) — the analog of
+                # Tika's tiff:ImageWidth/Length metadata keys
+                media1_dims = image_dims_text(text)
             if not media_ref and path:
                 # embedded media member: back-pointer into the archive
                 media_ref = "zip://" + "/".join(path)
@@ -166,6 +173,8 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "html_title": title,
         "pdf_page1_w": "" if pdf1_dims is None else "%.1f" % pdf1_dims[0],
         "pdf_page1_h": "" if pdf1_dims is None else "%.1f" % pdf1_dims[1],
+        "media1_w": "" if media1_dims is None else _stringify(media1_dims[0]),
+        "media1_h": "" if media1_dims is None else _stringify(media1_dims[1]),
         "kinds": ",".join(sorted(kinds_seen)),
         "parser": "tika_wrap_spark-0.1",
     }

@@ -32,16 +32,41 @@ _BOILERPLATE_CONTAINERS = frozenset({"nav", "header", "footer", "aside"})
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>'\"]|'[^']*'|\"[^\"]*\")*?)(/?)>")
 _WS_RE = re.compile(r"\s+")
 
-_ENTITIES = {
-    "&amp;": "&",
-    "&lt;": "<",
-    "&gt;": ">",
-    "&quot;": '"',
-    "&#39;": "'",
-    "&apos;": "'",
-    "&nbsp;": " ",
+# Named entities: the full WHATWG HTML5 set (stdlib html.entities.html5 —
+# public spec data), semicolon-terminated forms only (the lenient
+# no-semicolon legacy forms decode as literal text, like Tika's sax path).
+from html.entities import html5 as _HTML5_ENTITIES  # noqa: E402
+
+_NAMED = {k: v for k, v in _HTML5_ENTITIES.items() if k.endswith(";")}
+
+# Numeric character references additionally get the WHATWG windows-1252
+# remap for the C1 range (browsers decode &#150; as EN DASH, not U+0096).
+_CP1252 = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
 }
-_ENTITY_RE = re.compile("|".join(re.escape(e) for e in _ENTITIES))
+
+_ENTITY_RE = re.compile(
+    r"&(#[0-9]{1,8};|#[xX][0-9a-fA-F]{1,8};|[a-zA-Z][a-zA-Z0-9]{0,31};)"
+)
+
+
+def _entity_sub(m: "re.Match[str]") -> str:
+    ent = m.group(1)
+    if ent[0] == "#":
+        body = ent[1:-1]
+        cp = int(body[1:], 16) if body[0] in "xX" else int(body)
+        if cp in _CP1252:
+            return _CP1252[cp]
+        if cp == 0 or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+            return "�"  # WHATWG replacement for invalid refs
+        return chr(cp)
+    return _NAMED.get(ent, m.group(0))  # unknown name -> literal text
 
 # A '<' that never closes within this many chars marks a malformed document.
 _MAX_TAG_LEN = 1024
@@ -54,7 +79,7 @@ MAX_LINK_DENSITY = 1.0 / 3.0
 def _decode_entities(s: str) -> str:
     if "&" not in s:  # fast path: most blocks carry no entities
         return s
-    return _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
+    return _ENTITY_RE.sub(_entity_sub, s)
 
 
 def _normalize_ws(s: str) -> str:

@@ -28,6 +28,7 @@ from typing import Any
 
 from tika_wrap_spark.core.container import build_container
 from tika_wrap_spark.core.extract import extract_document
+from tika_wrap_spark.core.media import build_jpeg, build_png
 from tika_wrap_spark.core.zipbin import build_zip_text
 
 _WORDS = (
@@ -138,10 +139,15 @@ def _gen_xml_payload(rng: random.Random) -> str:
 
 
 def _gen_png_payload(rng: random.Random) -> str:
-    """Embedded-media member bytes-as-text: real PNG magic + seeded filler
-    (the sandbox has no image libs; the magic is what routing keys on)."""
+    """Embedded-media member bytes-as-text: a REAL image head — PNG magic +
+    IHDR with seeded dims and correct chunk CRC (or, ~1 in 4, a JPEG
+    SOI+SOF0 head) + seeded filler. Header-parseable without image
+    libraries, so extraction records true media dimensions."""
+    w, h = rng.randint(16, 1920), rng.randint(16, 1080)
+    if rng.random() < 0.25:
+        return build_jpeg(w, h).decode("latin-1")
     filler = "".join(rng.choice("0123456789abcdef") for _ in range(rng.randint(32, 96)))
-    return "\x89PNG\r\n\x1a\n" + filler
+    return build_png(w, h, filler.encode("ascii")).decode("latin-1")
 
 
 def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:

@@ -1,9 +1,11 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media payloads are opaque ``binary`` columns + typed metadata; decode /
-feature-extract runs as Arrow-batched ``mapInPandas``. The decode kernels
-themselves are STUBS — this container has no image/audio libraries — marked
-by ``_decode_real`` raising NotImplementedError and a deterministic fake
+feature-extract runs as Arrow-batched ``mapInPandas``. The IMAGE decode is
+REAL: PNG IHDR / JPEG SOF header parsing (pure stdlib, ``core/media.py``)
+returns true width/height for any PNG or JPEG byte stream. Audio/video
+kernels remain STUBS — this container has no media libraries — marked by
+``_decode_real`` raising NotImplementedError and a deterministic fake
 (`_decode_fake`, keyed on the payload digest) standing in so the Spark-side
 plumbing (schema, partitioning, UDF signature, Arrow batch shape) is real
 and tested end-to-end.
@@ -26,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tika_wrap_spark.core.media import build_jpeg, build_png, image_dims
 from tika_wrap_spark.portability import make_portable
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -49,41 +52,89 @@ def _decode_real(payload: bytes) -> dict:
 
 
 def _decode_fake(ref: str, payload: bytes) -> dict:
-    """Deterministic stand-in: metadata derived from the payload digest."""
+    """Deterministic stand-in for NON-IMAGE payloads (audio/video need real
+    media libraries): metadata derived from the payload digest."""
     h = hashlib.md5(payload).hexdigest()
     v = int(h[:8], 16)
-    kind = ("image", "audio", "video")[v % 3]
+    kind = ("audio", "video")[v % 2]
     return {
         "media_kind": kind,
         "width": 64 + (v % 1920),
         "height": 64 + ((v >> 8) % 1080),
-        "n_frames": 1 if kind == "image" else 1 + ((v >> 16) % 300),
+        "n_frames": 1 + ((v >> 16) % 300),
         "feature": h[:16],
     }
+
+
+def _decode_payload(ref: str, payload: bytes) -> dict:
+    """IMAGE path is REAL: PNG IHDR / JPEG SOF header parse (core/media.py)
+    yields true dimensions for any PNG/JPEG byte stream; everything else
+    falls to the declared audio/video stub."""
+    dims = image_dims(payload)
+    if dims is not None:
+        return {
+            "media_kind": "image",
+            "width": dims[0],
+            "height": dims[1],
+            "n_frames": 1,
+            "feature": hashlib.md5(payload).hexdigest()[:16],
+        }
+    return _decode_fake(ref, payload)
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = {k.name: [] for k in MEDIA_META_SCHEMA.fields}
         for ref, payload in zip(pdf["media_ref"].tolist(), pdf["payload"].tolist()):
-            meta = _decode_fake(ref, bytes(payload))
+            meta = _decode_payload(ref, bytes(payload))
             rows["media_ref"].append(ref)
             for k, val in meta.items():
                 rows[k].append(val)
         yield pd.DataFrame(rows)
 
 
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _fetch_fake(ref: str) -> bytes:
+    """Deterministic object-store-fetch stand-in, keyed on the ref digest:
+    ~2/3 of refs come back as REAL PNG/JPEG byte streams (valid headers,
+    digest-derived dims) so the decode path exercises true header parsing;
+    the rest stay opaque bytes (the audio/video stub path)."""
+    h = hashlib.md5(ref.encode("utf-8")).digest()
+    v = int.from_bytes(h[:4], "big")
+    w, hgt = 16 + v % 1920, 16 + (v >> 8) % 1080
+    kind = v % 3
+    if kind == 0:
+        return build_png(w, hgt, h)
+    if kind == 1:
+        return build_jpeg(w, hgt, progressive=bool(v & 8))
+    return h + h[::-1]
+
+
 def media_payloads(extracted: DataFrame) -> DataFrame:
-    """Media spans -> (media_ref, payload:binary). The payload here is a
-    deterministic synthetic blob (the corpus stores refs, not bytes) —
-    production swaps this projection for an object-store fetch."""
+    """Media spans -> (media_ref, payload:binary) via an Arrow-batched fetch
+    stage (``_fetch_fake`` stands in for the object-store GET a production
+    deployment plugs in here — same mapInPandas shape either way)."""
+    make_portable()
     spans = extracted.select(F.explode("spans").alias("s")).filter(
         F.col("s.kind") == "media"
     )
-    return spans.select(
-        F.col("s.media_ref").alias("media_ref"),
-        F.unhex(F.md5(F.col("s.media_ref").cast("binary"))).alias("payload"),
-    )
+    refs = spans.select(F.col("s.media_ref").alias("media_ref"))
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs_l = pdf["media_ref"].tolist()
+            yield pd.DataFrame(
+                {"media_ref": refs_l, "payload": [_fetch_fake(r) for r in refs_l]}
+            )
+
+    return refs.mapInPandas(fetch, schema=PAYLOAD_SCHEMA)
 
 
 def decode_media(media: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -152,7 +203,7 @@ def frame_sample(media: DataFrame, every_n: int = 30, max_frames: int = 8) -> Da
         for pdf in it:
             refs, idxs, feats = [], [], []
             for ref, payload in zip(pdf["media_ref"].tolist(), pdf["payload"].tolist()):
-                meta = _decode_fake(ref, bytes(payload))
+                meta = _decode_payload(ref, bytes(payload))
                 n = min(max(meta["n_frames"] // every_n, 1), max_frames)
                 for k in range(n):
                     refs.append(ref)

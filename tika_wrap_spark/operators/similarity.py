@@ -162,6 +162,111 @@ def lsh_topk_multi(
     )
 
 
+def _nearest_cells(
+    vecs: DataFrame, cents: DataFrame, id_col: str, n_keep: int
+) -> DataFrame:
+    """Rank centroids per vector by quantized cosine (tie -> lowest cell id)
+    and keep the top ``n_keep``. Centroids are tiny and broadcast, so the
+    vector side never shuffles for scoring; the rank window shuffles
+    N x n_cells scored rows (at 10^12 scale swap the n_keep=1 case for a
+    single-pass max_by aggregate to avoid even that)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    dot = int_dot(F.col("eq"), F.col("ceq"))
+    # greatest(cnq, 1): a fully-degenerate all-zero centroid must not div/0;
+    # identical guard on the oracle side keeps ranking engine-exact
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "cell",
+        cosine_q(dot, F.col("nq"), F.greatest(F.col("cnq"), F.lit(1))).alias("cell_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cell_cos").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_keep)
+        .select(id_col, "cell", "rn")
+    )
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int = 16) -> DataFrame:
+    """IVF coarse quantizer, integer-exact: seed cells with the first
+    ``n_cells`` vectors, assign every vector to its nearest seed by
+    quantized cosine, then ONE distributed Lloyd refinement — component-wise
+    ``floor(avg)`` of member vectors per cell (an N x dim partial-aggregable
+    groupBy; more iterations repeat the same two stages). Deterministic and
+    ANSI-SQL expressible end to end, so the whole index build is
+    DuckDB-oracle checkable — the property a production kmeans trades away.
+    Returns (cell, ceq: array<long>, cnq)."""
+    seeds = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("long").alias("cell"),
+        F.col("eq").alias("ceq"),
+        F.col("nq").alias("cnq"),
+    )
+    asn0 = _nearest_cells(emb.select("vec_id", "eq", "nq"), seeds, "vec_id", 1)
+    comp = asn0.join(emb.select("vec_id", "eq"), "vec_id").select(
+        "cell", F.posexplode("eq").alias("pos", "x")
+    )
+    cent = comp.groupBy("cell", "pos").agg(
+        F.floor(F.avg("x")).cast("long").alias("c")
+    )
+    arr = cent.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("ceq")
+    )
+    return arr.select("cell", "ceq", int_dot(F.col("ceq"), F.col("ceq")).alias("cnq"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-Flat ANN: corpus vectors live in their nearest centroid's cell;
+    each query probes its ``nprobe`` nearest cells and exact-cosine re-ranks
+    only those members — the inverted-file pruning that scans ~nprobe/n_cells
+    of the corpus instead of all of it. The LSH tables' drop-in alternative
+    when the corpus is clustered rather than uniform.
+
+    Scale shape: centroids broadcast everywhere (n_cells rows); the corpus
+    shuffles ONCE on cell for the candidate join; probe lists are tiny."""
+    emb = with_quantized(df)
+    cents = ivf_centroids(emb, n_cells)
+    asn = _nearest_cells(emb.select("vec_id", "eq", "nq"), cents, "vec_id", 1).select(
+        F.col("vec_id").alias("cand_id"), "cell"
+    )
+    qs = with_quantized(query_df).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("eq").alias("q_eq"),
+        F.col("nq").alias("q_nq"),
+    )
+    probe = _nearest_cells(
+        qs.select(F.col("query_id"), F.col("q_eq").alias("eq"), F.col("q_nq").alias("nq")),
+        cents,
+        "query_id",
+        nprobe,
+    ).select("query_id", "cell")
+    corpus = asn.join(
+        with_quantized(df).select(F.col("vec_id").alias("cand_id"), "eq", "nq"),
+        "cand_id",
+    )
+    cands = corpus.join(F.broadcast(probe), "cell").join(F.broadcast(qs), "query_id")
+    dot = int_dot(F.col("eq"), F.col("q_eq"))
+    scored = cands.select(
+        "query_id", "cand_id", cosine_q(dot, F.col("nq"), F.col("q_nq")).alias("cos_q")
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_q").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_q", "rank")
+    )
+
+
 def lsh_topk(
     df: DataFrame, query_df: DataFrame, k: int = 10, n_planes: int = 8
 ) -> DataFrame:

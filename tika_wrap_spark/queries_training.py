@@ -544,6 +544,97 @@ SELECT query_id, cand_id, cos_q, rank FROM (
 SQL_ANN_LSH_TOPK_MULTI = _sql_lsh_topk_multi()
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def q_ann_ivf_topk(spark, d):
+    """IVF-Flat ANN (the LSH tables' documented swap-in for clustered
+    corpora): deterministic integer-exact index build — seed cells, one
+    distributed Lloyd refinement (floor(avg) centroids), nearest-cell
+    assignment — then nprobe-cell probing + exact-cosine re-rank. Probes
+    ~nprobe/n_cells of the corpus per query instead of all of it."""
+    emb = _t(spark, d, "embeddings")
+    return sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=10, n_cells=IVF_CELLS, nprobe=IVF_NPROBE
+    )
+
+
+def _sql_ivf_topk() -> str:
+    def cosq(dot: str, na: str, nb: str) -> str:
+        return (
+            f"CAST(floor(1000 * ({dot})::DOUBLE / (sqrt(({na})::DOUBLE) * "
+            f"sqrt(({nb})::DOUBLE))) AS BIGINT)"
+        )
+
+    dot_seed = (
+        "(SELECT CAST(sum(v.eq[t.i] * s.ceq[t.i]) AS BIGINT) "
+        "FROM unnest(generate_series(1, len(v.eq))) AS t(i))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_EQ_DUCK} AS eq FROM embeddings
+), n AS (
+  SELECT vec_id, eq,
+         (SELECT CAST(sum(eq[t.i] * eq[t.i]) AS BIGINT)
+          FROM unnest(generate_series(1, len(eq))) AS t(i)) AS nq
+  FROM q
+), seeds AS (
+  SELECT CAST(vec_id AS BIGINT) AS cell, eq AS ceq, nq AS cnq
+  FROM n WHERE vec_id < {IVF_CELLS}
+), a0 AS (
+  SELECT v.vec_id, s.cell,
+         {cosq(dot_seed, "v.nq", "greatest(s.cnq, 1)")} AS cell_cos
+  FROM n v, seeds s
+), asn0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell) AS rn
+    FROM a0
+  ) WHERE rn = 1
+), comp AS (
+  SELECT a.cell, t.i AS pos, v.eq[t.i] AS x
+  FROM asn0 a JOIN n v USING (vec_id),
+       unnest(generate_series(1, len(v.eq))) AS t(i)
+), centc AS (
+  SELECT cell, pos, CAST(floor(avg(x)) AS BIGINT) AS c FROM comp GROUP BY cell, pos
+), cents AS (
+  SELECT cell, array_agg(c ORDER BY pos) AS ceq FROM centc GROUP BY cell
+), cents2 AS (
+  SELECT cell, ceq,
+         (SELECT CAST(sum(ceq[t.i] * ceq[t.i]) AS BIGINT)
+          FROM unnest(generate_series(1, len(ceq))) AS t(i)) AS cnq
+  FROM cents
+), a1 AS (
+  SELECT v.vec_id, s.cell,
+         {cosq(dot_seed, "v.nq", "greatest(s.cnq, 1)")} AS cell_cos
+  FROM n v, cents2 s
+), ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell) AS rn
+  FROM a1
+), asn AS (
+  SELECT vec_id AS cand_id, cell FROM ranked WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, cell FROM ranked WHERE rn <= {IVF_NPROBE} AND vec_id < 3
+), cands AS (
+  SELECT p.query_id, a.cand_id FROM probe p JOIN asn a USING (cell)
+), scored AS (
+  SELECT c.query_id, c.cand_id,
+         {cosq("(SELECT CAST(sum(cn.eq[t.i] * qn.eq[t.i]) AS BIGINT) FROM unnest(generate_series(1, len(cn.eq))) AS t(i))", "cn.nq", "qn.nq")} AS cos_q
+  FROM cands c JOIN n cn ON c.cand_id = cn.vec_id JOIN n qn ON c.query_id = qn.vec_id
+)
+SELECT query_id, cand_id, cos_q, rank FROM (
+  SELECT query_id, cand_id, cos_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ivf_topk()
+
+
 def q_ann_recall(spark, d):
     """Measured ANN recall: per query, |multi-table LSH top-k ∩ exact
     top-k| / k — the quality metric that justifies the LSH scale path."""
