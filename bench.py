@@ -44,6 +44,9 @@ HEADLINE = [
     "range_join",
     "sketch_kmv",
     "curate_corpus",
+    "sample_stratified",
+    "shard_export",
+    "bloom_antijoin",
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh",

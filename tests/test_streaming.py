@@ -80,6 +80,35 @@ def test_windowed_metrics_stream_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_dedup_suppresses_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same file delivered twice (two
+    micro-batches — the at-least-once redelivery case) must emit every
+    event exactly once; state stays bounded by the watermark."""
+    in_dir = str(tmp_path / "evd")
+    (tmp_path / "evd").mkdir()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        "event_id < 100"
+    )
+    ev.coalesce(1).write.mode("append").parquet(in_dir)
+    ev.coalesce(1).write.mode("append").parquet(in_dir)  # duplicate delivery
+
+    stream = streaming.read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    q = (
+        streaming.stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_ev")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["event_id"] for r in spark.table("dedup_ev").select("event_id").collect()]
+    assert sorted(got) == sorted({r["event_id"] for r in ev.collect()})
+    # batch degradation: same callable, dropDuplicates semantics
+    both = ev.union(ev)
+    assert streaming.stream_dedup(both).count() == ev.count()
+
+
 def test_stateful_user_counts_across_microbatches(spark, tmp_path):
     """applyInPandasWithState: state must carry across micro-batches —
     with maxFilesPerTrigger=1 and two input files, the LAST update per

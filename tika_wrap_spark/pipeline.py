@@ -252,3 +252,29 @@ def run_incremental(
     )
     todo = new_corpus.join(delta.select("doc_id"), "doc_id", "left_semi")
     return extract_in_memory(spark, todo, num_partitions=num_partitions)
+
+
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    files_per_shard: int = 1,
+    key_col: str = "doc_id",
+) -> None:
+    """Training-data shard export: assign every row its deterministic md5
+    shard (``operators.curation.shard_assign`` — retry-stable, no RNG),
+    cluster rows by shard, and write ``shard=<k>/`` partition directories
+    with ``files_per_shard`` files each.
+
+    The repartition shuffles on the shard id (uniform by construction —
+    md5 buckets have no hot key), so each shard's files are written by
+    dedicated tasks and a downstream tokenizer reads exactly one
+    directory per worker. Re-running overwrites only the shard partitions
+    present in ``df`` (dynamic partition overwrite — idempotent, same as
+    the extraction store)."""
+    from tika_wrap_spark.operators.curation import shard_assign
+
+    sharded = shard_assign(df, n_shards, key_col=key_col).repartition(
+        n_shards * files_per_shard, F.col("shard")
+    )
+    catalog.overwrite_partitions(sharded, out_dir, partition_by=["shard"])

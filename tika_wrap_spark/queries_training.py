@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tika_wrap_spark.operators import curation as cu
 from tika_wrap_spark.operators import dedup as dd
 from tika_wrap_spark.operators import similarity as sim
 from tika_wrap_spark.operators import text_analysis as ta
@@ -872,6 +873,191 @@ WHERE q.quality IN ('high', 'medium') AND l.is_match
 
 
 SQL_CURATE_CORPUS = _sql_curate()
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: deterministic sampling, shard export, bloom-pruned
+# incremental dedup, cluster-level keep-best
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES_4096 = {"en": 512, "fr": 1024, "es": 2048, "de": 4096, "zh": 3072}
+
+
+def q_sample_stratified(spark, d):
+    """Deterministic stratified sampling for corpus balancing: per-language
+    keep rates (12-bit md5 bucket < threshold/4096) — downsample the
+    over-represented languages, keep the rare ones whole. Per-row
+    expression, no shuffle, no RNG: the coin is stable under task retry
+    (exactly-once at 10^12 docs) and bit-identical in the oracle."""
+    docs = _t(spark, d, "documents")
+    return cu.stratified_sample(docs, "lang", SAMPLE_RATES_4096).select(
+        "doc_id", "lang", "source", "bucket"
+    )
+
+
+def _sql_sample_stratified() -> str:
+    b = cu.bucket_sql_expr("CAST(doc_id AS VARCHAR)", "samp:", 3)
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_4096.items())
+    return f"""
+SELECT doc_id, lang, source, CAST({b} AS BIGINT) AS bucket
+FROM documents
+WHERE {b} < CASE lang {cases} ELSE 4096 END
+"""
+
+
+SQL_SAMPLE_STRATIFIED = _sql_sample_stratified()
+
+
+N_SHARDS = 8
+
+
+def q_shard_export(spark, d):
+    """Deterministic training-shard assignment + per-shard accounting:
+    shard = md5 bucket mod {N_SHARDS}, then docs/bytes per shard. Uniform
+    by construction (the balance is the observable this query pins) and
+    retry-stable — the export layout a multi-day 100 TB tokenization run
+    resumes against. The write path is ``pipeline.write_shards``."""
+    docs = cu.shard_assign(_t(spark, d, "documents"), N_SHARDS)
+    return docs.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _sql_shard_export() -> str:
+    b = cu.bucket_sql_expr("CAST(doc_id AS VARCHAR)", "shard:", 2)
+    return f"""
+WITH s AS (
+  SELECT doc_id, n_chars, CAST({b} % {N_SHARDS} AS BIGINT) AS shard FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM s GROUP BY shard
+"""
+
+
+SQL_SHARD_EXPORT = _sql_shard_export()
+
+
+BLOOM_K = 3
+BLOOM_SEEN_MAX_DOC = 250
+
+
+def q_bloom_antijoin(spark, d):
+    """Bloom-filter-pruned incremental dedup: the seen-set (docs already
+    ingested, doc_id < {BLOOM_SEEN_MAX_DOC} here) projects to its distinct
+    bloom bit positions (k={BLOOM_K}, m=4096) — tiny and broadcastable even
+    when the seen store is petabytes; each incoming doc checks its k
+    positions via a broadcast join (no bitmap on the driver, corpus never
+    shuffles) and only the all-k-hit "maybe" sliver pays the exact
+    fingerprint join. Output pins BOTH flags per doc, so the oracle
+    verifies soundness (is_dup implies bloom_maybe) and the observed
+    false-positive tail."""
+    docs = dd.normalized(_t(spark, d, "documents")).select(
+        "doc_id", F.md5(F.col("norm").cast("binary")).alias("fp")
+    )
+    seen = docs.filter(F.col("doc_id") < BLOOM_SEEN_MAX_DOC)
+    return cu.bloom_prune_flags(docs, seen, k=BLOOM_K)
+
+
+def _sql_bloom_antijoin() -> str:
+    pos = [cu.bucket_sql_expr("fp", f"bloom{i}:", 3) for i in range(BLOOM_K)]
+    hits = " + ".join(
+        f"(CASE WHEN {p} IN (SELECT pos FROM seen_pos) THEN 1 ELSE 0 END)" for p in pos
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id, md5({_NORM_DUCK}) AS fp FROM documents
+),
+seen AS (SELECT DISTINCT fp FROM n WHERE doc_id < {BLOOM_SEEN_MAX_DOC}),
+seen_pos AS (
+  SELECT DISTINCT pos FROM (SELECT unnest([{", ".join(pos)}]) AS pos FROM seen)
+)
+SELECT doc_id, ({hits}) = {BLOOM_K} AS bloom_maybe,
+       fp IN (SELECT fp FROM seen) AS is_dup
+FROM n
+"""
+
+
+SQL_BLOOM_ANTIJOIN = _sql_bloom_antijoin()
+
+
+def q_dedup_keep_best(spark, d):
+    """Cluster-level dedup KEEP-BEST — what a corpus build actually runs
+    after near-dup clustering: every doc in scope joins its MinHash-LSH
+    connected component (singletons cluster with themselves), and each
+    cluster keeps its highest-quality member (stopword-ratio score,
+    min-doc_id tie-break). The argmax rides through an ordinary min() over
+    a zero-padded (inverted-score, doc_id) sort key — partial-aggregable,
+    one shuffle, no window over the corpus, and a valid total order in
+    both engines."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 60)
+    pairs = q_dedup_minhash_lsh(spark, d).filter(F.col("j_q") >= CLUSTER_JQ_MIN)
+    cc = dd.connected_components(pairs.select("doc_a", "doc_b"))
+    qual = ta.quality_features(docs).select("doc_id", "stop_ratio_q")
+    member = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"))
+    )
+    bk = F.concat(
+        F.lpad((F.lit(9999) - F.col("stop_ratio_q")).cast("string"), 4, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+    )
+    return (
+        member.join(qual, "doc_id")
+        .withColumn("bk", bk)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_members"), F.min("bk").alias("best"))
+        .select(
+            "cluster",
+            "n_members",
+            F.substring("best", 5, 8).cast("long").alias("keep_doc"),
+            (F.lit(9999) - F.substring("best", 1, 4).cast("long")).alias("keep_score"),
+        )
+    )
+
+
+def _sql_keep_best() -> str:
+    minhash = SQL_DEDUP_MINHASH_LSH.strip()
+    quality = SQL_TEXT_QUALITY.strip()
+    return f"""
+WITH RECURSIVE base AS ({minhash}),
+pairs AS (SELECT doc_a, doc_b FROM base WHERE j_q >= {CLUSTER_JQ_MIN}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON r.id = e.s
+),
+cl AS (SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id),
+scope AS (
+  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+  LEFT JOIN cl ON d.doc_id = cl.doc_id
+),
+q AS ({quality}),
+s AS (
+  SELECT scope.cluster, scope.doc_id,
+         lpad(CAST(9999 - q.stop_ratio_q AS VARCHAR), 4, '0')
+           || lpad(CAST(scope.doc_id AS VARCHAR), 8, '0') AS bk
+  FROM scope JOIN q ON scope.doc_id = q.doc_id
+)
+SELECT cluster, count(*) AS n_members,
+       CAST(substr(min(bk), 5, 8) AS BIGINT) AS keep_doc,
+       CAST(9999 - CAST(substr(min(bk), 1, 4) AS BIGINT) AS BIGINT) AS keep_score
+FROM s GROUP BY cluster
+"""
+
+
+SQL_DEDUP_KEEP_BEST = _sql_keep_best()
 
 
 # ---------------------------------------------------------------------------

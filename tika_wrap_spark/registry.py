@@ -68,6 +68,11 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doc_fingerprint": (qt.q_doc_fingerprint, qt.SQL_DOC_FINGERPRINT),
     "text_repetition": (qt.q_text_repetition, qt.SQL_TEXT_REPETITION),
     "curate_corpus": (qt.q_curate_corpus, qt.SQL_CURATE_CORPUS),
+    # corpus curation: sampling / sharding / bloom-pruned dedup / keep-best
+    "sample_stratified": (qt.q_sample_stratified, qt.SQL_SAMPLE_STRATIFIED),
+    "shard_export": (qt.q_shard_export, qt.SQL_SHARD_EXPORT),
+    "bloom_antijoin": (qt.q_bloom_antijoin, qt.SQL_BLOOM_ANTIJOIN),
+    "dedup_keep_best": (qt.q_dedup_keep_best, qt.SQL_DEDUP_KEEP_BEST),
     # extraction pipeline (rows-only: pandas-UDF core / synthetic corpus)
     "extract_pipeline": (qt.q_extract_pipeline, None),
     "container_extract": (qt.q_container_extract, None),

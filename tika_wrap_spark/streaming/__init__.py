@@ -117,6 +117,22 @@ def windowed_event_metrics(
     )
 
 
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keys state
+    on event_id but ages entries out once they fall behind the watermark —
+    bounded state on an unbounded stream, which a plain streaming
+    dropDuplicates (state grows forever) cannot give at 10^12 events.
+    Duplicates arriving within the watermark horizon (the at-least-once
+    redelivery window of any real source) are suppressed exactly; the same
+    call on a batch frame degrades to ordinary dropDuplicates, so the
+    batch oracle is the distinct count."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 _STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
 _USER_COUNT_SCHEMA = T.StructType(
     [
