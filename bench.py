@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh",
+    "minhash_est_error",
     "ann_cosine_topk",
     "ann_lsh_bucket",
     "ann_lsh_topk_multi",
@@ -62,8 +63,15 @@ HEADLINE = [
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,
-# scaled so sf0.1 gets a meaningful run without dominating the bench
-EXTRACT_DOCS = {"0.001": 1000, "0.01": 6000, "0.1": 24000}
+# scaled so sf0.1 amortizes the fixed per-job overhead (~0.3-0.5 s of
+# scheduling/Arrow warmup — at 24k docs that was ~25% of the measured wall,
+# understating docs/sec)
+EXTRACT_DOCS = {"0.001": 1000, "0.01": 8000, "0.1": 60000}
+
+# timed repetitions per query; the reported time is the MIN (this host's
+# neighbor load inflates identical runs up to 2x — BENCH.md finding 3; the
+# min is the right location estimator for a noise floor)
+N_REPS = 2
 
 
 def _force(df) -> int:
@@ -93,9 +101,12 @@ def main() -> int:
             continue
         df = fn(spark, sf_dir)
         df.count()  # warm: plan + scan cached by OS page cache
-        t0 = time.monotonic()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(N_REPS):
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     # flagship throughput: docs extracted/sec over the interleaved corpus,
     # synthesized on the executors (distributed_corpus_df — the 10^12 path)
@@ -106,9 +117,11 @@ def main() -> int:
     corpus = distributed_corpus_df(spark, n_docs, seed=7).cache()
     corpus.count()  # materialize input so we time extraction, not generation
     extract_in_memory(spark, corpus).count()  # warm python workers + JIT
-    t0 = time.monotonic()
-    n_out = extract_in_memory(spark, corpus).count()
-    extract_sec = time.monotonic() - t0
+    extract_sec, n_out = float("inf"), 0
+    for _ in range(N_REPS):
+        t0 = time.monotonic()
+        n_out = extract_in_memory(spark, corpus).count()
+        extract_sec = min(extract_sec, time.monotonic() - t0)
     timings["extract_throughput"] = round(extract_sec, 3)
     corpus.unpersist()
 

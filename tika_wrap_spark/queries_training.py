@@ -140,7 +140,9 @@ def q_dedup_minhash_lsh(spark, d):
     )
 
 
-def _sql_minhash() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain (toks -> sigs -> bands -> pairs -> sizes -> inter)
+    for every minhash-derived oracle; the final SELECT differs per query."""
     mins = ",\n         ".join(
         f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(N_MINHASH)
     )
@@ -152,8 +154,7 @@ def _sql_minhash() -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id, unnest(str_split({_NORM_DUCK}, ' ')) AS tok
         FROM documents WHERE doc_id < 60)
@@ -176,7 +177,12 @@ WITH toks AS (
   JOIN toks sa ON p.doc_a = sa.doc_id
   JOIN toks sb ON p.doc_b = sb.doc_id AND sa.tok = sb.tok
   GROUP BY 1, 2, 3
-)
+)"""
+
+
+def _sql_minhash() -> str:
+    return f"""
+WITH {_minhash_ctes()}
 SELECT doc_a, doc_b, n_shared_bands, inter,
        za.sz + zb.sz - inter AS union_sz,
        CAST(floor(1000.0 * inter / (za.sz + zb.sz - inter)) AS BIGINT) AS j_q
@@ -185,6 +191,66 @@ FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
 
 
 SQL_DEDUP_MINHASH_LSH = _sql_minhash()
+
+
+def q_minhash_est_error(spark, d):
+    """MinHash sketch-agreement metric (the ann_recall / approx_percentile
+    pattern applied to dedup): for every LSH candidate pair, the signature
+    estimate j_est = n_agree/16 next to the exact Jaccard and the absolute
+    error — at 100 TB the signature estimate is what a first-pass filter
+    uses, and this query keeps its observed error on the record. Costs one
+    extra broadcast-sized join over the already-bucketed candidates."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 60)
+    toks = dd.doc_tokens(docs)
+    sigs = dd.minhash_signatures(toks, N_MINHASH)
+    pairs = dd.lsh_candidate_pairs(sigs, N_MINHASH, BAND_ROWS)
+    exact = dd.jaccard_verify(pairs, toks).select("doc_a", "doc_b", "j_q")
+    agree = None
+    for i in range(N_MINHASH):
+        t = (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("long")
+        agree = t if agree is None else agree + t
+    est_q = F.floor(F.lit(1000) * F.col("n_agree") / N_MINHASH).cast("long")
+    return (
+        exact.join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "j_q", agree.alias("n_agree"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            est_q.alias("est_q"),
+            "j_q",
+            F.abs(est_q - F.col("j_q")).alias("err_q"),
+        )
+    )
+
+
+def _sql_minhash_est_error() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+    return f"""
+WITH {_minhash_ctes()},
+exact AS (
+  SELECT doc_a, doc_b,
+         CAST(floor(1000.0 * inter / (za.sz + zb.sz - inter)) AS BIGINT) AS j_q
+  FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
+),
+est AS (
+  SELECT e.doc_a, e.doc_b, e.j_q, ({agree}) AS n_agree
+  FROM exact e
+  JOIN sigs sa ON e.doc_a = sa.doc_id
+  JOIN sigs sb ON e.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(floor(1000.0 * n_agree / {N_MINHASH}) AS BIGINT) AS est_q,
+       j_q,
+       CAST(abs(floor(1000.0 * n_agree / {N_MINHASH}) - j_q) AS BIGINT) AS err_q
+FROM est
+"""
+
+
+SQL_MINHASH_EST_ERROR = _sql_minhash_est_error()
 
 
 def q_dedup_simhash(spark, d):

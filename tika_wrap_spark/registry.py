@@ -49,6 +49,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (qt.q_dedup_exact, qt.SQL_DEDUP_EXACT),
     "ngram_jaccard": (qt.q_ngram_jaccard, qt.SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (qt.q_dedup_minhash_lsh, qt.SQL_DEDUP_MINHASH_LSH),
+    "minhash_est_error": (qt.q_minhash_est_error, qt.SQL_MINHASH_EST_ERROR),
     "dedup_simhash": (qt.q_dedup_simhash, qt.SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (qt.q_dedup_simhash_pairs, qt.SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_clusters": (qt.q_dedup_clusters, qt.SQL_DEDUP_CLUSTERS),
