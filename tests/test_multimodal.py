@@ -79,6 +79,57 @@ def test_image_header_parse_pure():
     assert image_dims(b"") is None
 
 
+def test_gif_bmp_wav_header_parse_pure():
+    """GIF / BMP dims and WAV stream parameters parse for real: crafted
+    headers, stdlib-independent, total on garbage."""
+    from tika_wrap_spark.core.media import (
+        bmp_dims,
+        build_bmp,
+        build_gif,
+        build_wav,
+        gif_dims,
+        image_dims,
+        wav_info,
+    )
+
+    assert gif_dims(build_gif(320, 200)) == (320, 200)
+    assert gif_dims(build_gif(1, 1, v89=False)) == (1, 1)
+    assert bmp_dims(build_bmp(640, 480)) == (640, 480)
+    # top-down BMPs encode negative height; magnitude is the pixel height
+    assert bmp_dims(build_bmp(800, 600, top_down=True)) == (800, 600)
+    assert image_dims(build_gif(10, 20)) == (10, 20)
+    assert image_dims(build_bmp(30, 40)) == (30, 40)
+    assert wav_info(build_wav(2, 44100, 16, 1000)) == (2, 44100, 16, 1000)
+    assert wav_info(build_wav(1, 8000, 16, 42)) == (1, 8000, 16, 42)
+    # total on malformed/foreign bytes
+    assert gif_dims(b"GIF89a\x00") is None  # truncated descriptor
+    assert bmp_dims(b"BMshort") is None
+    assert bmp_dims(b"Bavaria BMW text") is None
+    assert wav_info(b"RIFF\x00\x00\x00\x00AVI LIST") is None  # RIFF, not WAVE
+    assert wav_info(build_wav(2, 44100, 16, 10)[:16]) is None
+    assert image_dims(b"GIF is a format name, not a magic") is None
+
+
+def test_decode_media_real_audio_and_gif_bmp(spark):
+    """decode_media returns TRUE stream parameters for WAV payloads and
+    true dims for GIF/BMP (audio graduates from stub; only video remains)."""
+    from tika_wrap_spark.core.media import build_bmp, build_gif, build_wav
+
+    rows = [
+        ("wav://a", bytearray(build_wav(2, 44100, 16, 12345))),
+        ("gif://b", bytearray(build_gif(99, 44))),
+        ("bmp://c", bytearray(build_bmp(123, 45))),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = {r["media_ref"]: r for r in decode_media(df).collect()}
+    a = got["wav://a"]
+    assert a["media_kind"] == "audio"
+    assert (a["width"], a["height"], a["n_frames"]) == (2, 44100, 12345)
+    assert (got["gif://b"]["width"], got["gif://b"]["height"]) == (99, 44)
+    assert (got["bmp://c"]["width"], got["bmp://c"]["height"]) == (123, 45)
+    assert got["gif://b"]["media_kind"] == got["bmp://c"]["media_kind"] == "image"
+
+
 def test_decode_media_returns_true_image_dims(spark):
     """decode_media over crafted REAL PNG/JPEG payloads returns the exact
     header dimensions (multimodal image path graduates from stub)."""

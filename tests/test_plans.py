@@ -191,6 +191,7 @@ def test_jvm_sniffer_fuzz_parity(spark):
     rng = random.Random(4242)
     frags = [
         "%PDF-", "PK\x03\x04", "PK\x03\x04TWC1\n", "\x89PNG\r\n", "\xff\xd8\xff",
+        "GIF87a", "GIF89a", "RIFF", "RIFFxxxxWAVE", "GIF needs six chars", "BM",
         "<!doctype html>", "<html>", "<head>", "<body>", "<?xml", "{", "[",
         ",", ",,", "\n", " ", "\t", "\xa0", "plain words", "a,b,c",
         '{"k": 1}', "<p>inline</p>", "x" * 300,

@@ -1,0 +1,93 @@
+"""Unit tests for the r3 text-analysis additions: integer-exact tf-idf
+top-k, PII scrubbing, and the engine-exact HLL sketch building blocks.
+(The full oracle comparison runs via tools/selfcheck.py / the driver.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tika_wrap_spark.operators import text_analysis as ta
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_topk_ranks_rare_terms_above_common(spark):
+    rows = [
+        (1, "alpha alpha alpha common common"),
+        (2, "bravo bravo common common"),
+        (3, "charlie common common"),
+    ]
+    out = ta.tfidf_topk(_docs(spark, rows)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc's top term is its unique word (df=1 beats df=3 'common')
+    tops = {d: rs[0]["term"] for d, rs in ((d, sorted(rs, key=lambda r: r["rnk"])) for d, rs in by_doc.items())}
+    assert tops == {1: "alpha", 2: "bravo", 3: "charlie"}
+    # score arithmetic is the documented integers: tf * ((SCALE * N) div df)
+    a = next(r for r in out if r["doc_id"] == 1 and r["term"] == "alpha")
+    assert a["score_q"] == 3 * ((ta.TFIDF_IDF_SCALE * 3) // 1)
+    c = next(r for r in out if r["doc_id"] == 1 and r["term"] == "common")
+    assert c["score_q"] == 2 * ((ta.TFIDF_IDF_SCALE * 3) // 3)
+    # short tokens are never terms
+    assert not [r for r in out if len(r["term"]) < ta.TFIDF_MIN_TERM_LEN]
+
+
+def test_tfidf_topk_bounds_rows_per_doc(spark):
+    rows = [(i, "alpha bravo charlie delta echo foxtrot") for i in range(5)]
+    out = ta.tfidf_topk(_docs(spark, rows))
+    per = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= ta.TFIDF_TOPK for r in per) and len(per) == 5
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org and ip 192.168.0.1 tel 555-123-4567"),
+        (2, "no pii at all here"),
+        (3, "two mails a@b.io c@d.net and 10.0.0.7"),
+    ]
+    got = {r["doc_id"]: r for r in ta.scrub_pii(_docs(spark, rows)).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
+    assert (got[3]["n_email"], got[3]["n_ipv4"]) == (2, 1)
+    # the scrubbed text carries placeholders, never the original PII
+    red = (
+        ta.scrub_pii(_docs(spark, rows))
+        .join(_docs(spark, rows), "doc_id")
+        .select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("text", ta.PII_EMAIL, "<EMAIL>"),
+                    ta.PII_IPV4, "<IP>"),
+                ta.PII_PHONE, "<PHONE>").alias("r")
+        )
+        .collect()
+    )
+    joined = " ".join(r["r"] for r in red)
+    assert "<EMAIL>" in joined and "<IP>" in joined and "<PHONE>" in joined
+    assert "bob.smith" not in joined and "192.168.0.1" not in joined
+
+
+def test_hll_register_math_matches_python():
+    """The hex->register/rho decomposition used by q_sketch_hll, re-derived
+    bit-for-bit in plain python over real md5 values."""
+    import hashlib
+
+    from tika_wrap_spark.queries import HLL_M, HLL_RHO_CAP, _HLL_NIBBLE_LZ
+
+    for uid in range(200):
+        h = hashlib.md5(str(uid).encode()).hexdigest()
+        # python ground truth: 6-bit register from first byte, rho from
+        # the leading-zero-bit run of the next 48 bits
+        reg = int(h[:2], 16) % HLL_M
+        suffix = int(h[2:14], 16)
+        rho = min(49 if suffix == 0 else 48 - suffix.bit_length() + 1, HLL_RHO_CAP)
+        # the expression-form decomposition (mirrors the Spark/DuckDB SQL)
+        stripped = h[2:14].lstrip("0")
+        zeros = 12 - len(stripped)
+        extra = _HLL_NIBBLE_LZ.get(stripped[:1], 0)
+        rho_expr = min(zeros * 4 + extra + 1, HLL_RHO_CAP)
+        assert rho_expr == rho, (h, rho_expr, rho)
+        assert 0 <= reg < HLL_M

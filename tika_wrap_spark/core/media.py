@@ -1,12 +1,14 @@
-"""Real image-header parsing: PNG IHDR and JPEG SOF dimensions, pure stdlib.
+"""Real media-header parsing: PNG IHDR / JPEG SOF / GIF / BMP dimensions
+and WAV (RIFF) audio stream parameters, pure stdlib.
 
-The reference ships image metadata via external tools (exiftool/tesseract,
-/root/reference/README.md:17-21); the sandbox has no image libraries, but
-PNG and JPEG dimensions are fixed byte-layout parses (public format specs:
-PNG RFC 2083 / W3C, JPEG ISO 10918 marker structure) needing no decoder.
-These feed (a) per-document media metadata in the extraction core and
-(b) the multimodal decode operator's image path — audio/video stay behind
-the declared deterministic stub.
+The reference ships media metadata via external tools (exiftool/sox/
+tesseract, /root/reference/README.md:17-21); the sandbox has no media
+libraries, but these headers are fixed byte-layout parses (public format
+specs: PNG RFC 2083 / W3C, JPEG ISO 10918 marker structure, GIF87a/89a
+logical screen descriptor, BMP BITMAPINFOHEADER, RIFF/WAVE fmt chunk)
+needing no decoder. They feed (a) per-document media metadata in the
+extraction core and (b) the multimodal decode operator's image and audio
+paths — only video remains behind the declared deterministic stub.
 
 All functions are total: malformed/foreign bytes return ``None``, never
 raise (media payloads are untrusted corpus data).
@@ -19,6 +21,9 @@ import zlib
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8"
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+BMP_MAGIC = b"BM"
+RIFF_MAGIC = b"RIFF"
 
 # SOF0..SOF15 carry frame dims, except DHT(C4)/JPG(C8)/DAC(CC)
 _SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
@@ -74,12 +79,70 @@ def jpeg_dims(data: bytes) -> tuple[int, int] | None:
     return None
 
 
+def gif_dims(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from the GIF logical screen descriptor (bytes 6..9,
+    little-endian uint16 each), or None for non-GIF/truncated bytes."""
+    if len(data) < 10 or not data.startswith(GIF_MAGICS):
+        return None
+    w, h = struct.unpack("<HH", data[6:10])
+    if w <= 0 or h <= 0:
+        return None
+    return (w, h)
+
+
+def bmp_dims(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from the BMP BITMAPINFOHEADER (signed LE int32 at
+    offsets 18/22; a negative height encodes top-down row order — the
+    magnitude is the pixel height), or None for non-BMP/truncated bytes."""
+    if len(data) < 26 or not data.startswith(BMP_MAGIC):
+        return None
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER (12) uses uint16 dims — not emitted
+        return None    # by anything modern; reject rather than misparse
+    w, h = struct.unpack("<ii", data[18:26])
+    if w <= 0 or h == 0:
+        return None
+    return (w, abs(h))
+
+
+def wav_info(data: bytes) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bits_per_sample, n_frames) from a RIFF/WAVE
+    header: walk the chunk list for ``fmt `` (stream parameters) and
+    ``data`` (payload size; frames = size // block_align). Returns None for
+    non-WAV bytes or a malformed/short chunk walk."""
+    n = len(data)
+    if n < 12 or not data.startswith(RIFF_MAGIC) or data[8:12] != b"WAVE":
+        return None
+    channels = sample_rate = bits = block_align = None
+    n_frames = 0
+    i = 12
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels, sample_rate = struct.unpack("<HI", body[2:8])
+            block_align, bits = struct.unpack("<HH", body[12:16])
+        elif cid == b"data":
+            if block_align:
+                n_frames = size // block_align
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not channels or not sample_rate or not bits:
+        return None
+    return (channels, sample_rate, bits, n_frames)
+
+
 def image_dims(data: bytes) -> tuple[int, int] | None:
-    """Dispatch on magic: PNG IHDR or JPEG SOF dims, else None."""
+    """Dispatch on magic: PNG IHDR / JPEG SOF / GIF screen descriptor /
+    BMP info-header dims, else None."""
     if data.startswith(PNG_MAGIC):
         return png_dims(data)
     if data.startswith(JPEG_MAGIC):
         return jpeg_dims(data)
+    if data.startswith(GIF_MAGICS):
+        return gif_dims(data)
+    if data.startswith(BMP_MAGIC):
+        return bmp_dims(data)
     return None
 
 
@@ -99,6 +162,40 @@ def build_png(width: int, height: int, extra: bytes = b"") -> bytes:
     chunk = b"IHDR" + ihdr
     crc = zlib.crc32(chunk) & 0xFFFFFFFF
     return PNG_MAGIC + struct.pack(">I", 13) + chunk + struct.pack(">I", crc) + extra
+
+
+def build_gif(width: int, height: int, v89: bool = True) -> bytes:
+    """Minimal GIF head: magic + logical screen descriptor + trailer."""
+    magic = GIF_MAGICS[1] if v89 else GIF_MAGICS[0]
+    return magic + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+
+
+def build_bmp(width: int, height: int, top_down: bool = False) -> bytes:
+    """Minimal BMP head: BITMAPFILEHEADER + BITMAPINFOHEADER (no pixels)."""
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height if top_down else height,
+        1, 24, 0, 0, 2835, 2835, 0, 0,
+    )
+    return BMP_MAGIC + struct.pack("<IHHI", 54, 0, 0, 54) + info
+
+
+def build_wav(
+    channels: int, sample_rate: int, bits: int, n_frames: int
+) -> bytes:
+    """Minimal RIFF/WAVE header: fmt + a zero-filled data chunk sized for
+    ``n_frames`` frames (capped payload — header parsing never reads it)."""
+    block_align = channels * bits // 8
+    data_size = n_frames * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    payload = bytes(min(data_size, 64))  # declared size drives frame count
+    return (
+        RIFF_MAGIC + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", data_size) + payload
+    )
 
 
 def build_jpeg(width: int, height: int, progressive: bool = False) -> bytes:

@@ -27,7 +27,11 @@ _HTML_MARKERS = ("<!doctype html", "<html", "<head", "<body")
 
 # Embedded-media magics (container members carry payload bytes-as-text;
 # top-level corpus media spans instead use empty text + media_ref).
-_MEDIA_MAGICS = ("\x89PNG\r\n", "\xff\xd8\xff")
+# PNG / JPEG / GIF87a+89a / RIFF(WAV-family). BMP's 2-char "BM" magic is
+# deliberately NOT content-sniffed — too weak for text-carried payloads
+# (any prose starting "BM…" would misroute); BMP bytes are still decoded
+# by magic in the multimodal path, where payloads are known-binary.
+_MEDIA_MAGICS = ("\x89PNG\r\n", "\xff\xd8\xff", "GIF87a", "GIF89a", "RIFF")
 
 
 def sniff_kind(text: str, media_ref: str = "") -> str:

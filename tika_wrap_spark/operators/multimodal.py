@@ -2,13 +2,15 @@
 
 Media payloads are opaque ``binary`` columns + typed metadata; decode /
 feature-extract runs as Arrow-batched ``mapInPandas``. The IMAGE decode is
-REAL: PNG IHDR / JPEG SOF header parsing (pure stdlib, ``core/media.py``)
-returns true width/height for any PNG or JPEG byte stream. Audio/video
-kernels remain STUBS — this container has no media libraries — marked by
-``_decode_real`` raising NotImplementedError and a deterministic fake
-(`_decode_fake`, keyed on the payload digest) standing in so the Spark-side
-plumbing (schema, partitioning, UDF signature, Arrow batch shape) is real
-and tested end-to-end.
+REAL: PNG IHDR / JPEG SOF / GIF screen-descriptor / BMP info-header parsing
+(pure stdlib, ``core/media.py``) returns true width/height for any such
+byte stream. The AUDIO decode is REAL for WAV: the RIFF/WAVE fmt+data walk
+yields true channel count, sample rate, and frame count. Only VIDEO (and
+unrecognized bytes) remains a STUB — this container has no media
+libraries — marked by ``_decode_real`` raising NotImplementedError and a
+deterministic fake (`_decode_fake`, keyed on the payload digest) standing
+in so the Spark-side plumbing (schema, partitioning, UDF signature, Arrow
+batch shape) is real and tested end-to-end.
 
 At scale: media bytes stay out-of-row (``media_ref`` into object storage,
 mirroring the reference keeping media on disk while text goes to ctx.txt);
@@ -28,7 +30,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tika_wrap_spark.core.media import build_jpeg, build_png, image_dims
+from tika_wrap_spark.core.media import (
+    build_bmp,
+    build_gif,
+    build_jpeg,
+    build_png,
+    build_wav,
+    image_dims,
+    wav_info,
+)
 from tika_wrap_spark.portability import make_portable
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -52,8 +62,9 @@ def _decode_real(payload: bytes) -> dict:
 
 
 def _decode_fake(ref: str, payload: bytes) -> dict:
-    """Deterministic stand-in for NON-IMAGE payloads (audio/video need real
-    media libraries): metadata derived from the payload digest."""
+    """Deterministic stand-in for payloads with no parseable header
+    (video containers need real media libraries): metadata derived from
+    the payload digest."""
     h = hashlib.md5(payload).hexdigest()
     v = int(h[:8], 16)
     kind = ("audio", "video")[v % 2]
@@ -67,9 +78,10 @@ def _decode_fake(ref: str, payload: bytes) -> dict:
 
 
 def _decode_payload(ref: str, payload: bytes) -> dict:
-    """IMAGE path is REAL: PNG IHDR / JPEG SOF header parse (core/media.py)
-    yields true dimensions for any PNG/JPEG byte stream; everything else
-    falls to the declared audio/video stub."""
+    """IMAGE and WAV-AUDIO paths are REAL: PNG/JPEG/GIF/BMP header parse
+    yields true dimensions; the RIFF/WAVE chunk walk yields true channels
+    (-> width), sample rate (-> height), and frame count (core/media.py).
+    Unrecognized bytes fall to the declared video stub."""
     dims = image_dims(payload)
     if dims is not None:
         return {
@@ -77,6 +89,16 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
             "width": dims[0],
             "height": dims[1],
             "n_frames": 1,
+            "feature": hashlib.md5(payload).hexdigest()[:16],
+        }
+    wav = wav_info(payload)
+    if wav is not None:
+        channels, sample_rate, _bits, n_frames = wav
+        return {
+            "media_kind": "audio",
+            "width": channels,
+            "height": sample_rate,
+            "n_frames": n_frames,
             "feature": hashlib.md5(payload).hexdigest()[:16],
         }
     return _decode_fake(ref, payload)
@@ -103,17 +125,24 @@ PAYLOAD_SCHEMA = T.StructType(
 
 def _fetch_fake(ref: str) -> bytes:
     """Deterministic object-store-fetch stand-in, keyed on the ref digest:
-    ~2/3 of refs come back as REAL PNG/JPEG byte streams (valid headers,
-    digest-derived dims) so the decode path exercises true header parsing;
-    the rest stay opaque bytes (the audio/video stub path)."""
+    ~5/6 of refs come back as REAL PNG/JPEG/GIF/BMP/WAV byte streams
+    (valid headers, digest-derived parameters) so the decode path exercises
+    true header parsing across every real kernel; the rest stay opaque
+    bytes (the video stub path)."""
     h = hashlib.md5(ref.encode("utf-8")).digest()
     v = int.from_bytes(h[:4], "big")
     w, hgt = 16 + v % 1920, 16 + (v >> 8) % 1080
-    kind = v % 3
+    kind = v % 6
     if kind == 0:
         return build_png(w, hgt, h)
     if kind == 1:
         return build_jpeg(w, hgt, progressive=bool(v & 8))
+    if kind == 2:
+        return build_gif(w, hgt, v89=bool(v & 16))
+    if kind == 3:
+        return build_bmp(w, hgt, top_down=bool(v & 32))
+    if kind == 4:
+        return build_wav(1 + v % 2, (8000, 16000, 44100)[v % 3], 16, 1 + (v >> 8) % 96000)
     return h + h[::-1]
 
 

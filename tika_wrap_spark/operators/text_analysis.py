@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tika_wrap_spark.operators.dedup import NORM_EXPR
 
@@ -108,6 +109,81 @@ def fingerprints(df: DataFrame) -> DataFrame:
         F.md5(
             F.expr("substring(norm, greatest(length(norm) - 63, 1))").cast("binary")
         ).alias("fp_tail"),
+    )
+
+
+TFIDF_MIN_TERM_LEN = 4
+TFIDF_TOPK = 3
+TFIDF_IDF_SCALE = 1_000_000
+
+
+def tfidf_topk(df: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
+    """Per-document top-k salient terms by tf-idf — the keyword/topic
+    signal a curation pipeline uses for domain balancing and index keys.
+
+    Arithmetic is INTEGER-exact in both engines: idf is the rational
+    surrogate ``(SCALE * N) div df`` (monotone in the usual ln(N/df) —
+    identical ranking for any df, and no libm ln whose last-ulp could flip
+    a floor at a quantization boundary); score = tf * idf_q, ties broken
+    by term text.
+
+    Scale: tokenize+explode is map-side; tf and df are partial-aggregable
+    groupBys; the doc-count side is a broadcast 1-row crossJoin; the final
+    per-doc top-k is a window partitioned by doc_id (millions of small
+    groups — no hot partition). The tf⋈df join shuffles on term, the same
+    key df was already aggregated on."""
+    terms = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= TFIDF_MIN_TERM_LEN)
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf rows are one per (doc, term), so count(*) here IS document frequency
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf_q", F.expr(f"({TFIDF_IDF_SCALE} * n_docs) div df"))
+        .withColumn("score_q", (F.col("tf") * F.col("idf_q")).cast("long"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "term", "tf", "df", "score_q")
+    )
+
+
+# PII patterns shared by both engines (Java regex and RE2 agree on this
+# subset: explicit [0-9] classes, \b word boundaries, bounded repeats).
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+_PII_ORDER = [  # replacement order matters: emails first (they contain dots/digits)
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the scrub pass every training-data pipeline runs
+    before tokenization: replace emails / IPv4s / phone numbers with typed
+    placeholder tokens, and surface per-doc match counts plus a digest of
+    the scrubbed text (the audit trail proving WHAT was redacted, without
+    retaining it). All JVM-side regexp built-ins, embarrassingly parallel,
+    no shuffle."""
+    t = F.col(text_col)
+    red: Column = t
+    for pat, token in _PII_ORDER:
+        red = F.regexp_replace(red, pat, token)
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phone"),
+        F.length(red).cast("long").alias("n_chars_scrubbed"),
+        F.md5(red.cast("binary")).alias("scrubbed_md5"),
     )
 
 

@@ -809,6 +809,123 @@ FROM per_type p JOIN (
 """
 
 
+# HyperLogLog layout: m=64 registers (6-bit index from the first hex byte),
+# rho from the next 48 hash bits. Weights are quantized 2^(30-rho) integers
+# so the register sum is EXACT in both engines; the alpha_m * m^2 bias
+# numerator is one precomputed integer literal shared by both.
+HLL_M = 64
+HLL_RHO_CAP = 30
+HLL_ALPHA_NUM = int(0.709 * HLL_M * HLL_M * (1 << HLL_RHO_CAP))
+# leading-zero-bit count of the first nonzero hex digit (1..f)
+_HLL_NIBBLE_LZ = {
+    "1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1,
+    "8": 0, "9": 0, "a": 0, "b": 0, "c": 0, "d": 0, "e": 0, "f": 0,
+}
+
+
+def q_sketch_hll(spark, d):
+    """HyperLogLog distinct-count sketch, engine-exact (the KMV pattern
+    applied to the register-based estimator that actually runs at 100 TB —
+    Spark's approx_count_distinct is HLL++, whose internal sketch bytes
+    differ per engine, so this builds the classic Flajolet HLL from exact
+    primitives instead): md5(user_id) -> 6-bit register index + rho =
+    leading-zero-run of the next 48 bits; per-register max(rho); estimate
+    alpha*m^2 / sum(2^-rho) computed in quantized integer arithmetic
+    (weights 2^(30-rho), one integer division) so BOTH engines produce the
+    identical estimate. No small-range correction branch — the output row
+    carries the exact distinct count and quantized observed error, making
+    the query a standing record of raw-sketch accuracy.
+
+    Scale: one shuffle to (event_type, register) — 64*n_types cells — then
+    a tiny per-type aggregate; fully partial-aggregable, mergeable across
+    any partitioning, the property that makes HLL the 100 TB cardinality
+    operator."""
+    ev = _t(spark, d, "events")
+    hashed = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string").cast("binary")).alias("h")
+    ).distinct()
+    lz_digit = F.substring(
+        F.regexp_replace(F.substring("h", 3, 12), "^0+", ""), 1, 1
+    )
+    extra = F.coalesce(
+        *[F.when(lz_digit == k, F.lit(v)) for k, v in _HLL_NIBBLE_LZ.items()],
+        F.lit(0),  # all-zero suffix: rho caps out below anyway
+    )
+    zeros = F.lit(12) - F.length(F.regexp_replace(F.substring("h", 3, 12), "^0+", ""))
+    rho = F.least(zeros * 4 + extra + 1, F.lit(HLL_RHO_CAP))
+    regs = hashed.select(
+        "event_type",
+        (F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % HLL_M).alias("reg"),
+        rho.alias("rho"),
+    )
+    per_reg = regs.groupBy("event_type", "reg").agg(F.max("rho").alias("m_rho"))
+    weight = F.pow(F.lit(2.0), F.lit(HLL_RHO_CAP) - F.col("m_rho")).cast("long")
+    per_type = per_reg.groupBy("event_type").agg(
+        F.count("*").alias("n_registers"),
+        F.sum(weight).alias("s_present"),
+    )
+    s_q = (
+        (F.lit(HLL_M) - F.col("n_registers")) * F.lit(1 << HLL_RHO_CAP)
+        + F.col("s_present")
+    ).cast("long")
+    est = F.expr(f"cast({HLL_ALPHA_NUM} as bigint) div s_q")
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_true")
+    )
+    sketched = per_type.withColumn("s_q", s_q).select(
+        "event_type", "n_registers", est.alias("distinct_est")
+    )
+    return sketched.join(truth, "event_type").select(
+        "event_type",
+        "n_registers",
+        "distinct_est",
+        "distinct_true",
+        F.floor(
+            F.lit(1000)
+            * F.abs(F.col("distinct_est") - F.col("distinct_true"))
+            / F.col("distinct_true")
+        ).cast("long").alias("err_q"),
+    )
+
+
+def _sql_sketch_hll() -> str:
+    extra_cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _HLL_NIBBLE_LZ.items()
+    )
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+), bits AS (
+  SELECT event_type,
+         ('0x' || substr(h, 1, 2))::UBIGINT::BIGINT % {HLL_M} AS reg,
+         least(
+           (12 - length(regexp_replace(substr(h, 3, 12), '^0+', ''))) * 4
+           + (CASE substr(regexp_replace(substr(h, 3, 12), '^0+', ''), 1, 1)
+              {extra_cases} ELSE 0 END) + 1,
+           {HLL_RHO_CAP}) AS rho
+  FROM hashed
+), per_reg AS (
+  SELECT event_type, reg, max(rho) AS m_rho FROM bits GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type, count(*) AS n_registers,
+         CAST(sum(CAST(power(2, {HLL_RHO_CAP} - m_rho) AS BIGINT)) AS BIGINT) AS s_present
+  FROM per_reg GROUP BY 1
+), est AS (
+  SELECT event_type, n_registers,
+         {HLL_ALPHA_NUM} // (({HLL_M} - n_registers) * {1 << HLL_RHO_CAP} + s_present) AS distinct_est
+  FROM per_type
+)
+SELECT e.event_type, e.n_registers, e.distinct_est, t.distinct_true,
+       CAST(floor(1000.0 * abs(e.distinct_est - t.distinct_true) / t.distinct_true) AS BIGINT) AS err_q
+FROM est e JOIN (
+  SELECT event_type, count(DISTINCT user_id) AS distinct_true FROM events GROUP BY 1
+) t ON e.event_type = t.event_type
+"""
+
+
+SQL_SKETCH_HLL = _sql_sketch_hll()
+
+
 # irregular, non-overlapping [start, end) campaign periods — the interval
 # dimension for the range join; single literal source for BOTH engines
 RANGE_PERIODS: list[tuple[int, str, str]] = [

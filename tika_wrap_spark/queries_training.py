@@ -879,6 +879,87 @@ FROM g
 """
 
 
+def q_tfidf_topk(spark, d):
+    """Top-3 salient terms per document by integer-exact tf-idf."""
+    return ta.tfidf_topk(_t(spark, d, "documents"))
+
+
+SQL_TFIDF_TOPK = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(str_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM terms WHERE length(term) >= {ta.TFIDF_MIN_TERM_LEN}
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM t GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, dfreq.df,
+         t.tf * (({ta.TFIDF_IDF_SCALE} * n.n_docs) // dfreq.df) AS score_q
+  FROM t JOIN dfreq USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term, tf, df, CAST(score_q AS BIGINT) AS score_q
+FROM r WHERE rnk <= {ta.TFIDF_TOPK}
+"""
+
+
+def q_text_scrub(spark, d):
+    """PII scrub over the documents table with deterministic injected PII
+    (the synthetic corpus carries none, so both engines append the SAME
+    doc_id-derived email/IP/phone before scrubbing — the redaction itself,
+    counts, and scrubbed digests are then verified engine-exact)."""
+    docs = _t(spark, d, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return ta.scrub_pii(pii)
+
+
+def _sql_text_scrub() -> str:
+    reps = "text"
+    for pat, token in ta._PII_ORDER:
+        reps = f"regexp_replace({reps}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{ta.PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{ta.PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{ta.PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(length({reps}) AS BIGINT) AS n_chars_scrubbed,
+       md5({reps}) AS scrubbed_md5
+FROM pii
+"""
+
+
+SQL_TEXT_SCRUB = _sql_text_scrub()
+
+
 def q_doc_fingerprint(spark, d):
     """Full/head/tail content digests per doc."""
     return ta.fingerprints(_t(spark, d, "documents"))

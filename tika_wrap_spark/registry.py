@@ -45,6 +45,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rollup_cascade": (q.q_rollup_cascade, q.SQL_ROLLUP_CASCADE),
     "session_window": (q.q_session_window, q.SQL_SESSION_WINDOW),
     "sketch_kmv": (q.q_sketch_kmv, q.SQL_SKETCH_KMV),
+    "sketch_hll": (q.q_sketch_hll, q.SQL_SKETCH_HLL),
     # dedup family
     "dedup_exact": (qt.q_dedup_exact, qt.SQL_DEDUP_EXACT),
     "ngram_jaccard": (qt.q_ngram_jaccard, qt.SQL_NGRAM_JACCARD),
@@ -68,6 +69,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_count": (qt.q_token_count, qt.SQL_TOKEN_COUNT),
     "doc_fingerprint": (qt.q_doc_fingerprint, qt.SQL_DOC_FINGERPRINT),
     "text_repetition": (qt.q_text_repetition, qt.SQL_TEXT_REPETITION),
+    "tfidf_topk": (qt.q_tfidf_topk, qt.SQL_TFIDF_TOPK),
+    "text_scrub": (qt.q_text_scrub, qt.SQL_TEXT_SCRUB),
     "curate_corpus": (qt.q_curate_corpus, qt.SQL_CURATE_CORPUS),
     # corpus curation: sampling / sharding / bloom-pruned dedup / keep-best
     "sample_stratified": (qt.q_sample_stratified, qt.SQL_SAMPLE_STRATIFIED),
