@@ -96,6 +96,51 @@ def test_shard_export_write_and_idempotence(spark, tmp_path):
     assert spark.read.parquet(out).count() == docs.count()
 
 
+def test_pack_sequences_matches_serial_prefix_sum(spark):
+    """The bucketed two-phase prefix sum equals the serial cumsum, and the
+    sequence-id algebra handles boundary-straddling and empty docs."""
+    n_toks = [0, 3, 510, 5, 0, 512, 1, 700, 2, 9]
+    rows = [(i, t) for i, t in enumerate(n_toks)]
+    toks = spark.createDataFrame(rows, "doc_id long, n_toks long")
+    got = {r["doc_id"]: r for r in cu.pack_sequences(toks, bucket=3).collect()}
+    off = 0
+    for i, t in enumerate(n_toks):
+        r = got[i]
+        assert r["start_off"] == off
+        first = off // cu.PACK_BUDGET
+        assert r["seq_first"] == first
+        if t > 0:
+            last = (off + t - 1) // cu.PACK_BUDGET
+            assert r["seq_last"] == last
+            assert r["n_seqs"] == last - first + 1
+        else:
+            assert r["seq_last"] == first and r["n_seqs"] == 0
+        off += t
+    # doc 7 (700 toks starting at 1030) straddles the 1024/1536 boundaries
+    assert got[7]["n_seqs"] == 2
+
+
+def test_contamination_planted_overlap(spark):
+    """Planted overlap is found, hot shingles are capped out, clean eval
+    docs report zero hits."""
+    shared = "alpha beta gamma"
+    hot = "the of and"  # planted in > CONTAM_DF_CAP train docs
+    rows = [(0, shared), (50, "delta epsilon zeta")]  # eval: doc_id % 50 == 0
+    rows += [(1, shared)]  # one train doc carrying the eval shingle
+    rows += [(100 + i, hot) for i in range(1, cu.CONTAM_DF_CAP + 2) if (100 + i) % 50]
+    rows += [(201, hot.replace("the", "zzz"))]
+    grams = spark.createDataFrame(rows, "doc_id long, gram string")
+    got = {r["doc_id"]: r for r in cu.contamination_check(grams).collect()}
+    assert set(got) == {0, 50}
+    assert got[0]["n_hit_shingles"] == 1 and got[0]["n_train_docs"] == 1
+    assert got[0]["contam_q"] == 1000
+    assert got[50]["n_hit_shingles"] == 0 and got[50]["contam_q"] == 0
+    # the hot shingle never reaches the join: plant it on an eval doc too
+    grams2 = grams.union(spark.createDataFrame([(0, hot)], "doc_id long, gram string"))
+    got2 = {r["doc_id"]: r for r in cu.contamination_check(grams2).collect()}
+    assert got2[0]["n_hit_shingles"] == 1  # still only the alpha-beta-gamma hit
+
+
 def test_keep_best_partitions_scope(spark):
     """Clusters partition the scoped doc set: member counts sum to the
     scope size, every keeper's score is a valid quantized ratio."""

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 HEX = "0123456789abcdef"
 
@@ -82,6 +83,126 @@ def shard_assign(
     and retries — the property a resumable multi-day export needs."""
     bucket = bucket_expr(F.col(key_col).cast("string"), salt, 2)
     return df.withColumn("shard", (bucket % n_shards).cast("long"))
+
+
+PACK_BUDGET = 512
+PACK_BUCKET = 100
+
+
+def pack_sequences(
+    toks: DataFrame, budget: int = PACK_BUDGET, bucket: int = PACK_BUCKET
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    step that concatenates the token stream in deterministic doc_id order
+    and chunks it into fixed ``budget``-token training sequences. Input:
+    (doc_id, n_toks). Output per doc: its global token offset and the
+    first/last sequence ids it lands in (a doc can straddle a boundary).
+
+    Scale shape — a DISTRIBUTED prefix sum, never one global sort: docs
+    group into contiguous doc_id ranges (``bucket`` = doc_id div B); the
+    per-bucket token totals aggregate map-side, their tiny bucket-level
+    running sum is the only single-partition window (n_buckets rows, the
+    same bounded-driver-state shape as the KMV two-stage bottom-k), and
+    each doc's offset = its bucket's base + a within-bucket cumsum
+    (parallel across buckets). One-window oracle proves the two-phase
+    decomposition exact."""
+    b = toks.withColumn("bucket", F.expr(f"doc_id div {bucket}"))
+    bucket_base = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_toks").alias("bsum"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("bsum").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "base")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        b.withColumn("local_off", F.coalesce(F.sum("n_toks").over(w_in), F.lit(0)))
+        .join(F.broadcast(bucket_base), "bucket")
+        .withColumn("start_off", (F.col("base") + F.col("local_off")).cast("long"))
+    )
+    seq_first = F.expr(f"start_off div {budget}")
+    seq_last = F.expr(
+        f"CASE WHEN n_toks > 0 THEN (start_off + n_toks - 1) div {budget} "
+        f"ELSE start_off div {budget} END"
+    )
+    return placed.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        "start_off",
+        seq_first.cast("long").alias("seq_first"),
+        seq_last.cast("long").alias("seq_last"),
+        F.when(F.col("n_toks") > 0, seq_last - seq_first + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_seqs"),
+    )
+
+
+CONTAM_N = 3
+CONTAM_EVAL_MOD = 50
+CONTAM_DF_CAP = 20
+
+
+def contamination_check(grams: DataFrame) -> DataFrame:
+    """Benchmark-contamination (decontamination) check — the train/eval
+    n-gram-overlap audit every corpus release runs: which eval-set
+    documents share word shingles with the training split, and how much.
+    Input: (doc_id, gram) distinct shingles; the eval split is the
+    deterministic ``doc_id % CONTAM_EVAL_MOD == 0`` subset.
+
+    Scale shape: the eval side is a small fixed benchmark — broadcast it;
+    the train side never shuffles for the probe. Train-side shingles with
+    document frequency > CONTAM_DF_CAP are dropped before the join (one
+    boilerplate shingle in d train docs would emit d rows per eval hit —
+    the same hot-shingle quadratic the ngram_jaccard cap defuses; a
+    stop-shingle signals boilerplate, not contamination)."""
+    is_eval = (F.col("doc_id") % CONTAM_EVAL_MOD) == 0
+    eval_g = grams.filter(is_eval)
+    train_g = grams.filter(~is_eval)
+    train_kept = train_g.join(
+        train_g.groupBy("gram")
+        .agg(F.count("*").alias("gram_df"))
+        .filter(F.col("gram_df") <= CONTAM_DF_CAP),
+        "gram",
+    ).select(F.col("doc_id").alias("train_doc"), "gram")
+    hits = (
+        train_kept.join(
+            F.broadcast(eval_g.withColumnRenamed("doc_id", "eval_doc")), "gram"
+        )
+        .groupBy("eval_doc")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_shingles"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )
+    sizes = eval_g.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        sizes.join(hits, sizes["doc_id"] == hits["eval_doc"], "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_hit_shingles", F.lit(0)).cast("long").alias("n_hit_shingles"),
+            F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+            F.floor(
+                F.lit(1000)
+                * F.coalesce("n_hit_shingles", F.lit(0))
+                / F.greatest("n_shingles", F.lit(1))
+            ).cast("long").alias("contam_q"),
+        )
+    )
 
 
 def bloom_positions(fp: Column, k: int = 3, salt: str = "bloom") -> Column:

@@ -1131,6 +1131,85 @@ FROM n
 SQL_BLOOM_ANTIJOIN = _sql_bloom_antijoin()
 
 
+def q_pack_sequences(spark, d):
+    """Concat-and-chunk sequence packing over the documents table: each
+    doc's global token offset and the training-sequence ids it occupies.
+    The Spark side is the scalable two-phase prefix sum (bucketed partial
+    sums + tiny bucket-base window); the oracle is the straight one-window
+    cumsum — a green hash proves the decomposition exact."""
+    docs = _t(spark, d, "documents")
+    toks = dd.normalized(docs).select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("norm"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    return cu.pack_sequences(toks)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(str_split({_NORM_DUCK}, ' '), x -> x <> '')) AS n_toks
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM t
+)
+SELECT doc_id, n_toks, start_off,
+       CAST(start_off // {cu.PACK_BUDGET} AS BIGINT) AS seq_first,
+       CAST(CASE WHEN n_toks > 0 THEN (start_off + n_toks - 1) // {cu.PACK_BUDGET}
+                 ELSE start_off // {cu.PACK_BUDGET} END AS BIGINT) AS seq_last,
+       CAST(CASE WHEN n_toks > 0 THEN
+                 ((start_off + n_toks - 1) // {cu.PACK_BUDGET}) - (start_off // {cu.PACK_BUDGET}) + 1
+                 ELSE 0 END AS BIGINT) AS n_seqs
+FROM c
+"""
+
+
+def q_contamination(spark, d):
+    """Benchmark-contamination audit: eval docs (doc_id % 50 == 0) vs the
+    training split by 3-gram shingle overlap, hot shingles capped."""
+    docs = _t(spark, d, "documents")
+    return cu.contamination_check(dd.doc_ngrams(docs, n=cu.CONTAM_N))
+
+
+SQL_CONTAMINATION = f"""
+WITH docs AS (
+  SELECT doc_id, str_split({_NORM_DUCK}, ' ') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, w[t.i] || ' ' || w[t.i+1] || ' ' || w[t.i+2] AS gram
+  FROM docs, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+), eval_g AS (
+  SELECT * FROM grams WHERE doc_id % {cu.CONTAM_EVAL_MOD} = 0
+), train_g AS (
+  SELECT * FROM grams WHERE doc_id % {cu.CONTAM_EVAL_MOD} <> 0
+), train_kept AS (
+  SELECT g.doc_id AS train_doc, g.gram
+  FROM train_g g JOIN (
+    SELECT gram, count(*) AS gram_df FROM train_g GROUP BY 1
+  ) d USING (gram)
+  WHERE d.gram_df <= {cu.CONTAM_DF_CAP}
+), hits AS (
+  SELECT e.doc_id AS eval_doc,
+         count(DISTINCT t.gram) AS n_hit_shingles,
+         count(DISTINCT t.train_doc) AS n_train_docs
+  FROM eval_g e JOIN train_kept t USING (gram)
+  GROUP BY 1
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM eval_g GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+       CAST(coalesce(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+       CAST(floor(1000.0 * coalesce(h.n_hit_shingles, 0) / greatest(s.n_shingles, 1)) AS BIGINT) AS contam_q
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.eval_doc
+"""
+
+
 def q_dedup_keep_best(spark, d):
     """Cluster-level dedup KEEP-BEST — what a corpus build actually runs
     after near-dup clustering: every doc in scope joins its MinHash-LSH

@@ -77,6 +77,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "shard_export": (qt.q_shard_export, qt.SQL_SHARD_EXPORT),
     "bloom_antijoin": (qt.q_bloom_antijoin, qt.SQL_BLOOM_ANTIJOIN),
     "dedup_keep_best": (qt.q_dedup_keep_best, qt.SQL_DEDUP_KEEP_BEST),
+    "pack_sequences": (qt.q_pack_sequences, qt.SQL_PACK_SEQUENCES),
+    "contamination": (qt.q_contamination, qt.SQL_CONTAMINATION),
     # extraction pipeline (rows-only: pandas-UDF core / synthetic corpus)
     "extract_pipeline": (qt.q_extract_pipeline, None),
     "container_extract": (qt.q_container_extract, None),
