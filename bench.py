@@ -47,6 +47,8 @@ HEADLINE = [
     "sample_stratified",
     "shard_export",
     "bloom_antijoin",
+    "pack_sequences",
+    "contamination",
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh",

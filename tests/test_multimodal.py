@@ -110,6 +110,48 @@ def test_gif_bmp_wav_header_parse_pure():
     assert image_dims(b"GIF is a format name, not a magic") is None
 
 
+def test_avi_header_parse_pure():
+    """AVI main-header walk returns true dims / frame count / stream count;
+    total on malformed, foreign, and truncated RIFF bytes."""
+    from tika_wrap_spark.core.media import avi_info, build_avi, build_wav, wav_info
+
+    assert avi_info(build_avi(1920, 1080, 2400)) == (1920, 1080, 2400, 1)
+    assert avi_info(build_avi(320, 240, 1, n_streams=2)) == (320, 240, 1, 2)
+    # WAV and AVI dispatch never cross: same RIFF magic, different form type
+    assert avi_info(build_wav(2, 44100, 16, 10)) is None
+    assert wav_info(build_avi(64, 48, 5)) is None
+    assert avi_info(b"RIFF\x10\x00\x00\x00AVI LIST") is None  # truncated list
+    assert avi_info(build_avi(100, 100, 7)[:30]) is None  # cut inside avih
+    assert avi_info(b"RIFF\x04\x00\x00\x00AVI ") is None  # no hdrl at all
+    assert avi_info(b"not riff at all") is None
+
+
+def test_decode_media_real_avi_video(spark):
+    """decode_media returns TRUE dims and frame counts for AVI payloads,
+    and frame_sample's 1:N amplification follows the real frame count."""
+    from tika_wrap_spark.core.media import build_avi
+
+    rows = [
+        ("avi://a", bytearray(build_avi(640, 360, 300))),
+        ("avi://b", bytearray(build_avi(1280, 720, 30))),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = {r["media_ref"]: r for r in decode_media(df).collect()}
+    a, b = got["avi://a"], got["avi://b"]
+    assert a["media_kind"] == b["media_kind"] == "video"
+    assert (a["width"], a["height"], a["n_frames"]) == (640, 360, 300)
+    assert (b["width"], b["height"], b["n_frames"]) == (1280, 720, 30)
+    frames = {
+        r["media_ref"]: r["k"]
+        for r in frame_sample(df, every_n=30, max_frames=8)
+        .groupBy("media_ref")
+        .agg(F.count("*").alias("k"))
+        .collect()
+    }
+    assert frames["avi://a"] == 8  # 300 frames / 30, capped at max_frames
+    assert frames["avi://b"] == 1
+
+
 def test_decode_media_real_audio_and_gif_bmp(spark):
     """decode_media returns TRUE stream parameters for WAV payloads and
     true dims for GIF/BMP (audio graduates from stub; only video remains)."""

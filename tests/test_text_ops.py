@@ -91,3 +91,19 @@ def test_hll_register_math_matches_python():
         rho_expr = min(zeros * 4 + extra + 1, HLL_RHO_CAP)
         assert rho_expr == rho, (h, rho_expr, rho)
         assert 0 <= reg < HLL_M
+
+
+def test_cms_overestimates_never_underestimate(spark):
+    """CMS point-query invariant: est >= exact always (min over rows of
+    non-negative collision sums); the undisputed top token estimates
+    exactly when its buckets are collision-dominant anyway."""
+    from tika_wrap_spark.operators.text_analysis import cms_heavy_hitters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = cms_heavy_hitters(docs).collect()
+    assert len(rows) == 20
+    assert all(r["overest"] >= 0 for r in rows)
+    assert all(r["cms_est"] == r["exact_n"] + r["overest"] for r in rows)
+    # top-k is ordered-set deterministic: re-run bit-identical
+    again = cms_heavy_hitters(docs).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

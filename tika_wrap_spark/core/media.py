@@ -1,14 +1,16 @@
-"""Real media-header parsing: PNG IHDR / JPEG SOF / GIF / BMP dimensions
-and WAV (RIFF) audio stream parameters, pure stdlib.
+"""Real media-header parsing: PNG IHDR / JPEG SOF / GIF / BMP dimensions,
+WAV (RIFF) audio stream parameters, and AVI (RIFF) video main headers,
+pure stdlib.
 
 The reference ships media metadata via external tools (exiftool/sox/
 tesseract, /root/reference/README.md:17-21); the sandbox has no media
 libraries, but these headers are fixed byte-layout parses (public format
 specs: PNG RFC 2083 / W3C, JPEG ISO 10918 marker structure, GIF87a/89a
-logical screen descriptor, BMP BITMAPINFOHEADER, RIFF/WAVE fmt chunk)
-needing no decoder. They feed (a) per-document media metadata in the
-extraction core and (b) the multimodal decode operator's image and audio
-paths — only video remains behind the declared deterministic stub.
+logical screen descriptor, BMP BITMAPINFOHEADER, RIFF/WAVE fmt chunk,
+RIFF/AVI hdrl-list AVIMAINHEADER) needing no decoder. They feed (a)
+per-document media metadata in the extraction core and (b) the multimodal
+decode operator's image, audio, and video paths — only byte streams with
+no recognizable header fall to the declared deterministic stub.
 
 All functions are total: malformed/foreign bytes return ``None``, never
 raise (media payloads are untrusted corpus data).
@@ -132,6 +134,38 @@ def wav_info(data: bytes) -> tuple[int, int, int, int] | None:
     return (channels, sample_rate, bits, n_frames)
 
 
+def avi_info(data: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, n_frames, n_streams) from a RIFF/AVI main header:
+    walk the top-level chunk list for ``LIST/hdrl``, then its sub-chunks
+    for ``avih`` (AVIMAINHEADER: dwTotalFrames at body offset 16,
+    dwStreams at 24, dwWidth/dwHeight at 32/36, all LE uint32). Returns
+    None for non-AVI bytes or a malformed/short chunk walk."""
+    n = len(data)
+    if n < 12 or not data.startswith(RIFF_MAGIC) or data[8:12] != b"AVI ":
+        return None
+    i = 12
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        if cid == b"LIST" and data[i + 8 : i + 12] == b"hdrl":
+            j = i + 12
+            end = min(i + 8 + size, n)
+            while j + 8 <= end:
+                sub = data[j : j + 4]
+                sub_size = struct.unpack("<I", data[j + 4 : j + 8])[0]
+                if sub == b"avih" and sub_size >= 40 and j + 8 + 40 <= n:
+                    body = data[j + 8 : j + 48]
+                    frames, streams = struct.unpack("<II", body[16:20] + body[24:28])
+                    w, h = struct.unpack("<II", body[32:40])
+                    if w <= 0 or h <= 0:
+                        return None
+                    return (w, h, frames, streams)
+                j += 8 + sub_size + (sub_size & 1)
+            return None  # hdrl list without an avih header
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
 def image_dims(data: bytes) -> tuple[int, int] | None:
     """Dispatch on magic: PNG IHDR / JPEG SOF / GIF screen descriptor /
     BMP info-header dims, else None."""
@@ -177,6 +211,21 @@ def build_bmp(width: int, height: int, top_down: bool = False) -> bytes:
         1, 24, 0, 0, 2835, 2835, 0, 0,
     )
     return BMP_MAGIC + struct.pack("<IHHI", 54, 0, 0, 54) + info
+
+
+def build_avi(
+    width: int, height: int, n_frames: int, n_streams: int = 1
+) -> bytes:
+    """Minimal RIFF/AVI head: LIST/hdrl with a 56-byte avih main header
+    (frame count, stream count, dims) — enough for any header-parsing
+    consumer; no movi payload."""
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        33333, 0, 0, 0x10, n_frames, 0, n_streams, 0, width, height, 0, 0, 0, 0,
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return RIFF_MAGIC + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst
 
 
 def build_wav(

@@ -5,12 +5,15 @@ feature-extract runs as Arrow-batched ``mapInPandas``. The IMAGE decode is
 REAL: PNG IHDR / JPEG SOF / GIF screen-descriptor / BMP info-header parsing
 (pure stdlib, ``core/media.py``) returns true width/height for any such
 byte stream. The AUDIO decode is REAL for WAV: the RIFF/WAVE fmt+data walk
-yields true channel count, sample rate, and frame count. Only VIDEO (and
-unrecognized bytes) remains a STUB — this container has no media
-libraries — marked by ``_decode_real`` raising NotImplementedError and a
-deterministic fake (`_decode_fake`, keyed on the payload digest) standing
-in so the Spark-side plumbing (schema, partitioning, UDF signature, Arrow
-batch shape) is real and tested end-to-end.
+yields true channel count, sample rate, and frame count. The VIDEO header
+decode is REAL for AVI: the RIFF/hdrl walk yields true dims and total
+frame count (which drives frame sampling). Only pixel/sample-level kernels
+(resample, full frame decode, encoder forward pass) and unrecognized byte
+streams remain STUBS — this container has no media libraries — marked by
+``_decode_real`` raising NotImplementedError and a deterministic fake
+(`_decode_fake`, keyed on the payload digest) standing in so the
+Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
+shape) is real and tested end-to-end.
 
 At scale: media bytes stay out-of-row (``media_ref`` into object storage,
 mirroring the reference keeping media on disk while text goes to ctx.txt);
@@ -31,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tika_wrap_spark.core.media import (
+    avi_info,
+    build_avi,
     build_bmp,
     build_gif,
     build_jpeg,
@@ -63,7 +68,7 @@ def _decode_real(payload: bytes) -> dict:
 
 def _decode_fake(ref: str, payload: bytes) -> dict:
     """Deterministic stand-in for payloads with no parseable header
-    (video containers need real media libraries): metadata derived from
+    (exotic containers need real media libraries): metadata derived from
     the payload digest."""
     h = hashlib.md5(payload).hexdigest()
     v = int(h[:8], 16)
@@ -78,10 +83,11 @@ def _decode_fake(ref: str, payload: bytes) -> dict:
 
 
 def _decode_payload(ref: str, payload: bytes) -> dict:
-    """IMAGE and WAV-AUDIO paths are REAL: PNG/JPEG/GIF/BMP header parse
-    yields true dimensions; the RIFF/WAVE chunk walk yields true channels
-    (-> width), sample rate (-> height), and frame count (core/media.py).
-    Unrecognized bytes fall to the declared video stub."""
+    """IMAGE, WAV-AUDIO, and AVI-VIDEO paths are REAL: PNG/JPEG/GIF/BMP
+    header parse yields true dimensions; the RIFF/WAVE chunk walk yields
+    true channels (-> width), sample rate (-> height), and frame count;
+    the RIFF/AVI hdrl walk yields true dims and total frames
+    (core/media.py). Unrecognized bytes fall to the declared stub."""
     dims = image_dims(payload)
     if dims is not None:
         return {
@@ -98,6 +104,16 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
             "media_kind": "audio",
             "width": channels,
             "height": sample_rate,
+            "n_frames": n_frames,
+            "feature": hashlib.md5(payload).hexdigest()[:16],
+        }
+    avi = avi_info(payload)
+    if avi is not None:
+        w, h, n_frames, _streams = avi
+        return {
+            "media_kind": "video",
+            "width": w,
+            "height": h,
             "n_frames": n_frames,
             "feature": hashlib.md5(payload).hexdigest()[:16],
         }
@@ -125,14 +141,14 @@ PAYLOAD_SCHEMA = T.StructType(
 
 def _fetch_fake(ref: str) -> bytes:
     """Deterministic object-store-fetch stand-in, keyed on the ref digest:
-    ~5/6 of refs come back as REAL PNG/JPEG/GIF/BMP/WAV byte streams
+    ~6/7 of refs come back as REAL PNG/JPEG/GIF/BMP/WAV/AVI byte streams
     (valid headers, digest-derived parameters) so the decode path exercises
     true header parsing across every real kernel; the rest stay opaque
-    bytes (the video stub path)."""
+    bytes (the unrecognized-payload stub path)."""
     h = hashlib.md5(ref.encode("utf-8")).digest()
     v = int.from_bytes(h[:4], "big")
     w, hgt = 16 + v % 1920, 16 + (v >> 8) % 1080
-    kind = v % 6
+    kind = v % 7
     if kind == 0:
         return build_png(w, hgt, h)
     if kind == 1:
@@ -143,6 +159,8 @@ def _fetch_fake(ref: str) -> bytes:
         return build_bmp(w, hgt, top_down=bool(v & 32))
     if kind == 4:
         return build_wav(1 + v % 2, (8000, 16000, 44100)[v % 3], 16, 1 + (v >> 8) % 96000)
+    if kind == 5:
+        return build_avi(w, hgt, 1 + (v >> 4) % 3000, 1 + v % 2)
     return h + h[::-1]
 
 

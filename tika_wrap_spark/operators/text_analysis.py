@@ -244,3 +244,64 @@ def repetition_features(df: DataFrame) -> DataFrame:
             ).cast("long").alias("max_tok_share_q"),
         )
     )
+
+
+CMS_D = 3
+CMS_W = 512
+CMS_K = 20
+
+
+def _cms_cells(key: Column) -> Column:
+    """Array of (r, bucket) cells for a key: one md5 bucket per sketch row
+    (the curation bucket_expr family, cross-engine exact)."""
+    from tika_wrap_spark.operators.curation import bucket_expr  # noqa: PLC0415
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (bucket_expr(key, f"cms{i}:", 3) % CMS_W).alias("bucket"),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, k: int = CMS_K) -> DataFrame:
+    """Count-min-sketch heavy hitters over the token stream: the top-k
+    tokens by exact count, each with its CMS estimate and the (always
+    non-negative) collision overestimate — a standing record of sketch
+    accuracy, the KMV/HLL pattern applied to point frequencies.
+
+    Scale shape: the sketch build shuffles at most D*W (= CMS_D x CMS_W)
+    counter cells per map partition (partial-aggregable groupBy on (r, bucket) —
+    fixed-size mergeable state regardless of vocabulary size, which is why
+    CMS is the 100 TB frequency operator when the vocab doesn't fit). The
+    exact side is one token groupBy (the verification baseline); estimates
+    come from broadcasting the tiny finished sketch to the candidate rows.
+    """
+    toks = _norm(df).select(
+        F.explode(F.split(F.col("norm"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    topk = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(k)
+    sketch = (
+        toks.select(F.explode(_cms_cells(F.col("tok"))).alias("c"))
+        .select("c.r", "c.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cand = topk.select(
+        "tok", "exact_n", F.explode(_cms_cells(F.col("tok"))).alias("c")
+    ).select("tok", "exact_n", "c.r", "c.bucket")
+    return (
+        cand.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "tok",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overest"),
+        )
+    )

@@ -908,6 +908,50 @@ FROM r WHERE rnk <= {ta.TFIDF_TOPK}
 """
 
 
+def q_sketch_cms(spark, d):
+    """Count-min-sketch heavy hitters over the documents token stream:
+    top-20 tokens with exact count, CMS estimate, and collision
+    overestimate (engine-exact md5 bucket arithmetic; the oracle rebuilds
+    the identical 3x512 sketch)."""
+    return ta.cms_heavy_hitters(_t(spark, d, "documents"))
+
+
+def _sql_sketch_cms() -> str:
+    b = [cu.bucket_sql_expr("tok", f"cms{i}:", 3) for i in range(ta.CMS_D)]
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS r, {b[i]} % {ta.CMS_W} AS bucket FROM toks"
+        for i in range(ta.CMS_D)
+    )
+    cand = " UNION ALL ".join(
+        f"SELECT tok, exact_n, {i} AS r, {b[i]} % {ta.CMS_W} AS bucket FROM topk"
+        for i in range(ta.CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(str_split({_NORM_DUCK}, ' '), x -> x <> '')) AS tok
+  FROM documents
+), exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY 1
+), topk AS (
+  SELECT * FROM exact ORDER BY exact_n DESC, tok LIMIT {ta.CMS_K}
+), cells AS (
+  {cells}
+), sketch AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2
+), cand AS (
+  {cand}
+)
+SELECT c.tok, c.exact_n,
+       CAST(min(s.cnt) AS BIGINT) AS cms_est,
+       CAST(min(s.cnt) - c.exact_n AS BIGINT) AS overest
+FROM cand c JOIN sketch s USING (r, bucket)
+GROUP BY 1, 2
+"""
+
+
+SQL_SKETCH_CMS = _sql_sketch_cms()
+
+
 def q_text_scrub(spark, d):
     """PII scrub over the documents table with deterministic injected PII
     (the synthetic corpus carries none, so both engines append the SAME

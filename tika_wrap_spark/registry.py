@@ -46,6 +46,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "session_window": (q.q_session_window, q.SQL_SESSION_WINDOW),
     "sketch_kmv": (q.q_sketch_kmv, q.SQL_SKETCH_KMV),
     "sketch_hll": (q.q_sketch_hll, q.SQL_SKETCH_HLL),
+    "sketch_cms": (qt.q_sketch_cms, qt.SQL_SKETCH_CMS),
     # dedup family
     "dedup_exact": (qt.q_dedup_exact, qt.SQL_DEDUP_EXACT),
     "ngram_jaccard": (qt.q_ngram_jaccard, qt.SQL_NGRAM_JACCARD),
