@@ -49,6 +49,9 @@ HEADLINE = [
     "bloom_antijoin",
     "pack_sequences",
     "contamination",
+    "mixture_temperature",
+    "text_rarity",
+    "sketch_cms",
     "dedup_exact",
     "dedup_simhash",
     "dedup_minhash_lsh",

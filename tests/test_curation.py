@@ -151,3 +151,39 @@ def test_keep_best_partitions_scope(spark):
     assert sum(r["n_members"] for r in res) == n_docs
     assert all(0 <= r["keep_score"] <= 1000 for r in res)
     assert all(r["n_members"] >= 1 for r in res)
+
+
+def test_temperature_rates_flatten_mixture(spark):
+    """alpha=0.5 rates: the rarest stratum keeps all (rate_q = scale), a
+    4x stratum keeps ~half, rates match the python IEEE replica exactly."""
+    import math
+
+    rows = [(i, ["big", "mid", "rare"][0 if i < 800 else (1 if i < 1000 else 2)])
+            for i in range(1050)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in cu.temperature_rates(df, "source").collect()}
+    n = {"big": 800, "mid": 200, "rare": 50}
+    for s, r in got.items():
+        want = min(4096, math.floor(4096 * math.sqrt(50 / n[s])))
+        assert (r["n_docs"], r["rate_q"]) == (n[s], want), s
+    assert got["rare"]["rate_q"] == 4096
+
+
+def test_temperature_sample_deterministic_coin(spark):
+    """Kept counts equal the python md5-coin replica; re-run bit-identical."""
+    import math
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r["source"]: r for r in cu.temperature_sample(docs, "source").collect()}
+    rows = docs.select("doc_id", "source").collect()
+    n = {}
+    for r in rows:
+        n[r["source"]] = n.get(r["source"], 0) + 1
+    n_min = min(n.values())
+    kept = dict.fromkeys(n, 0)
+    for r in rows:
+        rate = min(4096, math.floor(4096 * math.sqrt(n_min / n[r["source"]])))
+        if _py_bucket(str(r["doc_id"]), "temp:", 3) < rate:
+            kept[r["source"]] += 1
+    for s, r in got.items():
+        assert (r["n_docs"], r["n_kept"]) == (n[s], kept[s]), s

@@ -107,3 +107,18 @@ def test_cms_overestimates_never_underestimate(spark):
     # top-k is ordered-set deterministic: re-run bit-identical
     again = cms_heavy_hitters(docs).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_token_rarity_orders_gibberish_above_boilerplate(spark):
+    """A doc of unique tokens scores RARITY_SCALE mean; a doc repeating a
+    corpus-wide token scores the corpus-frequency reciprocal."""
+    from tika_wrap_spark.operators.text_analysis import RARITY_SCALE, token_rarity
+
+    rows = [(0, "zzqx vvwp kkjh"), (1, "common common common"), (2, "common word")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in token_rarity(df).collect()}
+    assert got[0]["rarity_mean_q"] == RARITY_SCALE  # every token unique
+    # 'common' occurs 4x corpus-wide
+    assert got[1]["rarity_mean_q"] == RARITY_SCALE // 4
+    assert got[2]["rarity_sum"] == RARITY_SCALE // 4 + RARITY_SCALE
+    assert got[0]["rarity_mean_q"] > got[2]["rarity_mean_q"] > got[1]["rarity_mean_q"]

@@ -251,3 +251,64 @@ def bloom_prune_flags(
             F.coalesce(F.col("seen_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+TEMP_SCALE = 4096
+
+
+def temperature_rates(
+    df: DataFrame, strata_col: str, scale: int = TEMP_SCALE
+) -> DataFrame:
+    """Temperature-resampling keep rates (alpha = 0.5) per stratum — the
+    multilingual/domain rebalancing step of a pretraining mix: the rarest
+    stratum keeps everything, a stratum k times larger keeps ~1/sqrt(k) of
+    its docs, flattening the mixture toward p^alpha.
+
+    rate_q = min(scale, floor(scale * sqrt(n_min / n_s))), computed with
+    IEEE-exact ops only (division and sqrt are correctly rounded, the
+    scale multiply and floor are exact) so both engines produce the
+    identical integer rate. The per-stratum count table is one
+    partial-aggregable groupBy; the min is a 1-row broadcast."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    return (
+        counts.join(F.broadcast(n_min))
+        .withColumn(
+            "rate_q",
+            F.least(
+                F.lit(scale),
+                F.floor(F.lit(scale) * F.sqrt(F.col("n_min") / F.col("n_docs"))),
+            ).cast("long"),
+        )
+        .select(strata_col, F.col("n_docs").cast("long").alias("n_docs"), "rate_q")
+    )
+
+
+def temperature_sample(
+    df: DataFrame, strata_col: str, scale: int = TEMP_SCALE
+) -> DataFrame:
+    """Apply temperature_rates: keep a doc iff its md5 bucket falls under
+    its stratum's rate (same deterministic coin as stratified_sample —
+    retry-stable, partitioning-independent). Returns the per-stratum
+    audit row (n_docs, rate_q, n_kept) rather than the kept rows, as the
+    standing record of the achieved mixture."""
+    rates = temperature_rates(df, strata_col, scale)
+    kept = (
+        df.join(F.broadcast(rates), strata_col)
+        .withColumn("b", bucket_expr(F.col("doc_id").cast("string"), "temp:", 3))
+        .withColumn("keep", F.col("b") < F.col("rate_q"))
+    )
+    return (
+        kept.groupBy(strata_col)
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("rate_q").alias("rate_q"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .select(
+            strata_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("rate_q").cast("long").alias("rate_q"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )

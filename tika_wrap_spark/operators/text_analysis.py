@@ -305,3 +305,37 @@ def cms_heavy_hitters(df: DataFrame, k: int = CMS_K) -> DataFrame:
             (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overest"),
         )
     )
+
+
+RARITY_SCALE = 1_000_000
+
+
+def token_rarity(df: DataFrame) -> DataFrame:
+    """Unigram-LM perplexity surrogate, integer-exact: each token scores
+    ``RARITY_SCALE div global_count`` (monotone in -log p(tok) for
+    ranking, with no libm log whose last ulp could flip a floor); a doc's
+    rarity is the per-token mean. High rarity = unusual vocabulary
+    (gibberish or specialist text), low = boilerplate — the cheap
+    LM-quality signal a curation cascade thresholds on.
+
+    Scale: the global count table is one partial-aggregable groupBy(tok);
+    scoring re-joins the token stream on tok (the same key it was just
+    aggregated on) and reduces per doc — two shuffles, both linear, no
+    driver state."""
+    toks = _norm(df).select(
+        "doc_id", F.explode(F.split(F.col("norm"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    global_tf = toks.groupBy("tok").agg(F.count("*").alias("gtf"))
+    scored = toks.join(global_tf, "tok").withColumn(
+        "r_q", F.expr(f"{RARITY_SCALE} div gtf")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_toks"), F.sum("r_q").alias("rarity_sum"))
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            F.col("rarity_sum").cast("long").alias("rarity_sum"),
+            F.expr("rarity_sum div n_toks").cast("long").alias("rarity_mean_q"),
+        )
+    )

@@ -908,6 +908,58 @@ FROM r WHERE rnk <= {ta.TFIDF_TOPK}
 """
 
 
+def q_mixture_temperature(spark, d):
+    """Temperature (alpha=0.5) mixture rebalancing over the documents
+    table by source: per-stratum keep rate + achieved kept counts, the
+    deterministic md5 coin shared with stratified sampling."""
+    return cu.temperature_sample(_t(spark, d, "documents"), "source")
+
+
+def _sql_mixture_temperature() -> str:
+    b = cu.bucket_sql_expr("CAST(doc_id AS VARCHAR)", "temp:", 3)
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), m AS (SELECT min(n_docs) AS n_min FROM counts),
+rates AS (
+  SELECT source, n_docs,
+         CAST(least({cu.TEMP_SCALE},
+              floor({cu.TEMP_SCALE} * sqrt(CAST(n_min AS DOUBLE) / n_docs))) AS BIGINT)
+           AS rate_q
+  FROM counts CROSS JOIN m
+)
+SELECT r.source, r.n_docs, r.rate_q,
+       CAST(sum(CASE WHEN {b} < r.rate_q THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN rates r USING (source)
+GROUP BY 1, 2, 3
+"""
+
+
+SQL_MIXTURE_TEMPERATURE = _sql_mixture_temperature()
+
+
+def q_text_rarity(spark, d):
+    """Unigram-rarity (perplexity-surrogate) score per document,
+    integer-exact in both engines."""
+    return ta.token_rarity(_t(spark, d, "documents"))
+
+
+SQL_TEXT_RARITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(str_split({_NORM_DUCK}, ' '), x -> x <> '')) AS tok
+  FROM documents
+), gtf AS (
+  SELECT tok, count(*) AS gtf FROM toks GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum({ta.RARITY_SCALE} // g.gtf) AS BIGINT) AS rarity_sum,
+       CAST(sum({ta.RARITY_SCALE} // g.gtf) // count(*) AS BIGINT) AS rarity_mean_q
+FROM toks t JOIN gtf g USING (tok)
+GROUP BY 1
+"""
+
+
 def q_sketch_cms(spark, d):
     """Count-min-sketch heavy hitters over the documents token stream:
     top-20 tokens with exact count, CMS estimate, and collision

@@ -80,6 +80,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_keep_best": (qt.q_dedup_keep_best, qt.SQL_DEDUP_KEEP_BEST),
     "pack_sequences": (qt.q_pack_sequences, qt.SQL_PACK_SEQUENCES),
     "contamination": (qt.q_contamination, qt.SQL_CONTAMINATION),
+    "mixture_temperature": (qt.q_mixture_temperature, qt.SQL_MIXTURE_TEMPERATURE),
+    "text_rarity": (qt.q_text_rarity, qt.SQL_TEXT_RARITY),
     # extraction pipeline (rows-only: pandas-UDF core / synthetic corpus)
     "extract_pipeline": (qt.q_extract_pipeline, None),
     "container_extract": (qt.q_container_extract, None),
