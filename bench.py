@@ -60,6 +60,7 @@ HEADLINE = [
     "ann_lsh_bucket",
     "ann_lsh_topk_multi",
     "ann_ivf_topk",
+    "semantic_dedup",
     "ann_recall",
     "text_langid",
     "text_quality",

@@ -257,3 +257,26 @@ def test_repetition_linear_on_giant_doc(spark):
     assert got["tiny"]["dup_line_q"] == 500
     assert got["tiny"]["max_tok_cnt"] == 4  # 'a' appears 4x across lines
     assert got["empty"]["n_toks"] == 0 and got["empty"]["max_tok_cnt"] == 0
+
+
+def test_semantic_dedup_drops_planted_near_dup(spark):
+    """SemDeDup: a vector nearly identical to a smaller-id one is dropped;
+    orthogonal vectors all keep; output covers every input exactly once."""
+    from tika_wrap_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+    rows = []
+    for i in range(20):  # a spread-out base set (axis-ish vectors)
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        v[(i * 3 + 1) % dim] = 0.2 + 0.01 * i
+        rows.append((i, v))
+    clone = list(rows[5][1])
+    clone[0] += 1e-4  # quantizes identically at floor(x*1000)
+    rows.append((100, clone))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in semantic_dedup(df, n_cells=4).collect()}
+    assert len(got) == 21  # one audit row per input vector
+    assert got[100]["keep"] is False and got[100]["n_close"] >= 1
+    assert got[5]["keep"] is True  # the smaller-id twin survives
+    assert sum(0 if r["keep"] else 1 for r in got.values()) >= 1

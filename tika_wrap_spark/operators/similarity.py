@@ -294,3 +294,55 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_q", "rank")
     )
+
+
+SEM_TAU_Q = 950
+
+
+def semantic_dedup(
+    df: DataFrame, n_cells: int = 16, tau_q: int = SEM_TAU_Q
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
+    arXiv:2303.09540): embed -> cluster -> compare only WITHIN a cluster ->
+    drop any vector with a smaller-id same-cell neighbor above the cosine
+    threshold. Reuses the integer-exact IVF quantizer as the clustering, so
+    the whole pass — index build included — is DuckDB-oracle checkable.
+
+    Scale shape: one shuffle on cell (the same key the IVF assignment just
+    produced); pair volume is sum of cell_size^2, bounded by the quantizer
+    granularity (finer cells at bigger corpora), never the all-pairs
+    crossJoin. Output: one audit row per vector (cell, count of dominating
+    close neighbors, keep flag)."""
+    emb = with_quantized(df)
+    cents = ivf_centroids(emb, n_cells)
+    asn = _nearest_cells(emb.select("vec_id", "eq", "nq"), cents, "vec_id", 1)
+    vv = asn.select("vec_id", "cell").join(emb.select("vec_id", "eq", "nq"), "vec_id")
+    a = vv.select(
+        "cell",
+        F.col("vec_id").alias("a_id"),
+        F.col("eq").alias("a_eq"),
+        F.col("nq").alias("a_nq"),
+    )
+    b = vv.select(
+        "cell",
+        F.col("vec_id").alias("b_id"),
+        F.col("eq").alias("b_eq"),
+        F.col("nq").alias("b_nq"),
+    )
+    cos = cosine_q(int_dot(F.col("a_eq"), F.col("b_eq")), F.col("a_nq"), F.col("b_nq"))
+    close = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos >= tau_q)
+        .groupBy("b_id")
+        .agg(F.count("*").alias("n_close"))
+    )
+    return (
+        vv.join(close, vv["vec_id"] == close["b_id"], "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("n_close", F.lit(0)).cast("long").alias("n_close"),
+            (F.coalesce("n_close", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -627,12 +627,19 @@ def q_ann_ivf_topk(spark, d):
     )
 
 
-def _sql_ivf_topk() -> str:
-    def cosq(dot: str, na: str, nb: str) -> str:
-        return (
-            f"CAST(floor(1000 * ({dot})::DOUBLE / (sqrt(({na})::DOUBLE) * "
-            f"sqrt(({nb})::DOUBLE))) AS BIGINT)"
-        )
+def _cosq_duck(dot: str, na: str, nb: str) -> str:
+    return (
+        f"CAST(floor(1000 * ({dot})::DOUBLE / (sqrt(({na})::DOUBLE) * "
+        f"sqrt(({nb})::DOUBLE))) AS BIGINT)"
+    )
+
+
+def _sql_ivf_prefix() -> str:
+    """Shared CTE prefix rebuilding the exact IVF index (quantize -> seed
+    -> assign -> one Lloyd step -> reassign): ends with ``asn(cand_id,
+    cell)`` and exposes ``n(vec_id, eq, nq)`` and ``ranked`` — the common
+    front of every IVF-backed oracle (ann_ivf_topk, semantic_dedup)."""
+    cosq = _cosq_duck
 
     dot_seed = (
         "(SELECT CAST(sum(v.eq[t.i] * s.ceq[t.i]) AS BIGINT) "
@@ -682,7 +689,12 @@ WITH q AS (
   FROM a1
 ), asn AS (
   SELECT vec_id AS cand_id, cell FROM ranked WHERE rn = 1
-), probe AS (
+)"""
+
+
+def _sql_ivf_topk() -> str:
+    cosq = _cosq_duck
+    return f"""{_sql_ivf_prefix()}, probe AS (
   SELECT vec_id AS query_id, cell FROM ranked WHERE rn <= {IVF_NPROBE} AND vec_id < 3
 ), cands AS (
   SELECT p.query_id, a.cand_id FROM probe p JOIN asn a USING (cell)
@@ -700,6 +712,38 @@ SELECT query_id, cand_id, cos_q, rank FROM (
 
 
 SQL_ANN_IVF_TOPK = _sql_ivf_topk()
+
+
+def q_semantic_dedup(spark, d):
+    """SemDeDup-style semantic near-dup audit over the embeddings table:
+    IVF-cell clustering (integer-exact index build) + within-cell cosine
+    threshold; one keep/drop row per vector."""
+    return sim.semantic_dedup(_t(spark, d, "embeddings"), n_cells=IVF_CELLS)
+
+
+def _sql_semantic_dedup() -> str:
+    cosq = _cosq_duck
+    dot_ab = (
+        "(SELECT CAST(sum(a.eq[t.i] * b.eq[t.i]) AS BIGINT) "
+        "FROM unnest(generate_series(1, len(a.eq))) AS t(i))"
+    )
+    return f"""{_sql_ivf_prefix()}, vv AS (
+  SELECT a.cand_id AS vec_id, a.cell, n.eq, n.nq
+  FROM asn a JOIN n ON a.cand_id = n.vec_id
+), close AS (
+  SELECT b.vec_id AS b_id, CAST(count(*) AS BIGINT) AS n_close
+  FROM vv a JOIN vv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cosq(dot_ab, "a.nq", "b.nq")} >= {sim.SEM_TAU_Q}
+  GROUP BY 1
+)
+SELECT v.vec_id, CAST(v.cell AS BIGINT) AS cell,
+       CAST(coalesce(c.n_close, 0) AS BIGINT) AS n_close,
+       coalesce(c.n_close, 0) = 0 AS keep
+FROM vv v LEFT JOIN close c ON v.vec_id = c.b_id
+"""
+
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
 
 
 def q_ann_recall(spark, d):
