@@ -64,6 +64,7 @@ HEADLINE = [
     "ann_recall",
     "text_langid",
     "text_quality",
+    "quality_classifier",
     "token_count",
     "doc_fingerprint",
 ]

@@ -122,3 +122,30 @@ def test_token_rarity_orders_gibberish_above_boilerplate(spark):
     assert got[1]["rarity_mean_q"] == RARITY_SCALE // 4
     assert got[2]["rarity_sum"] == RARITY_SCALE // 4 + RARITY_SCALE
     assert got[0]["rarity_mean_q"] > got[2]["rarity_mean_q"] > got[1]["rarity_mean_q"]
+
+
+def test_quality_classifier_separates_planted_docs(spark):
+    """High-stopword prose keeps; punctuation soup and stubs drop; logit
+    arithmetic matches the hand computation."""
+    from tika_wrap_spark.operators.text_analysis import (
+        QC_BIAS,
+        QC_W_PUNCT,
+        QC_W_STOP,
+        quality_classifier,
+    )
+
+    prose = "the cat sat on the mat and the dog lay in the sun " * 5
+    soup = "@#$% ^&*! ~~~ ))) ((( " * 20
+    rows = [(0, prose), (1, soup), (2, "tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    assert got[0]["keep"] is True and got[1]["keep"] is False
+    assert got[2]["keep"] is False  # short + no stopword mass
+    for r in got.values():
+        want = (
+            QC_W_STOP * r["stop_ratio_q"]
+            + QC_W_PUNCT * r["punct_ratio_q"]
+            + r["len_feat"]
+            + QC_BIAS
+        )
+        assert r["logit_q"] == want and r["keep"] == (want >= 0)

@@ -339,3 +339,35 @@ def token_rarity(df: DataFrame) -> DataFrame:
             F.expr("rarity_sum div n_toks").cast("long").alias("rarity_mean_q"),
         )
     )
+
+
+QC_W_STOP = 8
+QC_W_PUNCT = -3
+QC_LEN_CAP = 400
+QC_BIAS = -600
+
+
+def quality_classifier(df: DataFrame) -> DataFrame:
+    """Model-based quality filtering — the CCNet/GPT-3-family learned-
+    filter seam: a linear scorer with FIXED integer weights over the same
+    features ``quality_features`` computes (stopword density up, punct
+    noise down, capped length up). A production deployment swaps the
+    weight constants for an offline-trained fasttext/logreg export; the
+    Spark plan — one scan, codegen'd expressions, no shuffle — is
+    identical either way, and the integer logit is engine-exact."""
+    f = quality_features(df)
+    len_feat = F.least(F.col("n_tokens"), F.lit(QC_LEN_CAP))
+    logit = (
+        F.lit(QC_W_STOP) * F.col("stop_ratio_q")
+        + F.lit(QC_W_PUNCT) * F.col("punct_ratio_q")
+        + len_feat
+        + F.lit(QC_BIAS)
+    )
+    return f.select(
+        "doc_id",
+        F.col("stop_ratio_q").cast("long").alias("stop_ratio_q"),
+        F.col("punct_ratio_q").cast("long").alias("punct_ratio_q"),
+        len_feat.cast("long").alias("len_feat"),
+        logit.cast("long").alias("logit_q"),
+        (logit >= 0).alias("keep"),
+    )

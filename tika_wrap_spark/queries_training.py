@@ -1004,6 +1004,36 @@ GROUP BY 1
 """
 
 
+def q_quality_classifier(spark, d):
+    """Fixed-integer-weight linear quality model over the documents table
+    (the learned-filter seam; engine-exact logit)."""
+    return ta.quality_classifier(_t(spark, d, "documents"))
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH f AS (
+  SELECT doc_id,
+         length({_NORM_DUCK}) AS n_chars_norm,
+         len(str_split({_NORM_DUCK}, ' ')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS punct_cnt,
+         len(regexp_extract_all({_NORM_DUCK}, '{ta.STOPWORD_RE2}')) AS stop_cnt
+  FROM documents
+), r AS (
+  SELECT *,
+         CAST(floor(1000.0 * punct_cnt / greatest(n_chars_norm, 1)) AS BIGINT) AS punct_ratio_q,
+         CAST(floor(1000.0 * stop_cnt / greatest(n_tokens, 1)) AS BIGINT) AS stop_ratio_q
+  FROM f
+)
+SELECT doc_id, stop_ratio_q, punct_ratio_q,
+       CAST(least(n_tokens, {ta.QC_LEN_CAP}) AS BIGINT) AS len_feat,
+       CAST({ta.QC_W_STOP} * stop_ratio_q + {ta.QC_W_PUNCT} * punct_ratio_q
+            + least(n_tokens, {ta.QC_LEN_CAP}) + {ta.QC_BIAS} AS BIGINT) AS logit_q,
+       ({ta.QC_W_STOP} * stop_ratio_q + {ta.QC_W_PUNCT} * punct_ratio_q
+            + least(n_tokens, {ta.QC_LEN_CAP}) + {ta.QC_BIAS}) >= 0 AS keep
+FROM r
+"""
+
+
 def q_sketch_cms(spark, d):
     """Count-min-sketch heavy hitters over the documents token stream:
     top-20 tokens with exact count, CMS estimate, and collision

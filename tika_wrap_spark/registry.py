@@ -83,6 +83,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "contamination": (qt.q_contamination, qt.SQL_CONTAMINATION),
     "mixture_temperature": (qt.q_mixture_temperature, qt.SQL_MIXTURE_TEMPERATURE),
     "text_rarity": (qt.q_text_rarity, qt.SQL_TEXT_RARITY),
+    "quality_classifier": (qt.q_quality_classifier, qt.SQL_QUALITY_CLASSIFIER),
     # extraction pipeline (rows-only: pandas-UDF core / synthetic corpus)
     "extract_pipeline": (qt.q_extract_pipeline, None),
     "container_extract": (qt.q_container_extract, None),
