@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_minhash_lsh",
     "minhash_est_error",
+    "substr_dup",
     "ann_cosine_topk",
     "ann_lsh_bucket",
     "ann_lsh_topk_multi",

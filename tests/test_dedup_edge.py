@@ -280,3 +280,22 @@ def test_semantic_dedup_drops_planted_near_dup(spark):
     assert got[100]["keep"] is False and got[100]["n_close"] >= 1
     assert got[5]["keep"] is True  # the smaller-id twin survives
     assert sum(0 if r["keep"] else 1 for r in got.values()) >= 1
+
+
+def test_substring_dup_ratio_planted_overlap(spark):
+    """A verbatim-shared long span marks both carriers (dup_share_q > 0);
+    an all-unique doc scores 0; counts match a python winnow replica for
+    the fully-duplicated pair."""
+    from tika_wrap_spark.operators.dedup import substring_dup_ratio
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, shared),
+        (1, shared),  # exact copy: every window duplicated
+        (2, "zxqv wmpl krtn bdfg hjkl qwer uiop asdf"),  # unique gibberish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in substring_dup_ratio(df).collect()}
+    assert got[0]["dup_share_q"] == 1000 and got[1]["dup_share_q"] == 1000
+    assert got[0]["n_fp"] == got[1]["n_fp"] == got[0]["n_dup_fp"]
+    assert got[2]["dup_share_q"] == 0 and got[2]["n_dup_fp"] == 0

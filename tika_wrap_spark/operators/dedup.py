@@ -318,3 +318,36 @@ def simhash_16(tokens: DataFrame) -> DataFrame:
         term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return sums.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def substring_dup_ratio(df: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Cross-document verbatim-substring duplication audit — the
+    ExactSubstr signal of Lee et al. 2021 (arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better"),
+    approximated on winnowing fingerprints: a window whose fingerprint
+    appears in at least one OTHER document is a duplicated substring;
+    report per-doc window counts and the quantized duplicated share.
+
+    Scale shape: one partial-aggregable groupBy(fp) for cross-doc
+    document frequency, one re-join of the (doc, fp) postings on the key
+    just aggregated (output size == postings size — no pair blowup even
+    for boilerplate fingerprints in millions of docs), one per-doc
+    reduce."""
+    fps = winnow_fingerprints(df, k, w)  # distinct (doc_id, fp) postings
+    fp_df = fps.groupBy("fp").agg(F.count("*").alias("fp_df"))
+    return (
+        fps.join(fp_df, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.sum((F.col("fp_df") > 1).cast("long")).alias("n_dup_fp"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_fp").cast("long").alias("n_fp"),
+            F.col("n_dup_fp").cast("long").alias("n_dup_fp"),
+            F.floor(F.lit(1000) * F.col("n_dup_fp") / F.col("n_fp"))
+            .cast("long")
+            .alias("dup_share_q"),
+        )
+    )

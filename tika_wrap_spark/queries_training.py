@@ -437,6 +437,41 @@ SELECT DISTINCT doc_id, unnest(wins) AS fp FROM w
 """
 
 
+def q_substr_dup(spark, d):
+    """Cross-doc verbatim-substring duplication share (ExactSubstr audit
+    on winnowing fingerprints), doc_id<120."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 120)
+    return dd.substring_dup_ratio(docs, k=8, w=4)
+
+
+SQL_SUBSTR_DUP = f"""
+WITH n AS (
+  SELECT doc_id, {_NORM_DUCK} AS norm FROM documents WHERE doc_id < 120
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(norm) - 7, 0)),
+                        i -> md5(substr(norm, i, 8))) AS grams
+  FROM n
+), w AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(grams) - 3, 0)),
+                        i -> list_aggregate(grams[i : i + 3], 'min')) AS wins
+  FROM g
+), fps AS (
+  SELECT DISTINCT doc_id, unnest(wins) AS fp FROM w
+), dfq AS (
+  SELECT fp, count(*) AS fp_df FROM fps GROUP BY 1
+)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(CASE WHEN d.fp_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fp,
+       CAST(floor(1000.0 * sum(CASE WHEN d.fp_df > 1 THEN 1 ELSE 0 END)
+                  / count(*)) AS BIGINT) AS dup_share_q
+FROM fps f JOIN dfq d USING (fp)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
