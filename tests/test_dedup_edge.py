@@ -299,3 +299,34 @@ def test_substring_dup_ratio_planted_overlap(spark):
     assert got[0]["dup_share_q"] == 1000 and got[1]["dup_share_q"] == 1000
     assert got[0]["n_fp"] == got[1]["n_fp"] == got[0]["n_dup_fp"]
     assert got[2]["dup_share_q"] == 0 and got[2]["n_dup_fp"] == 0
+
+
+def test_chunk_dedup_first_occurrence_semantics(spark):
+    """C4-style chunk dedup: the globally first occurrence (min doc_id,
+    then min chunk_idx) is the keeper; exact-copy docs lose every chunk;
+    a doc repeating its own first chunk loses the repeat; empty and
+    chunk-unique docs survive intact and still emit a row."""
+    w = dd.CHUNK_W
+    eight = "a1 a2 a3 a4 a5 a6 a7 a8"           # one full chunk
+    other = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (0, eight + " " + other),                # keeper of both chunks
+        (1, eight + " " + other),                # exact copy: all dup
+        (2, eight),                              # chunk already seen in doc 0
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8"),  # self-repeat: 2nd chunk dup
+        (4, ""),                                 # empty: zero chunks, row kept
+        (5, "u1 u2 u3"),                         # unique short tail chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dd.chunk_dedup_stats(df, w=w).collect()}
+    assert len(got) == 6
+    assert got[0]["n_chunks"] == 2 and got[0]["n_dup_chunks"] == 0
+    assert got[1]["n_dup_chunks"] == 2 and got[1]["kept_toks"] == 0
+    assert got[1]["dup_q"] == 1000
+    assert got[2]["n_dup_chunks"] == 1 and got[2]["dup_toks"] == w
+    assert got[3]["n_chunks"] == 2 and got[3]["n_dup_chunks"] == 1
+    assert got[3]["kept_toks"] == w
+    assert got[4]["n_toks"] == 0 and got[4]["n_chunks"] == 0
+    assert got[4]["dup_q"] == 0
+    assert got[5]["n_chunks"] == 1 and got[5]["n_dup_chunks"] == 0
+    assert got[5]["kept_toks"] == 3  # short tail chunk_len = n_toks mod w

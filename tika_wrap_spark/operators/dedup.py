@@ -351,3 +351,86 @@ def substring_dup_ratio(df: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
             .alias("dup_share_q"),
         )
     )
+
+
+CHUNK_W = 8
+# chunk_idx < 2^20 per doc and doc_id << 2^43, so this composite key is
+# collision-free in a long and orders (doc_id, chunk_idx) lexicographically
+CHUNK_KEY_SCALE = 1_048_576
+
+
+def chunk_dedup_stats(df: DataFrame, w: int = CHUNK_W) -> DataFrame:
+    """C4-style duplicated-span REMOVAL audit (the "discard repeated
+    three-sentence spans" rule of Raffel et al. 2020, arXiv:1910.10683,
+    re-expressed on fixed ``w``-token chunks since the synthetic corpus has
+    no sentence boundaries): split each normalized document into
+    consecutive w-token chunks, keep only each chunk's globally FIRST
+    occurrence (min (doc_id, chunk_idx) across the corpus — duplicates
+    within one doc count too), and report per doc how many chunks/tokens
+    the rewrite would drop.
+
+    Scale shape — linear, no pair blowup: chunking is per-row map work;
+    the keeper is one partial-aggregable groupBy(chunk) min; the verdict
+    re-joins the occurrence postings on the chunk key just aggregated
+    (output == postings size, so a boilerplate chunk in d docs costs d
+    rows, never d^2 — contrast pair-join dedup); the per-doc reduce is the
+    second shuffle. Exactly the shape that survives a 10^12-doc corpus."""
+    toks = F.expr("filter(split(norm, ' '), t -> t != '')")
+    base = normalized(df).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.expr(
+            f"cast((size(filter(split(norm, ' '), t -> t != '')) + {w - 1}) "
+            f"div {w} as long)"
+        ).alias("n_chunks"),
+        toks.alias("toks"),
+    )
+    # sequence(0, -1) is DESCENDING in Spark — guard the zero-chunk case
+    chunks = F.expr(
+        f"CASE WHEN n_chunks > 0 THEN transform(sequence(0, n_chunks - 1), "
+        f"i -> struct(cast(i as long) as chunk_idx, "
+        f"array_join(slice(toks, cast(i * {w} + 1 as int), {w}), ' ') as chunk, "
+        f"least({w}, n_toks - i * {w}) as chunk_len)) "
+        f"ELSE cast(array() as array<struct<chunk_idx:long,chunk:string,chunk_len:long>>) END"
+    )
+    occ = (
+        base.select("doc_id", "n_toks", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+            F.col("c.chunk_len").cast("long").alias("chunk_len"),
+            (F.col("doc_id") * CHUNK_KEY_SCALE + F.col("c.chunk_idx"))
+            .cast("long")
+            .alias("occ_key"),
+        )
+    )
+    keeper = occ.groupBy("chunk").agg(F.min("occ_key").alias("keep_key"))
+    flags = occ.join(keeper, "chunk").withColumn(
+        "is_dup", F.col("occ_key") != F.col("keep_key")
+    )
+    agg = flags.groupBy("doc_id").agg(
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_chunks"),
+        F.sum(F.when(F.col("is_dup"), F.col("chunk_len")).otherwise(F.lit(0)))
+        .alias("dup_toks"),
+    )
+    return (
+        base.select("doc_id", "n_toks", "n_chunks")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_chunks",
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            F.coalesce("dup_toks", F.lit(0)).cast("long").alias("dup_toks"),
+            (F.col("n_toks") - F.coalesce("dup_toks", F.lit(0)))
+            .cast("long")
+            .alias("kept_toks"),
+            F.floor(
+                F.lit(1000)
+                * F.coalesce("dup_toks", F.lit(0))
+                / F.greatest("n_toks", F.lit(1))
+            ).cast("long").alias("dup_q"),
+        )
+    )

@@ -472,6 +472,49 @@ GROUP BY 1
 """
 
 
+def q_chunk_dedup(spark, d):
+    """C4-style duplicated-span removal audit over the FULL documents
+    table: fixed 8-token chunks, keep each chunk's globally first
+    occurrence, report per-doc dropped chunks/tokens (linear — groupBy +
+    postings re-join, no pair blowup)."""
+    return dd.chunk_dedup_stats(_t(spark, d, "documents"), w=dd.CHUNK_W)
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH n AS (
+  SELECT doc_id, list_filter(str_split({_NORM_DUCK}, ' '), t -> t <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         (len(toks) + {dd.CHUNK_W - 1}) // {dd.CHUNK_W} AS n_chunks, toks
+  FROM n
+), occ AS (
+  SELECT doc_id, n_toks, t.i AS chunk_idx,
+         array_to_string(toks[t.i * {dd.CHUNK_W} + 1 :
+                              least((t.i + 1) * {dd.CHUNK_W}, n_toks)], ' ') AS chunk,
+         least({dd.CHUNK_W}, n_toks - t.i * {dd.CHUNK_W}) AS chunk_len,
+         doc_id * {dd.CHUNK_KEY_SCALE} + t.i AS occ_key
+  FROM base, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+), keeper AS (
+  SELECT chunk, min(occ_key) AS keep_key FROM occ GROUP BY 1
+), agg AS (
+  SELECT o.doc_id,
+         sum(CASE WHEN o.occ_key <> k.keep_key THEN 1 ELSE 0 END) AS n_dup_chunks,
+         sum(CASE WHEN o.occ_key <> k.keep_key THEN o.chunk_len ELSE 0 END) AS dup_toks
+  FROM occ o JOIN keeper k USING (chunk)
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(b.n_toks AS BIGINT) AS n_toks,
+       CAST(b.n_chunks AS BIGINT) AS n_chunks,
+       CAST(coalesce(a.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       CAST(coalesce(a.dup_toks, 0) AS BIGINT) AS dup_toks,
+       CAST(b.n_toks - coalesce(a.dup_toks, 0) AS BIGINT) AS kept_toks,
+       CAST(floor(1000.0 * coalesce(a.dup_toks, 0) / greatest(b.n_toks, 1)) AS BIGINT) AS dup_q
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -58,6 +58,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embed_cosine_pairs": (qt.q_embed_cosine_pairs, qt.SQL_EMBED_COSINE_PAIRS),
     "winnow_fp": (qt.q_winnow_fp, qt.SQL_WINNOW_FP),
     "substr_dup": (qt.q_substr_dup, qt.SQL_SUBSTR_DUP),
+    "chunk_dedup": (qt.q_chunk_dedup, qt.SQL_CHUNK_DEDUP),
     # similarity search
     "ann_cosine_topk": (qt.q_ann_cosine_topk, qt.SQL_ANN_COSINE_TOPK),
     "ann_lsh_bucket": (qt.q_ann_lsh_bucket, qt.SQL_ANN_LSH_BUCKET),
