@@ -188,10 +188,10 @@ def test_connected_components_chain_and_islands(spark):
 
 def test_connected_components_long_chain_string_ids(spark):
     """Diameter-19 path graph with STRING node ids: needs ~19 propagation
-    rounds (past the old max_iter=12 and past several localCheckpoint
-    truncations), min label must still reach the far end, and string ids
-    must work (the convergence check is a changed-count, not a label sum —
-    no ANSI long-sum overflow, no numeric-id requirement)."""
+    rounds (past the old max_iter=12, across 19 per-round eager
+    localCheckpoints), min label must still reach the far end, and string
+    ids must work (the convergence check is a changed-count, not a label
+    sum — no ANSI long-sum overflow, no numeric-id requirement)."""
     n = 20
     ids = ["n%02d" % i for i in range(n)]
     edges = spark.createDataFrame(
@@ -199,7 +199,7 @@ def test_connected_components_long_chain_string_ids(spark):
     )
     got = {
         (r["doc_id"], r["cluster"])
-        for r in dd.connected_components(edges, checkpoint_every=4).collect()
+        for r in dd.connected_components(edges).collect()
     }
     assert got == {(i, "n00") for i in ids}
 

@@ -190,7 +190,6 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 64,
-    checkpoint_every: int = 6,
 ) -> DataFrame:
     """Min-label propagation over an undirected edge list: every node gets
     ``cluster`` = the smallest node id reachable from it (the canonical
@@ -202,9 +201,19 @@ def connected_components(
     shallow (pairs share content), so the loop usually exits after 2-3
     rounds via the converged check, but ``max_iter`` leaves headroom for
     long-chain graphs (``tests/test_dedup_edge.py`` pins a diameter-19
-    path). Every ``checkpoint_every`` rounds the labels are
-    ``localCheckpoint``ed to truncate lineage, so plan size stays bounded
-    no matter how many rounds a deep component needs.
+    path).
+
+    Every round's label table is EAGERLY ``localCheckpoint``ed: that both
+    truncates lineage (plan size stays O(1) in rounds) and makes each
+    round's result independent of any cache entry. The previous cache-and-
+    unpersist scheme was quadratic in practice — unpersisting round N-1's
+    labels invalidated round N's dependent cache entry (Spark re-compiles
+    dependent caches without the parent), so every subsequent access
+    recomputed the WHOLE lineage back through the upstream candidate-pair
+    pipeline; per-round wall time grew every round and the final read paid
+    the full history again. With eager per-round checkpoints the rounds are
+    constant-cost and the returned labels read from materialized blocks.
+    The superseded round's blocks are freed explicitly each step.
     """
     # materialize the edge list ONCE: every propagation round joins against
     # it, and without the cache each round would recompute the (expensive)
@@ -216,15 +225,15 @@ def connected_components(
     )
     nodes = sym.select(F.col("s").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("label"))
-    cached = labels.cache()
-    for it in range(max_iter):
+    prev = None
+    for _it in range(max_iter):
         prop = (
             sym.join(labels, sym["s"] == labels["id"])
             .groupBy(F.col("d").alias("id2"))
             .agg(F.min("label").alias("nl"))
         )
         # carry a per-node `changed` flag through the step: convergence is
-        # then sum(changed) == 0 on the SAME materializing aggregate — no
+        # then sum(changed) == 0 on the SAME materialized table — no
         # extra join, no arithmetic over the label values themselves (a
         # long-sum would both overflow under ANSI at 10^12 nodes and bar
         # string ids; a 0/1 count does neither)
@@ -234,16 +243,14 @@ def connected_components(
             (F.col("nl").isNotNull() & (F.col("nl") < F.col("label")))
             .cast("long")
             .alias("changed"),
-        )
-        if (it + 1) % checkpoint_every == 0:
-            # truncate lineage: each round's plan otherwise nests the
-            # previous round's join, growing the DAG linearly in rounds
-            stepped = stepped.localCheckpoint(eager=False)
-        new_cached = stepped.cache()
-        n_changed = new_cached.agg(F.sum("changed").alias("c")).collect()[0]["c"] or 0
-        cached.unpersist()
-        cached = new_cached
-        labels = new_cached.select("id", "label")
+        ).localCheckpoint(eager=True)
+        n_changed = stepped.agg(F.sum("changed").alias("c")).collect()[0]["c"] or 0
+        if prev is not None:
+            # the new checkpoint's blocks are self-contained: drop the
+            # superseded round's blocks instead of waiting for driver GC
+            prev.rdd.unpersist()
+        prev = stepped
+        labels = stepped.select("id", "label")
         if n_changed == 0:
             break
     sym.unpersist()
