@@ -187,3 +187,57 @@ def test_temperature_sample_deterministic_coin(spark):
             kept[r["source"]] += 1
     for s, r in got.items():
         assert (r["n_docs"], r["n_kept"]) == (n[s], kept[s]), s
+
+
+def test_padding_waste_sorted_never_worse(spark):
+    """Length-sorted batching must waste <= arrival-order batching in every
+    shard (sorting minimizes within-batch length spread), totals must be
+    conserved, and a uniform-length shard wastes 0 either way."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "s%d" % (i % 3), rng.randint(1, 500)) for i in range(400)]
+    rows += [(1000 + i, "flat", 64) for i in range(64)]  # uniform shard
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_toks long")
+    out = cu.padding_waste(df, batch=32).collect()
+    by = {(r["strategy"], r["source"]): r for r in out}
+    for src in ("s0", "s1", "s2", "flat"):
+        a, s = by[("arrival", src)], by[("sorted", src)]
+        assert s["waste_q"] <= a["waste_q"]
+        assert a["real_toks"] == s["real_toks"]  # padding never changes content
+        assert a["n_docs"] == s["n_docs"] and a["n_batches"] == s["n_batches"]
+        assert a["padded_toks"] >= a["real_toks"]
+    assert by[("arrival", "flat")]["waste_q"] == 0
+    assert by[("sorted", "flat")]["waste_q"] == 0
+
+
+def test_langid_confusion_planted_mislabel(spark):
+    """A doc whose text is English but whose label says 'fr' must land in
+    the (fr, en) off-diagonal cell with is_correct=False."""
+    from tika_wrap_spark.operators import text_analysis as ta
+
+    rows = [
+        (0, "the cat and the dog of the house is in the garden", "en"),
+        (1, "the quick brown fox and the hound of the hill is here", "fr"),  # mislabeled
+        (2, "le chat et la maison les arbres des fleurs", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scored = ta.lang_scores(df)
+    totals = scored.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    cells = {
+        (r["lang"], r["pred_lang"]): r
+        for r in scored.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang", "pred_lang", "n_docs",
+            F.floor(F.lit(1000) * F.col("n_docs") / F.col("n_lang"))
+            .cast("long").alias("share_q"),
+            (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+        .collect()
+    }
+    assert cells[("fr", "en")]["n_docs"] == 1
+    assert not cells[("fr", "en")]["is_correct"]
+    assert cells[("fr", "en")]["share_q"] == 500  # 1 of 2 fr-labeled docs
+    assert cells[("en", "en")]["is_correct"]

@@ -151,6 +151,62 @@ def pack_sequences(
     )
 
 
+PAD_BATCH = 32
+
+
+def padding_waste(toks: DataFrame, batch: int = PAD_BATCH) -> DataFrame:
+    """Length-bucketed-batching audit — the padding-efficiency question a
+    training-data pipeline answers before exporting shards: when documents
+    are grouped into fixed-size batches and each batch pads to its longest
+    member, how many pad tokens does 'arrival' (doc_id) order waste vs
+    sorting by length first? Input: (doc_id, source, n_toks). Output: one
+    row per (strategy, source shard) with real/padded token totals and the
+    quantized waste share.
+
+    Scale shape: both strategies are row_number windows partitioned by
+    ``source`` — the shard key — never a global sort; per-shard batch stats
+    and the final rollup are partial-aggregable groupBys. At 10^12 docs the
+    shard count is the parallelism, exactly how a real packing/export job
+    partitions."""
+    out = []
+    for strategy, order in (
+        ("arrival", [F.col("doc_id")]),
+        ("sorted", [F.col("n_toks"), F.col("doc_id")]),
+    ):
+        w = Window.partitionBy("source").orderBy(*order)
+        out.append(
+            toks.withColumn("rn", F.row_number().over(w) - 1)
+            .withColumn("batch_idx", F.expr(f"rn div {batch}"))
+            .groupBy("source", "batch_idx")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.max("n_toks").alias("max_len"),
+                F.sum("n_toks").alias("real_toks"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_batches"),
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("real_toks").alias("real_toks"),
+                F.sum(F.col("n_docs") * F.col("max_len")).alias("padded_toks"),
+            )
+            .select(
+                F.lit(strategy).alias("strategy"),
+                "source",
+                F.col("n_batches").cast("long").alias("n_batches"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("real_toks").cast("long").alias("real_toks"),
+                F.col("padded_toks").cast("long").alias("padded_toks"),
+                F.floor(
+                    F.lit(1000)
+                    * (F.col("padded_toks") - F.col("real_toks"))
+                    / F.greatest("padded_toks", F.lit(1))
+                ).cast("long").alias("waste_q"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
 CONTAM_N = 3
 CONTAM_EVAL_MOD = 50
 CONTAM_DF_CAP = 20

@@ -882,7 +882,9 @@ def q_text_langid(spark, d):
     )
 
 
-def _sql_langid() -> str:
+def _langid_scores_and_pred_sql() -> tuple[str, str]:
+    """(score column list, argmax CASE) for the langid rules as DuckDB SQL
+    — shared by the per-doc query and the confusion-matrix audit."""
     scores = ",\n       ".join(
         f"len(regexp_extract_all({_NORM_DUCK}, '{ta.LANG_MARKERS[lang][1]}')) AS s_{lang}"
         for lang in ta.LANG_ORDER
@@ -898,6 +900,11 @@ def _sql_langid() -> str:
             conds.append(f"s_{lang} {op} s_{other}")
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     pred = "CASE " + " ".join(cases) + f" ELSE '{ta.LANG_ORDER[-1]}' END"
+    return scores, pred
+
+
+def _sql_langid() -> str:
+    scores, pred = _langid_scores_and_pred_sql()
     return f"""
 WITH s AS (
   SELECT doc_id, lang, {scores} FROM documents
@@ -909,6 +916,52 @@ FROM s
 
 
 SQL_TEXT_LANGID = _sql_langid()
+
+
+def q_langid_confusion(spark, d):
+    """Language-ID CONFUSION MATRIX against the corpus's labeled lang — the
+    audit a curation pipeline keeps next to any heuristic classifier: per
+    (true, predicted) cell the doc count and its quantized share of the
+    true language's documents. Two partial-aggregable groupBys + a
+    broadcast of the tiny per-lang totals — no new scale surface."""
+    scored = ta.lang_scores(_t(spark, d, "documents"))
+    totals = scored.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    return (
+        scored.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.floor(F.lit(1000) * F.col("n_docs") / F.col("n_lang"))
+            .cast("long")
+            .alias("share_q"),
+            (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+    )
+
+
+def _sql_langid_confusion() -> str:
+    scores, pred = _langid_scores_and_pred_sql()
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, {scores} FROM documents
+), p AS (
+  SELECT lang, {pred} AS pred_lang FROM s
+), cells AS (
+  SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2
+), totals AS (
+  SELECT lang, count(*) AS n_lang FROM p GROUP BY 1
+)
+SELECT c.lang, c.pred_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(floor(1000.0 * c.n_docs / t.n_lang) AS BIGINT) AS share_q,
+       c.lang = c.pred_lang AS is_correct
+FROM cells c JOIN totals t USING (lang)
+"""
+
+
+SQL_LANGID_CONFUSION = _sql_langid_confusion()
 
 
 def q_text_quality(spark, d):
@@ -1415,6 +1468,59 @@ SELECT doc_id, n_toks, start_off,
                  ELSE 0 END AS BIGINT) AS n_seqs
 FROM c
 """
+
+
+def q_padding_waste(spark, d):
+    """Length-bucketed batching audit: padding waste of arrival-order vs
+    length-sorted batching (batch=32, pad to batch max) per source shard."""
+    docs = _t(spark, d, "documents")
+    toks = dd.normalized(docs).select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.col("norm"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    return cu.padding_waste(toks)
+
+
+def _sql_padding_waste() -> str:
+    batches = []
+    for strategy, order in (
+        ("arrival", "doc_id"),
+        ("sorted", "n_toks, doc_id"),
+    ):
+        batches.append(f"""
+  SELECT '{strategy}' AS strategy, source, n_batches, n_docs, real_toks, padded_toks,
+         CAST(floor(1000.0 * (padded_toks - real_toks) / greatest(padded_toks, 1)) AS BIGINT) AS waste_q
+  FROM (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(real_toks) AS BIGINT) AS real_toks,
+           CAST(sum(n_docs * max_len) AS BIGINT) AS padded_toks
+    FROM (
+      SELECT source, batch_idx, count(*) AS n_docs, max(n_toks) AS max_len,
+             sum(n_toks) AS real_toks
+      FROM (
+        SELECT source, n_toks,
+               (row_number() OVER (PARTITION BY source ORDER BY {order}) - 1)
+                 // {cu.PAD_BATCH} AS batch_idx
+        FROM t
+      ) GROUP BY 1, 2
+    ) GROUP BY 1
+  )""")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(str_split({_NORM_DUCK}, ' '), x -> x <> '')) AS n_toks
+  FROM documents
+)
+{' UNION ALL '.join(batches)}
+"""
+
+
+SQL_PADDING_WASTE = _sql_padding_waste()
 
 
 def q_contamination(spark, d):

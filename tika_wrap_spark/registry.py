@@ -69,6 +69,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_recall": (qt.q_ann_recall, qt.SQL_ANN_RECALL),
     # text analysis
     "text_langid": (qt.q_text_langid, qt.SQL_TEXT_LANGID),
+    "langid_confusion": (qt.q_langid_confusion, qt.SQL_LANGID_CONFUSION),
     "text_quality": (qt.q_text_quality, qt.SQL_TEXT_QUALITY),
     "token_count": (qt.q_token_count, qt.SQL_TOKEN_COUNT),
     "doc_fingerprint": (qt.q_doc_fingerprint, qt.SQL_DOC_FINGERPRINT),
@@ -82,6 +83,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bloom_antijoin": (qt.q_bloom_antijoin, qt.SQL_BLOOM_ANTIJOIN),
     "dedup_keep_best": (qt.q_dedup_keep_best, qt.SQL_DEDUP_KEEP_BEST),
     "pack_sequences": (qt.q_pack_sequences, qt.SQL_PACK_SEQUENCES),
+    "padding_waste": (qt.q_padding_waste, qt.SQL_PADDING_WASTE),
     "contamination": (qt.q_contamination, qt.SQL_CONTAMINATION),
     "mixture_temperature": (qt.q_mixture_temperature, qt.SQL_MIXTURE_TEMPERATURE),
     "text_rarity": (qt.q_text_rarity, qt.SQL_TEXT_RARITY),
