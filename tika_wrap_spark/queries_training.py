@@ -193,6 +193,78 @@ FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
 SQL_DEDUP_MINHASH_LSH = _sql_minhash()
 
 
+SPLIT_TEST_4096 = 410  # ~10% held-out test split
+CLUSTER_JQ_MIN = 500  # verified-pair threshold shared by clusters/keep-best/leakage
+
+
+def q_split_leakage(spark, d):
+    """Train/test split-leakage audit — the companion to `contamination`
+    for NEAR duplicates: assign every doc a deterministic md5-coin split
+    (~10% test, the same retry-stable coin as stratified sampling), then
+    surface every MinHash-LSH verified near-dup pair with its two split
+    labels; a pair that crosses the boundary is evaluation leakage the
+    split inherited from the corpus. Costs two equi-joins of the (small)
+    verified pair set against the per-doc split column — the pair volume
+    is already LSH-bounded, never all-pairs."""
+    pairs = (
+        q_dedup_minhash_lsh(spark, d)
+        .filter(F.col("j_q") >= CLUSTER_JQ_MIN)
+        .select("doc_a", "doc_b", "j_q")
+    )
+    split = F.when(
+        cu.bucket_expr(F.col("doc_id").cast("string"), "split:", 3)
+        < SPLIT_TEST_4096,
+        F.lit("test"),
+    ).otherwise(F.lit("train"))
+    docs = _t(spark, d, "documents").select("doc_id", split.alias("split"))
+    return (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "j_q",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("crosses"),
+        )
+    )
+
+
+def _sql_split_leakage() -> str:
+    coin = cu.bucket_sql_expr("CAST(doc_id AS VARCHAR)", "split:", 3)
+    return f"""
+WITH {_minhash_ctes()},
+jq AS (
+  SELECT doc_a, doc_b,
+         CAST(floor(1000.0 * inter / (za.sz + zb.sz - inter)) AS BIGINT) AS j_q
+  FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {coin} < {SPLIT_TEST_4096} THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT j.doc_a, j.doc_b, j.j_q, a.split AS split_a, b.split AS split_b,
+       a.split <> b.split AS crosses
+FROM jq j JOIN sp a ON j.doc_a = a.doc_id JOIN sp b ON j.doc_b = b.doc_id
+WHERE j.j_q >= {CLUSTER_JQ_MIN}
+"""
+
+
+SQL_SPLIT_LEAKAGE = _sql_split_leakage()
+
+
 def q_minhash_est_error(spark, d):
     """MinHash sketch-agreement metric (the ann_recall / approx_percentile
     pattern applied to dedup): for every LSH candidate pair, the signature
@@ -375,7 +447,6 @@ ORDER BY cos_q DESC, vec_a, vec_b LIMIT 50
 """
 
 
-CLUSTER_JQ_MIN = 500
 
 
 def q_dedup_clusters(spark, d):

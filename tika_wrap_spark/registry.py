@@ -52,6 +52,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_jaccard": (qt.q_ngram_jaccard, qt.SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (qt.q_dedup_minhash_lsh, qt.SQL_DEDUP_MINHASH_LSH),
     "minhash_est_error": (qt.q_minhash_est_error, qt.SQL_MINHASH_EST_ERROR),
+    "split_leakage": (qt.q_split_leakage, qt.SQL_SPLIT_LEAKAGE),
     "dedup_simhash": (qt.q_dedup_simhash, qt.SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (qt.q_dedup_simhash_pairs, qt.SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_clusters": (qt.q_dedup_clusters, qt.SQL_DEDUP_CLUSTERS),
