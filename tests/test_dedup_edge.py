@@ -330,3 +330,33 @@ def test_chunk_dedup_first_occurrence_semantics(spark):
     assert got[4]["dup_q"] == 0
     assert got[5]["n_chunks"] == 1 and got[5]["n_dup_chunks"] == 0
     assert got[5]["kept_toks"] == 3  # short tail chunk_len = n_toks mod w
+
+
+def test_pq_adc_self_hit_and_recall(spark):
+    """PQ-ADC sanity: every query finds ITSELF at rank 1 (its codes match
+    its own LUT row exactly, so its ADC distance is the global minimum),
+    the exact side of the agreement record is truly 0 there, and recall
+    vs exact L2 top-10 beats the multi-table LSH path on the same corpus
+    (measured 19/30 vs 17/30 at sf0.01 with M=32, K=16)."""
+    from pyspark.sql import functions as F
+
+    from tika_wrap_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    rows = sim.pq_adc_topk(emb, qs, k=10).collect()
+    self_rows = {r["query_id"]: r for r in rows if r["query_id"] == r["cand_id"]}
+    assert set(self_rows) == {0, 1, 2}
+    for q, r in self_rows.items():
+        assert r["rank"] == 1 and r["exact_l2"] == 0
+
+    eq = {r["vec_id"]: r["eq"] for r in sim.with_quantized(emb).collect()}
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    hits = 0
+    for q in range(3):
+        exact = set(sorted(eq, key=lambda c: (l2(eq[q], eq[c]), c))[:10])
+        hits += len(exact & {r["cand_id"] for r in rows if r["query_id"] == q})
+    assert hits >= 18  # measured 19/30; leave 1 headroom, still > LSH's 17

@@ -296,6 +296,142 @@ def lsh_topk(
     )
 
 
+# sweep at sf0.01 (BENCH.md finding 16): at a fixed byte budget FINER
+# subspaces beat bigger codebooks — M=8/K=16 recall 13/30, M=16/K=16 13/30,
+# M=16/K=32 16/30, M=32/K=16 19/30 (vs multi-table LSH 17/30, IVF 24/30)
+PQ_M = 32  # subspaces
+PQ_K = 16  # codes per subspace codebook
+# packs (subspace L2 distance, code) into one orderable long for an exact
+# argmin with code tie-break: max L2 here is sub_dim * (2*QUANT)^2 ~ 3.2e7,
+# far below 2^63 / PQ_CODE_SCALE
+PQ_CODE_SCALE = 64
+
+
+def int_l2(a: Column, b: Column) -> Column:
+    """Exact int64 squared-L2 distance: fold over zip_with, pure JVM."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subvectors(emb: DataFrame, m: int = PQ_M, id_col: str = "vec_id") -> DataFrame:
+    """(id, m, sv): each quantized vector split into ``m`` contiguous
+    subvectors of ``dim div m`` components (remainder dims dropped — same
+    floor in the oracle). Pure per-row expressions, no shuffle."""
+    arr = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> struct("
+        f"cast(j as long) as m, "
+        f"slice(eq, cast(j * (size(eq) div {m}) + 1 as int), size(eq) div {m}) as sv))"
+    )
+    return emb.select(id_col, F.explode(arr).alias("s")).select(
+        id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+
+
+def pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"), integer-exact and
+    deterministic like ivf_centroids: per subspace, seed ``k`` codes with
+    the first k vectors' subvectors, assign every subvector to its nearest
+    seed by exact integer squared-L2 (packed argmin, code tie-break), then
+    ONE Lloyd refinement (component-wise floor(avg)). Returns (m, code,
+    csv). The codebook is m*k rows — broadcastable everywhere."""
+    subs = pq_subvectors(emb, m)
+    seeds = subs.filter(F.col("vec_id") < k).select(
+        "m", F.col("vec_id").cast("long").alias("code"), F.col("sv").alias("csv")
+    )
+    key0 = int_l2(F.col("sv"), F.col("csv")) * PQ_CODE_SCALE + F.col("code")
+    asn0 = (
+        subs.join(F.broadcast(seeds), "m")
+        .groupBy("vec_id", "m")
+        .agg((F.min(key0) % PQ_CODE_SCALE).alias("code"))
+    )
+    comp = asn0.join(subs, ["vec_id", "m"]).select(
+        "m", "code", F.posexplode("sv").alias("pos", "x")
+    )
+    cbc = comp.groupBy("m", "code", "pos").agg(
+        F.floor(F.avg("x")).cast("long").alias("c")
+    )
+    return cbc.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("csv")
+    )
+
+
+def pq_codes(emb: DataFrame, codebooks: DataFrame, m: int = PQ_M) -> DataFrame:
+    """Encode every vector as ``m`` code bytes: nearest codebook entry per
+    subspace (exact packed argmin). Map-side against the broadcast
+    codebook — THE compression step that lets 10^12 vectors fit an index:
+    m bytes per vector instead of the full embedding."""
+    subs = pq_subvectors(emb, m)
+    key = int_l2(F.col("sv"), F.col("csv")) * PQ_CODE_SCALE + F.col("code")
+    return (
+        subs.join(F.broadcast(codebooks), "m")
+        .groupBy("vec_id", "m")
+        .agg((F.min(key) % PQ_CODE_SCALE).alias("code"))
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    kcodes: int = PQ_K,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k with the exact distance on the
+    record: each query precomputes its m x kcodes lookup table of
+    subspace distances to every codebook entry; a candidate's estimated
+    distance is then just the SUM of m table lookups over its code row —
+    the corpus is scanned as codes only, never as full vectors. The kept
+    top-k re-reads the true vectors once for the exact squared-L2 and the
+    signed ADC error (the sketch-agreement discipline of sketch_kmv /
+    approx_percentile applied to vector search).
+
+    Scale shape: codebooks and per-query LUTs are tiny broadcasts; scoring
+    is one partial-aggregable groupBy over the code postings; only the
+    top-k rows (queries x k) pay the exact re-read join."""
+    emb = with_quantized(df)
+    cb = pq_codebooks(emb, m, kcodes)
+    codes = pq_codes(emb, cb, m).withColumnRenamed("vec_id", "cand_id")
+    qs = with_quantized(query_df)
+    qsubs = pq_subvectors(qs, m).withColumnRenamed("vec_id", "query_id")
+    lut = qsubs.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code", int_l2(F.col("sv"), F.col("csv")).alias("pdist")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pdist").cast("long").alias("adc_l2"))
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_l2").asc(), F.col("cand_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    cand_eq = emb.select(F.col("vec_id").alias("cand_id"), F.col("eq").alias("c_eq"))
+    q_eq = qs.select(F.col("vec_id").alias("query_id"), F.col("eq").alias("q_eq"))
+    return (
+        topk.join(cand_eq, "cand_id")
+        .join(F.broadcast(q_eq), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            "adc_l2",
+            int_l2(F.col("q_eq"), F.col("c_eq")).alias("exact_l2"),
+            (F.col("adc_l2") - int_l2(F.col("q_eq"), F.col("c_eq")))
+            .cast("long")
+            .alias("err_l2"),
+        )
+    )
+
+
 SEM_TAU_Q = 950
 
 

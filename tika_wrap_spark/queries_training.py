@@ -895,6 +895,76 @@ FROM vv v LEFT JOIN close c ON v.vec_id = c.b_id
 SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
 
 
+def q_ann_pq_topk(spark, d):
+    """Product-quantization ADC top-k (8 subspaces x 16 codes) with the
+    exact squared-L2 and signed ADC error on the record — codebook train,
+    encode, LUT scoring all integer-exact and oracled."""
+    emb = _t(spark, d, "embeddings")
+    return sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+
+
+def _sql_pq_topk() -> str:
+    mm, kk, sc = sim.PQ_M, sim.PQ_K, sim.PQ_CODE_SCALE
+    l2_seed = (
+        "(SELECT CAST(sum((s.sv[t.i] - d.csv[t.i]) * (s.sv[t.i] - d.csv[t.i])) AS BIGINT) "
+        "FROM unnest(generate_series(1, len(s.sv))) AS t(i))"
+    )
+    l2_cb = (
+        "(SELECT CAST(sum((s.sv[t.i] - c.csv[t.i]) * (s.sv[t.i] - c.csv[t.i])) AS BIGINT) "
+        "FROM unnest(generate_series(1, len(s.sv))) AS t(i))"
+    )
+    l2_full = (
+        "(SELECT CAST(sum((qe.eq[t.i] - ce.eq[t.i]) * (qe.eq[t.i] - ce.eq[t.i])) AS BIGINT) "
+        "FROM unnest(generate_series(1, len(qe.eq))) AS t(i))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_EQ_DUCK} AS eq FROM embeddings
+), subs AS (
+  SELECT vec_id, CAST(j.m AS BIGINT) AS m,
+         eq[j.m * (len(eq) // {mm}) + 1 : (j.m + 1) * (len(eq) // {mm})] AS sv
+  FROM q, unnest(generate_series(0, {mm - 1})) AS j(m)
+), seeds AS (
+  SELECT m, CAST(vec_id AS BIGINT) AS code, sv AS csv FROM subs WHERE vec_id < {kk}
+), a0 AS (
+  SELECT s.vec_id, s.m, min({l2_seed} * {sc} + d.code) AS k0
+  FROM subs s JOIN seeds d USING (m) GROUP BY 1, 2
+), asn0 AS (
+  SELECT vec_id, m, k0 % {sc} AS code FROM a0
+), comp AS (
+  SELECT a.m, a.code, t.i AS pos, s.sv[t.i] AS x
+  FROM asn0 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m,
+       unnest(generate_series(1, len(s.sv))) AS t(i)
+), cbc AS (
+  SELECT m, code, pos, CAST(floor(avg(x)) AS BIGINT) AS c FROM comp GROUP BY 1, 2, 3
+), cb AS (
+  SELECT m, code, array_agg(c ORDER BY pos) AS csv FROM cbc GROUP BY 1, 2
+), enc AS (
+  SELECT s.vec_id AS cand_id, s.m, min({l2_cb} * {sc} + c.code) % {sc} AS code
+  FROM subs s JOIN cb c USING (m) GROUP BY 1, 2
+), lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.code, {l2_cb} AS pdist
+  FROM subs s JOIN cb c USING (m) WHERE s.vec_id < 3
+), scored AS (
+  SELECT l.query_id, e.cand_id, CAST(sum(l.pdist) AS BIGINT) AS adc_l2
+  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, cand_id, adc_l2,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_l2 ASC, cand_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT r.query_id, r.cand_id, r.rank, r.adc_l2,
+       {l2_full} AS exact_l2,
+       CAST(r.adc_l2 - {l2_full} AS BIGINT) AS err_l2
+FROM ranked r JOIN q qe ON r.query_id = qe.vec_id JOIN q ce ON r.cand_id = ce.vec_id
+WHERE r.rank <= 10
+"""
+
+
+SQL_ANN_PQ_TOPK = _sql_pq_topk()
+
+
 def q_ann_recall(spark, d):
     """Measured ANN recall: per query, |multi-table LSH top-k ∩ exact
     top-k| / k — the quality metric that justifies the LSH scale path."""

@@ -66,6 +66,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_lsh_topk": (qt.q_ann_lsh_topk, qt.SQL_ANN_LSH_TOPK),
     "ann_lsh_topk_multi": (qt.q_ann_lsh_topk_multi, qt.SQL_ANN_LSH_TOPK_MULTI),
     "ann_ivf_topk": (qt.q_ann_ivf_topk, qt.SQL_ANN_IVF_TOPK),
+    "ann_pq_topk": (qt.q_ann_pq_topk, qt.SQL_ANN_PQ_TOPK),
     "semantic_dedup": (qt.q_semantic_dedup, qt.SQL_SEMANTIC_DEDUP),
     "ann_recall": (qt.q_ann_recall, qt.SQL_ANN_RECALL),
     # text analysis
