@@ -149,3 +149,47 @@ def test_quality_classifier_separates_planted_docs(spark):
             + QC_BIAS
         )
         assert r["logit_q"] == want and r["keep"] == (want >= 0)
+
+
+def test_bpe_train_matches_python_replica(spark):
+    """The 3 learned merges equal a pure-python BPE replica (Sennrich-style
+    vocab pair counting, leftmost non-overlapping merge, count-desc /
+    pair-asc tie-break) on the classic low/lower/newest/widest corpus."""
+    from collections import Counter
+
+    from tika_wrap_spark.operators.text_analysis import bpe_train
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+    vocab = Counter(words)
+    seqs = {w: list(w) for w in vocab}
+    want = []
+    for r in range(3):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        # engine tie-break: count desc, then the FENCED pair string asc
+        # ("|a|  |b|"), identical in Spark and the DuckDB oracle
+        (a, b), n = min(
+            pc.items(), key=lambda kv: (-kv[1], "|%s|  |%s|" % kv[0])
+        )
+        want.append((r, a, b, a + b, n))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["merged"], r["pair_n"])
+        for r in bpe_train(df, rounds=3).orderBy("round").collect()
+    ]
+    assert got == want, (got, want)

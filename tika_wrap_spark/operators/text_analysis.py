@@ -341,6 +341,72 @@ def token_rarity(df: DataFrame) -> DataFrame:
     )
 
 
+BPE_ROUNDS = 3
+
+
+def bpe_train(df: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units"): the first
+    ``rounds`` merge rules learned from the corpus, each round fully
+    declarative — count adjacent symbol pairs weighted by word frequency
+    (partial-aggregable groupBy), pick the argmax (a 1-row broadcast),
+    apply the merge to every vocab entry, repeat. No driver collect, no
+    Python in the loop; ``rounds`` chained groupBy+broadcast cycles in one
+    plan. Output: one row per learned merge (round, left/right symbol,
+    merged symbol, weighted pair count).
+
+    The classic scale trick is built in: the corpus first reduces to the
+    (word, freq) VOCAB — pair statistics then cost O(|vocab| * word_len)
+    per round, not O(corpus); at 10^12 docs the vocab is millions of rows
+    while the corpus is trillions. Symbol sequences ride as
+    ``|sym|  |sym|`` strings so the merge application is a plain
+    ``replace`` whose leftmost non-overlapping semantics (identical in
+    Spark and DuckDB — and exactly BPE's greedy merge order) need no
+    fold; the pipe fences stop cross-symbol false matches."""
+    words = _norm(df).select(
+        F.explode(F.split(F.col("norm"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
+    seq0 = F.concat(
+        F.lit("|"), F.array_join(F.split(F.col("word"), ""), "|  |"), F.lit("|")
+    )
+    v = vocab.select(seq0.alias("seq"), "freq")
+    pairs = F.expr(
+        "CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), "
+        "i -> concat(element_at(syms, i), '  ', element_at(syms, i + 1))) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    out = None
+    for r in range(rounds):
+        pc = (
+            v.withColumn("syms", F.split(F.col("seq"), "  "))
+            .select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_n"))
+        )
+        top = pc.orderBy(F.desc("pair_n"), F.asc("pair")).limit(1)
+        merged = F.translate(F.col("pair"), "| ", "")
+        row = top.select(
+            F.lit(r).cast("long").alias("round"),
+            F.translate(F.element_at(F.split(F.col("pair"), "  "), 1), "|", "")
+            .alias("left_sym"),
+            F.translate(F.element_at(F.split(F.col("pair"), "  "), 2), "|", "")
+            .alias("right_sym"),
+            merged.alias("merged"),
+            F.col("pair_n").cast("long").alias("pair_n"),
+        )
+        out = row if out is None else out.unionByName(row)
+        v = v.crossJoin(F.broadcast(top)).select(
+            F.replace(
+                F.col("seq"),
+                F.col("pair"),
+                F.concat(F.lit("|"), merged, F.lit("|")),
+            ).alias("seq"),
+            "freq",
+        )
+    return out
+
+
 QC_W_STOP = 8
 QC_W_PUNCT = -3
 QC_LEN_CAP = 400

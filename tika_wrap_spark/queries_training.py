@@ -1224,6 +1224,56 @@ FROM r WHERE rnk <= {ta.TFIDF_TOPK}
 """
 
 
+def q_bpe_train(spark, d):
+    """First 3 BPE merge rules learned from the documents corpus —
+    vocab-reduced pair counting, declarative argmax-broadcast-merge
+    rounds, no driver collect."""
+    return ta.bpe_train(_t(spark, d, "documents"), rounds=ta.BPE_ROUNDS)
+
+
+def _sql_bpe_train() -> str:
+    parts = [
+        f"""
+WITH words AS (
+  SELECT unnest(list_filter(str_split({_NORM_DUCK}, ' '), w -> w <> '')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, count(*) AS freq FROM words GROUP BY 1
+), v0 AS (
+  SELECT '|' || array_to_string(str_split(word, ''), '|  |') || '|' AS seq, freq
+  FROM vocab
+)"""
+    ]
+    selects = []
+    for r in range(ta.BPE_ROUNDS):
+        parts.append(f""", p{r} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_n FROM (
+    SELECT s.freq, s.syms[t.i] || '  ' || s.syms[t.i + 1] AS pair
+    FROM (SELECT str_split(seq, '  ') AS syms, freq FROM v{r}) s,
+         unnest(generate_series(1, len(s.syms) - 1)) AS t(i)
+  ) GROUP BY 1
+), t{r} AS (
+  SELECT pair, pair_n FROM p{r} ORDER BY pair_n DESC, pair LIMIT 1
+), v{r + 1} AS (
+  SELECT replace(v.seq, t.pair,
+                 '|' || replace(replace(t.pair, '|', ''), ' ', '') || '|') AS seq,
+         v.freq
+  FROM v{r} v, t{r} t
+)""")
+        selects.append(
+            f"""SELECT CAST({r} AS BIGINT) AS round,
+       replace(str_split(pair, '  ')[1], '|', '') AS left_sym,
+       replace(str_split(pair, '  ')[2], '|', '') AS right_sym,
+       replace(replace(pair, '|', ''), ' ', '') AS merged,
+       pair_n
+FROM t{r}"""
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_BPE_TRAIN = _sql_bpe_train()
+
+
 def q_mixture_temperature(spark, d):
     """Temperature (alpha=0.5) mixture rebalancing over the documents
     table by source: per-stratum keep rate + achieved kept counts, the

@@ -78,6 +78,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_repetition": (qt.q_text_repetition, qt.SQL_TEXT_REPETITION),
     "tfidf_topk": (qt.q_tfidf_topk, qt.SQL_TFIDF_TOPK),
     "text_scrub": (qt.q_text_scrub, qt.SQL_TEXT_SCRUB),
+    "bpe_train": (qt.q_bpe_train, qt.SQL_BPE_TRAIN),
     "curate_corpus": (qt.q_curate_corpus, qt.SQL_CURATE_CORPUS),
     # corpus curation: sampling / sharding / bloom-pruned dedup / keep-best
     "sample_stratified": (qt.q_sample_stratified, qt.SQL_SAMPLE_STRATIFIED),
