@@ -37,6 +37,13 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert _rows(sources.read_corpus_jsonl(spark, p)) == _rows(df)
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    df = corpus_to_df(spark, generate_corpus(30, seed=5))
+    p = str(tmp_path / "corpus_orc")
+    sources.write_corpus_orc(df, p)
+    assert _rows(sources.read_corpus_orc(spark, p)) == _rows(df)
+
+
 def test_text_dir_source(spark, tmp_path):
     d = tmp_path / "raw"
     d.mkdir()

@@ -34,6 +34,16 @@ def write_corpus_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> N
     df.write.mode(mode).parquet(path)
 
 
+def read_corpus_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(CORPUS_SCHEMA).orc(path)
+
+
+def write_corpus_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC egress — the second columnar interchange format warehouses
+    expect; nested span structs round-trip natively (no extra jars)."""
+    df.write.mode(mode).orc(path)
+
+
 def write_corpus_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """doc per line: {"doc_id": ..., "spans": [{kind,text,media_ref,offset}]}"""
     df.select(F.to_json(F.struct("doc_id", "spans")).alias("value")).write.mode(
