@@ -994,6 +994,55 @@ GROUP BY period_id
 SQL_RANGE_JOIN = _sql_range_join()
 
 
+def q_hot_keys(spark, d):
+    """Hot-key detection over the events key distribution — the skew
+    diagnostic that decides WHERE salting is needed (north_rule skew
+    defense): per-user event counts z-scored against the population; a
+    z >= 2 user is a shuffle hot spot. One partial-aggregable groupBy +
+    a 1-row stats broadcast; the double arithmetic is the identical
+    IEEE sequence in both engines (correctly-rounded ops on exact integer
+    sums), so the quantized z is engine-exact."""
+    ev = _t(spark, d, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    stats = counts.agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_events").alias("sum_n"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sum_n2"),
+    )
+    mean = F.col("sum_n") / F.col("n_users")
+    var = F.col("sum_n2") / F.col("n_users") - mean * mean
+    # greatest(var, 1e-12): a degenerate all-equal-counts population must
+    # yield z = 0, not 0/0 = NaN; same guard in the oracle
+    z = F.lit(100) * (F.col("n_events") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12)))
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.floor(z).cast("long").alias("z_q"),
+            (F.floor(z) >= 200).alias("is_hot"),
+        )
+    )
+
+
+SQL_HOT_KEYS = """
+WITH counts AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_users,
+         CAST(sum(n_events) AS BIGINT) AS sum_n,
+         CAST(sum(n_events * n_events) AS BIGINT) AS sum_n2
+  FROM counts
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(floor(100 * (n_events - sum_n / n_users)
+            / sqrt(greatest(sum_n2 / n_users - (sum_n / n_users) * (sum_n / n_users), 1e-12))) AS BIGINT) AS z_q,
+       floor(100 * (n_events - sum_n / n_users)
+            / sqrt(greatest(sum_n2 / n_users - (sum_n / n_users) * (sum_n / n_users), 1e-12))) >= 200 AS is_hot
+FROM counts, stats
+"""
+
+
 def q_percentiles(spark, d):
     """Exact interpolated percentiles per event type (Spark `percentile` ==
     SQL quantile_cont). At 100 TB swap for approx_percentile — this is the

@@ -45,6 +45,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rollup_cascade": (q.q_rollup_cascade, q.SQL_ROLLUP_CASCADE),
     "session_window": (q.q_session_window, q.SQL_SESSION_WINDOW),
     "sketch_kmv": (q.q_sketch_kmv, q.SQL_SKETCH_KMV),
+    "hot_keys": (q.q_hot_keys, q.SQL_HOT_KEYS),
     "sketch_hll": (q.q_sketch_hll, q.SQL_SKETCH_HLL),
     "sketch_cms": (qt.q_sketch_cms, qt.SQL_SKETCH_CMS),
     # dedup family
