@@ -57,10 +57,15 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "minhash_est_error",
     "substr_dup",
+    "chunk_dedup",
+    "split_leakage",
+    "bpe_train",
+    "hot_keys",
     "ann_cosine_topk",
     "ann_lsh_bucket",
     "ann_lsh_topk_multi",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "semantic_dedup",
     "ann_recall",
     "text_langid",
