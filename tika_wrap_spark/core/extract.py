@@ -20,18 +20,22 @@ from typing import Any
 
 from tika_wrap_spark.core.container import MAX_CONTAINER_DEPTH, parse_container
 from tika_wrap_spark.core.errors import ExtractError
+from tika_wrap_spark.core.gzipbin import gunzip_text
 from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, html_title
 from tika_wrap_spark.core.media import image_dims_text
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
 from tika_wrap_spark.core.sniff import (
+    KIND_GZIP,
     KIND_HTML,
     KIND_MEDIA,
     KIND_PDF,
+    KIND_TAR,
     KIND_TEXT,
     KIND_XML,
     KIND_ZIP,
     sniff_kind,
 )
+from tika_wrap_spark.core.tarbin import parse_tar_text
 
 # container member marking an OOXML-analog archive (real OOXML is zip with
 # exactly this member; QMimeDatabase-style container-format distinction)
@@ -127,21 +131,38 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             for page in pages_to_texts(pages):
                 n_pages += 1
                 emit(KIND_TEXT, page, "")
-        elif kind == KIND_ZIP:
+        elif kind in (KIND_ZIP, KIND_TAR):
             if depth >= MAX_CONTAINER_DEPTH:
                 raise ExtractError(
                     "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
                 )
-            entries = parse_container(text)
+            entries = (
+                parse_container(text) if kind == KIND_ZIP else parse_tar_text(text)
+            )
             n_containers += 1
             depth_max = max(depth_max, depth + 1)
             if any(name == OOXML_MARKER for name, _p in entries):
                 container_format = "ooxml"
             elif not container_format:
-                container_format = "zip"
+                container_format = kind
             for name, payload in entries:
                 n_entries += 1
                 route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
+        elif kind == KIND_GZIP:
+            # wrapper, not an archive: decompress and re-sniff the inner
+            # stream (the .tar.gz path recurses straight into KIND_TAR);
+            # counts as one container level with a single unnamed member
+            if depth >= MAX_CONTAINER_DEPTH:
+                raise ExtractError(
+                    "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
+                )
+            inner = gunzip_text(text)
+            n_containers += 1
+            n_entries += 1
+            depth_max = max(depth_max, depth + 1)
+            if not container_format:
+                container_format = KIND_GZIP
+            route(sniff_kind(inner, ""), inner, "", path + ("gz",), depth + 1)
         elif kind == KIND_XML:
             emit(KIND_TEXT, extract_xml_text(text), "")
         else:

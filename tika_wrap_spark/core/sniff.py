@@ -19,9 +19,15 @@ KIND_HTML = "html"
 KIND_PDF = "pdf"
 KIND_MEDIA = "media"
 KIND_ZIP = "zip"
+KIND_GZIP = "gzip"
+KIND_TAR = "tar"
 KIND_XML = "xml"
 KIND_JSON = "json"
 KIND_CSV = "csv"
+
+# ustar magic position (bytes-as-text offset); checked against the FULL
+# payload, not the head window
+TAR_MAGIC_OFFSET = 257
 
 _HTML_MARKERS = ("<!doctype html", "<html", "<head", "<body")
 
@@ -43,15 +49,20 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       3. head starts with 'PK\\x03\\x04'          -> 'zip' (container;
          checked before the html-contains rule so an archive whose first
          member is html is still an archive — magic-at-offset-0 wins)
-      4. head starts with a media magic (PNG/JPEG bytes-as-text,
+      4. head starts with '\\x1f\\x8b'            -> 'gzip' (RFC 1952 wrapper)
+      5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
+         at its fixed in-header offset; after the offset-0 magics — a
+         payload matching both is routed by the earlier rule, the
+         documented deterministic pin)
+      6. head starts with a media magic (PNG/JPEG bytes-as-text,
          as found inside container members)       -> 'media'
-      5. head (lstripped, lowercased) begins with an HTML marker -> 'html'
-      6. lstripped head begins with '<?xml'       -> 'xml' (so an xhtml
+      7. head (lstripped, lowercased) begins with an HTML marker -> 'html'
+      8. lstripped head begins with '<?xml'       -> 'xml' (so an xhtml
          document with an xml prolog classifies xml — deterministic pin)
-      7. head contains '<html' in the first HEAD_WINDOW chars -> 'html'
-      8. lstripped head begins with '{' or '['    -> 'json'
-      9. first line of head has >= 2 commas       -> 'csv'
-     10. otherwise                                -> 'text'
+      9. head contains '<html' in the first HEAD_WINDOW chars -> 'html'
+     10. lstripped head begins with '{' or '['    -> 'json'
+     11. first line of head has >= 2 commas       -> 'csv'
+     12. otherwise                                -> 'text'
 
     The QMimeDatabase the reference consults
     (/root/reference/src/java-env.cpp:233-242) knows these families too;
@@ -66,6 +77,10 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_PDF
     if head.startswith("PK\x03\x04"):
         return KIND_ZIP
+    if head.startswith("\x1f\x8b"):
+        return KIND_GZIP
+    if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
+        return KIND_TAR
     for magic in _MEDIA_MAGICS:
         if head.startswith(magic):
             return KIND_MEDIA

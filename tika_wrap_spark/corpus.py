@@ -28,7 +28,9 @@ from typing import Any
 
 from tika_wrap_spark.core.container import build_container
 from tika_wrap_spark.core.extract import extract_document
+from tika_wrap_spark.core.gzipbin import gzip_text
 from tika_wrap_spark.core.media import build_jpeg, build_png
+from tika_wrap_spark.core.tarbin import build_tar_text
 from tika_wrap_spark.core.zipbin import build_zip_text
 
 _WORDS = (
@@ -151,14 +153,21 @@ def _gen_png_payload(rng: random.Random) -> str:
 
 
 def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
-    """Serialize members as a REAL PK-zip byte stream (~half the archives;
-    seeded per-member stored/deflate mix) or the TWC1 analog dialect — the
-    extraction core routes both through the same recursion (zipbin.py vs
-    container.py after the shared PK\\x03\\x04 magic)."""
-    if rng.random() < 0.5:
+    """Serialize members as one of the four archive shapes the extraction
+    core parses — REAL PK-zip bytes (~40%; seeded per-member stored/deflate
+    mix), REAL ustar tar (~15%), tar wrapped in a REAL gzip stream (~10%,
+    the .tar.gz path: gunzip -> re-sniff -> tar recursion), or the TWC1
+    analog dialect (rest). All four route through the same recursive member
+    walk (zipbin / tarbin / gzipbin / container)."""
+    r = rng.random()
+    if r < 0.4:
         return build_zip_text(
             entries, deflate=[rng.random() < 0.5 for _ in entries]
         )
+    if r < 0.55:
+        return build_tar_text(entries)
+    if r < 0.65:
+        return gzip_text(build_tar_text(entries))
     return build_container(entries)
 
 
@@ -166,8 +175,9 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
     """Raw container payload (FIXTURES.md §1b): 2-6 members mixing
     text/html/pdf/media, ~1-in-4 docs carrying one nested container;
     ~1-in-5 top-level archives are OOXML-shaped ([Content_Types].xml marker
-    + xml members — the zip-that-is-a-document case). ~Half of all archives
-    (every nesting level, every shape) serialize as REAL PK-zip binary."""
+    + xml members — the zip-that-is-a-document case). Every archive (any
+    nesting level, any shape) draws its serialization from _encode_archive's
+    four-way real-zip / real-tar / tar.gz / TWC1 mix."""
     entries: list[tuple[str, str]] = []
     if depth == 0 and rng.random() < 0.2:  # OOXML-analog archive
         entries.append(("[Content_Types].xml", _gen_xml_payload(rng)))
@@ -246,7 +256,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 7
+N_ADVERSARIAL = 9
 
 
 def adversarial_rows(base: int) -> list[dict[str, Any]]:
@@ -296,6 +306,17 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
     )
     rows.append(
         {"doc_id": "doc_%07d" % (base + 6), "spans": _make_spans([("zip", bad_crc, "")])}
+    )
+    # REAL tar, end-of-archive zero blocks cut off
+    cut_tar = build_tar_text([("t.log", "tar member body")])[:-1024]
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 7), "spans": _make_spans([("tar", cut_tar, "")])}
+    )
+    # REAL gzip with a corrupted byte mid-stream: inflate/CRC failure path
+    gz = gzip_text("gzip wrapped text payload " * 4)
+    bad_gz = gz[:15] + chr((ord(gz[15]) + 1) % 256) + gz[16:]
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 8), "spans": _make_spans([("gzip", bad_gz, "")])}
     )
     return rows
 

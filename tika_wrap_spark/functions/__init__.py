@@ -75,6 +75,14 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
         .when(text.isNull(), F.lit(sn.KIND_TEXT))
         .when(head.startswith("%PDF-"), F.lit(sn.KIND_PDF))
         .when(head.startswith("PK\x03\x04"), F.lit(sn.KIND_ZIP))
+        .when(head.startswith("\x1f\x8b"), F.lit(sn.KIND_GZIP))
+        # ustar magic at its fixed in-header offset (1-based substring);
+        # shorter payloads yield a short/empty substring -> no match, same
+        # as the Python slice
+        .when(
+            F.substring(text, sn.TAR_MAGIC_OFFSET + 1, 5) == "ustar",
+            F.lit(sn.KIND_TAR),
+        )
         .when(is_media_magic, F.lit(sn.KIND_MEDIA))
         .when(html_marker, F.lit(sn.KIND_HTML))
         .when(lowered.startswith("<?xml"), F.lit(sn.KIND_XML))
