@@ -994,6 +994,55 @@ GROUP BY period_id
 SQL_RANGE_JOIN = _sql_range_join()
 
 
+def q_tpch_q5(spark, d):
+    """TPC-H Q5 (local-supplier revenue): the canonical 6-table join —
+    region/nation broadcast (tiny dims), customer/supplier equi-joins, the
+    one big shuffle is lineitem x orders; Catalyst + AQE pick the join
+    order and strategies from the declarative plan (the point of
+    expressing it relationally rather than hand-scheduling)."""
+    region = _t(spark, d, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, d, "nation")
+    cust = _t(spark, d, "customer")
+    supp = _t(spark, d, "supplier")
+    orders = _t(spark, d, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, d, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def q_hot_keys(spark, d):
     """Hot-key detection over the events key distribution — the skew
     diagnostic that decides WHERE salting is needed (north_rule skew

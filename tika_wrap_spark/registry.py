@@ -34,6 +34,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q1": (q.q_tpch_q1, q.SQL_TPCH_Q1),
     "tpch_q6": (q.q_tpch_q6, q.SQL_TPCH_Q6),
     "tpch_join_agg": (q.q_tpch_join_agg, q.SQL_TPCH_JOIN_AGG),
+    "tpch_q5": (q.q_tpch_q5, q.SQL_TPCH_Q5),
     "sessionize": (q.q_sessionize, q.SQL_SESSIONIZE),
     "rollup_metrics": (q.q_rollup_metrics, q.SQL_ROLLUP_METRICS),
     "pivot_events": (q.q_pivot_events, q.SQL_PIVOT_EVENTS),
