@@ -223,3 +223,42 @@ def test_resize_and_frames_shapes(spark):
     # 1:N flatMap: at least one frame per media item, frame_idx dense ints
     per = fr.groupBy("media_ref").agg(F.count("*").alias("k"), F.min("frame_idx").alias("lo"))
     assert per.filter("k < 1 or lo != 0").count() == 0
+
+
+def test_mp3_header_parse_pure():
+    """MPEG-1 Layer III header: true rate/channels/bitrate + estimated
+    frame count, ID3v2 tag skipped, malformed shapes -> None."""
+    from tika_wrap_spark.core.media import build_mp3, mp3_info
+
+    assert mp3_info(build_mp3(192, 48000, True, 25)) == (1, 48000, 192, 25)
+    assert mp3_info(build_mp3(128, 44100, False, 7, id3=True)) == (2, 44100, 128, 7)
+    assert mp3_info(b"\xff\xfb") is None  # truncated header
+    assert mp3_info(b"not audio at all") is None
+    assert mp3_info(bytes([0xFF, 0xFB, 0x9C, 0x00])) is None  # reserved rate idx
+    assert mp3_info(bytes([0xFF, 0xFB, 0xF0, 0x00])) is None  # bad bitrate idx
+    # MPEG-2 (version bits 10) is out of scope -> None, not garbage
+    assert mp3_info(bytes([0xFF, 0xF3, 0x90, 0x00])) is None
+
+
+def test_decode_media_real_mp3(spark):
+    """An MP3 payload decodes through the Arrow path with its TRUE sample
+    rate/channels/frames, not digest-faked values."""
+    import pandas as pd
+
+    from tika_wrap_spark.core.media import build_mp3
+    from tika_wrap_spark.operators.multimodal import decode_media
+
+    payloads = pd.DataFrame(
+        {
+            "media_ref": ["m3:a", "m3:b"],
+            "payload": [
+                build_mp3(320, 32000, False, 11),
+                build_mp3(64, 44100, True, 3, id3=True),
+            ],
+        }
+    )
+    df = spark.createDataFrame(payloads)
+    got = {r["media_ref"]: r for r in decode_media(df).collect()}
+    a, b = got["m3:a"], got["m3:b"]
+    assert (a["media_kind"], a["width"], a["height"], a["n_frames"]) == ("audio", 2, 32000, 11)
+    assert (b["media_kind"], b["width"], b["height"], b["n_frames"]) == ("audio", 1, 44100, 3)

@@ -166,6 +166,71 @@ def avi_info(data: bytes) -> tuple[int, int, int, int] | None:
     return None
 
 
+# MPEG-1 Layer III tables (ISO/IEC 11172-3): bitrate kbps by header index
+# (0 = free, 15 = bad) and sample rate by index (3 = reserved)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_RATES = (44100, 48000, 32000, 0)
+
+
+def mp3_info(data: bytes) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bitrate_kbps, est_frames) from an MPEG-1
+    Layer III stream: skip an optional ID3v2 tag (syncsafe size), validate
+    the first frame header's sync/version/layer/bitrate/rate fields, and
+    estimate the frame count from the fixed Layer-III frame size
+    ``144 * bitrate / sample_rate``. Returns None for non-MP3 bytes."""
+    pos = 0
+    n = len(data)
+    if data[:3] == b"ID3" and n >= 10:
+        size = (
+            ((data[6] & 0x7F) << 21)
+            | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7)
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + size
+    if n < pos + 4:
+        return None
+    b = data[pos : pos + 4]
+    if b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
+        return None
+    version = (b[1] >> 3) & 3
+    layer = (b[1] >> 1) & 3
+    if version != 3 or layer != 1:  # MPEG-1 Layer III only
+        return None
+    br_idx = (b[2] >> 4) & 0xF
+    sr_idx = (b[2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    bitrate = _MP3_BITRATES[br_idx] * 1000
+    sample_rate = _MP3_RATES[sr_idx]
+    channels = 1 if ((b[3] >> 6) & 3) == 3 else 2
+    frame_size = (144 * bitrate) // sample_rate
+    est_frames = max(1, (n - pos) // max(frame_size, 1))
+    return (channels, sample_rate, bitrate // 1000, est_frames)
+
+
+def build_mp3(
+    bitrate_kbps: int, sample_rate: int, mono: bool, n_frames: int, id3: bool = False
+) -> bytes:
+    """Minimal structurally-valid MPEG-1 Layer III stream: ``n_frames``
+    frames of correct header + zero payload (no padding bit), optionally
+    preceded by an empty ID3v2.3 tag. Header-parseable; carries no audio."""
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # sync + MPEG-1 + Layer III + no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            0xC0 if mono else 0x00,  # mono vs stereo mode
+        ]
+    )
+    frame_size = (144 * bitrate_kbps * 1000) // sample_rate
+    frame = hdr + b"\x00" * (frame_size - 4)
+    tag = b"ID3\x03\x00\x00\x00\x00\x00\x00" if id3 else b""
+    return tag + frame * n_frames
+
+
 def image_dims(data: bytes) -> tuple[int, int] | None:
     """Dispatch on magic: PNG IHDR / JPEG SOF / GIF screen descriptor /
     BMP info-header dims, else None."""

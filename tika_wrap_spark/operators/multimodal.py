@@ -4,10 +4,11 @@ Media payloads are opaque ``binary`` columns + typed metadata; decode /
 feature-extract runs as Arrow-batched ``mapInPandas``. The IMAGE decode is
 REAL: PNG IHDR / JPEG SOF / GIF screen-descriptor / BMP info-header parsing
 (pure stdlib, ``core/media.py``) returns true width/height for any such
-byte stream. The AUDIO decode is REAL for WAV: the RIFF/WAVE fmt+data walk
-yields true channel count, sample rate, and frame count. The VIDEO header
-decode is REAL for AVI: the RIFF/hdrl walk yields true dims and total
-frame count (which drives frame sampling). Only pixel/sample-level kernels
+byte stream. The AUDIO decode is REAL for WAV (RIFF/WAVE fmt+data walk →
+true channel count, sample rate, frame count) and MP3 (MPEG-1 Layer III
+frame header + optional ID3v2 skip → true rate/channels, estimated frame
+count). The VIDEO header decode is REAL for AVI: the RIFF/hdrl walk yields
+true dims and total frame count (which drives frame sampling). Only pixel/sample-level kernels
 (resample, full frame decode, encoder forward pass) and unrecognized byte
 streams remain STUBS — this container has no media libraries — marked by
 ``_decode_real`` raising NotImplementedError and a deterministic fake
@@ -35,6 +36,7 @@ from pyspark.sql import types as T
 
 from tika_wrap_spark.core.media import (
     avi_info,
+    build_mp3,
     build_avi,
     build_bmp,
     build_gif,
@@ -42,6 +44,7 @@ from tika_wrap_spark.core.media import (
     build_png,
     build_wav,
     image_dims,
+    mp3_info,
     wav_info,
 )
 from tika_wrap_spark.portability import make_portable
@@ -83,11 +86,12 @@ def _decode_fake(ref: str, payload: bytes) -> dict:
 
 
 def _decode_payload(ref: str, payload: bytes) -> dict:
-    """IMAGE, WAV-AUDIO, and AVI-VIDEO paths are REAL: PNG/JPEG/GIF/BMP
-    header parse yields true dimensions; the RIFF/WAVE chunk walk yields
-    true channels (-> width), sample rate (-> height), and frame count;
-    the RIFF/AVI hdrl walk yields true dims and total frames
-    (core/media.py). Unrecognized bytes fall to the declared stub."""
+    """IMAGE, WAV/MP3-AUDIO, and AVI-VIDEO paths are REAL: PNG/JPEG/GIF/BMP
+    header parse yields true dimensions; the RIFF/WAVE chunk walk and the
+    MPEG-1 Layer III header yield true channels (-> width), sample rate
+    (-> height), and frame count; the RIFF/AVI hdrl walk yields true dims
+    and total frames (core/media.py). Unrecognized bytes fall to the
+    declared stub."""
     dims = image_dims(payload)
     if dims is not None:
         return {
@@ -117,6 +121,16 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
             "n_frames": n_frames,
             "feature": hashlib.md5(payload).hexdigest()[:16],
         }
+    mp3 = mp3_info(payload)
+    if mp3 is not None:
+        channels, sample_rate, _kbps, n_frames = mp3
+        return {
+            "media_kind": "audio",
+            "width": channels,
+            "height": sample_rate,
+            "n_frames": n_frames,
+            "feature": hashlib.md5(payload).hexdigest()[:16],
+        }
     return _decode_fake(ref, payload)
 
 
@@ -141,14 +155,14 @@ PAYLOAD_SCHEMA = T.StructType(
 
 def _fetch_fake(ref: str) -> bytes:
     """Deterministic object-store-fetch stand-in, keyed on the ref digest:
-    ~6/7 of refs come back as REAL PNG/JPEG/GIF/BMP/WAV/AVI byte streams
+    ~7/8 of refs come back as REAL PNG/JPEG/GIF/BMP/WAV/AVI/MP3 byte streams
     (valid headers, digest-derived parameters) so the decode path exercises
     true header parsing across every real kernel; the rest stay opaque
     bytes (the unrecognized-payload stub path)."""
     h = hashlib.md5(ref.encode("utf-8")).digest()
     v = int.from_bytes(h[:4], "big")
     w, hgt = 16 + v % 1920, 16 + (v >> 8) % 1080
-    kind = v % 7
+    kind = v % 8
     if kind == 0:
         return build_png(w, hgt, h)
     if kind == 1:
@@ -161,6 +175,14 @@ def _fetch_fake(ref: str) -> bytes:
         return build_wav(1 + v % 2, (8000, 16000, 44100)[v % 3], 16, 1 + (v >> 8) % 96000)
     if kind == 5:
         return build_avi(w, hgt, 1 + (v >> 4) % 3000, 1 + v % 2)
+    if kind == 6:
+        return build_mp3(
+            (64, 128, 192, 320)[v % 4],
+            (44100, 48000, 32000)[v % 3],
+            mono=bool(v & 4),
+            n_frames=1 + (v >> 6) % 400,
+            id3=bool(v & 64),
+        )
     return h + h[::-1]
 
 
