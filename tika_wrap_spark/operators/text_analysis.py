@@ -363,6 +363,27 @@ def bpe_train(df: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     ``replace`` whose leftmost non-overlapping semantics (identical in
     Spark and DuckDB — and exactly BPE's greedy merge order) need no
     fold; the pipe fences stop cross-symbol false matches."""
+    _states, tops = _bpe_loop(df, rounds)
+    out = None
+    for r, top in enumerate(tops):
+        row = top.select(
+            F.lit(r).cast("long").alias("round"),
+            F.translate(F.element_at(F.split(F.col("pair"), "  "), 1), "|", "")
+            .alias("left_sym"),
+            F.translate(F.element_at(F.split(F.col("pair"), "  "), 2), "|", "")
+            .alias("right_sym"),
+            F.translate(F.col("pair"), "| ", "").alias("merged"),
+            F.col("pair_n").cast("long").alias("pair_n"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _bpe_loop(df: DataFrame, rounds: int):
+    """Shared BPE machinery: returns (vocab states v0..v_rounds, top-pair
+    DataFrames t0..t_{rounds-1}) — the ONLY implementation of the pair
+    count / argmax / merge-apply round (bpe_train and bpe_compression both
+    derive from it; never fork the loop)."""
     words = _norm(df).select(
         F.explode(F.split(F.col("norm"), " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -376,8 +397,8 @@ def bpe_train(df: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         "i -> concat(element_at(syms, i), '  ', element_at(syms, i + 1))) "
         "ELSE cast(array() as array<string>) END"
     )
-    out = None
-    for r in range(rounds):
+    states, tops = [v], []
+    for _r in range(rounds):
         pc = (
             v.withColumn("syms", F.split(F.col("seq"), "  "))
             .select("freq", F.explode(pairs).alias("pair"))
@@ -385,17 +406,8 @@ def bpe_train(df: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
             .agg(F.sum("freq").alias("pair_n"))
         )
         top = pc.orderBy(F.desc("pair_n"), F.asc("pair")).limit(1)
+        tops.append(top)
         merged = F.translate(F.col("pair"), "| ", "")
-        row = top.select(
-            F.lit(r).cast("long").alias("round"),
-            F.translate(F.element_at(F.split(F.col("pair"), "  "), 1), "|", "")
-            .alias("left_sym"),
-            F.translate(F.element_at(F.split(F.col("pair"), "  "), 2), "|", "")
-            .alias("right_sym"),
-            merged.alias("merged"),
-            F.col("pair_n").cast("long").alias("pair_n"),
-        )
-        out = row if out is None else out.unionByName(row)
         v = v.crossJoin(F.broadcast(top)).select(
             F.replace(
                 F.col("seq"),
@@ -404,6 +416,27 @@ def bpe_train(df: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
             ).alias("seq"),
             "freq",
         )
+        states.append(v)
+    return states, tops
+
+
+def bpe_compression(df: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Corpus-level compression trajectory of the learned BPE merges: the
+    weighted symbol total (sum over vocab of freq x symbols-per-word) after
+    0..rounds merges — round 0 is the character baseline, each later row
+    shows how many corpus tokens the merge table saves. The tokens-per-doc
+    budget this buys is exactly what sequence packing (pack_sequences)
+    consumes downstream."""
+    states, _tops = _bpe_loop(df, rounds)
+    out = None
+    for r, v in enumerate(states):
+        row = v.agg(
+            F.sum(
+                F.col("freq") * F.size(F.split(F.col("seq"), "  "))
+            ).cast("long").alias("total_syms"),
+            F.sum("freq").cast("long").alias("total_words"),
+        ).select(F.lit(r).cast("long").alias("round"), "total_syms", "total_words")
+        out = row if out is None else out.unionByName(row)
     return out
 
 

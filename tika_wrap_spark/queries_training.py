@@ -1274,6 +1274,28 @@ FROM t{r}"""
 SQL_BPE_TRAIN = _sql_bpe_train()
 
 
+def q_bpe_compression(spark, d):
+    """Compression trajectory of the learned BPE merges: weighted corpus
+    symbol totals after 0..3 merge rounds (round 0 = char baseline)."""
+    return ta.bpe_compression(_t(spark, d, "documents"), rounds=ta.BPE_ROUNDS)
+
+
+def _sql_bpe_compression() -> str:
+    # reuse _sql_bpe_train's CTE chain (v0..vN states) with a different tail
+    prefix = SQL_BPE_TRAIN.split("\nSELECT CAST(0", 1)[0]
+    selects = [
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+       CAST(sum(freq * len(str_split(seq, '  '))) AS BIGINT) AS total_syms,
+       CAST(sum(freq) AS BIGINT) AS total_words
+FROM v{r}"""
+        for r in range(ta.BPE_ROUNDS + 1)
+    ]
+    return prefix + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_BPE_COMPRESSION = _sql_bpe_compression()
+
+
 def q_mixture_temperature(spark, d):
     """Temperature (alpha=0.5) mixture rebalancing over the documents
     table by source: per-stratum keep rate + achieved kept counts, the

@@ -81,6 +81,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tfidf_topk": (qt.q_tfidf_topk, qt.SQL_TFIDF_TOPK),
     "text_scrub": (qt.q_text_scrub, qt.SQL_TEXT_SCRUB),
     "bpe_train": (qt.q_bpe_train, qt.SQL_BPE_TRAIN),
+    "bpe_compression": (qt.q_bpe_compression, qt.SQL_BPE_COMPRESSION),
     "curate_corpus": (qt.q_curate_corpus, qt.SQL_CURATE_CORPUS),
     # corpus curation: sampling / sharding / bloom-pruned dedup / keep-best
     "sample_stratified": (qt.q_sample_stratified, qt.SQL_SAMPLE_STRATIFIED),
