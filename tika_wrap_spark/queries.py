@@ -994,6 +994,71 @@ GROUP BY period_id
 SQL_RANGE_JOIN = _sql_range_join()
 
 
+def q_funnel_conversion(spark, d):
+    """Ordered event funnel (view -> click-after-view -> purchase-after-
+    qualified-click) per user — the sequential-pattern op behind
+    conversion/session analytics. Expressed as two STACKED running-min
+    windows over the same (user_id, ts, event_id) ordering + one per-user
+    reduce: all three share the user_id partitioning, so the whole funnel
+    costs ONE shuffle regardless of corpus size; no self-joins, no
+    per-stage re-scan."""
+    ev = _t(spark, d, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e2 = ev.withColumn(
+        "view_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    qual_click = (F.col("event_type") == "click") & F.col("view_ts").isNotNull()
+    e3 = e2.withColumn(
+        "qclick_ts", F.min(F.when(qual_click, F.col("ts"))).over(w)
+    )
+    qual_purchase = (F.col("event_type") == "purchase") & F.col("qclick_ts").isNotNull()
+    per_user = e3.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max((F.col("event_type") == "view").cast("long")).alias("s_view"),
+        F.max(qual_click.cast("long")).alias("s_click"),
+        F.max(qual_purchase.cast("long")).alias("s_purchase"),
+    )
+    return per_user.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("s_view") + F.col("s_click") + F.col("s_purchase"))
+        .cast("long")
+        .alias("funnel_depth"),
+        (F.col("s_purchase") == 1).alias("converted"),
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH e2 AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+  FROM events
+), e3 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' AND view_ts IS NOT NULL THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qclick_ts
+  FROM e2
+), per_user AS (
+  SELECT user_id, count(*) AS n_events,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s_view,
+         max(CASE WHEN event_type = 'click' AND view_ts IS NOT NULL THEN 1 ELSE 0 END) AS s_click,
+         max(CASE WHEN event_type = 'purchase' AND qclick_ts IS NOT NULL THEN 1 ELSE 0 END) AS s_purchase
+  FROM e3 GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(s_view + s_click + s_purchase AS BIGINT) AS funnel_depth,
+       s_purchase = 1 AS converted
+FROM per_user
+"""
+
+
 def q_tpch_q5(spark, d):
     """TPC-H Q5 (local-supplier revenue): the canonical 6-table join —
     region/nation broadcast (tiny dims), customer/supplier equi-joins, the

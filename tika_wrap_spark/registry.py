@@ -47,6 +47,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "session_window": (q.q_session_window, q.SQL_SESSION_WINDOW),
     "sketch_kmv": (q.q_sketch_kmv, q.SQL_SKETCH_KMV),
     "hot_keys": (q.q_hot_keys, q.SQL_HOT_KEYS),
+    "funnel_conversion": (q.q_funnel_conversion, q.SQL_FUNNEL_CONVERSION),
     "sketch_hll": (q.q_sketch_hll, q.SQL_SKETCH_HLL),
     "sketch_cms": (qt.q_sketch_cms, qt.SQL_SKETCH_CMS),
     # dedup family
