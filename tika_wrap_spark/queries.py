@@ -517,6 +517,34 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+def q_cube_metrics(spark, d):
+    """Full CUBE over (lang, source): all four grouping combinations in one
+    partial-aggregable pass (the rollup sibling; Spark expands grouping
+    sets map-side, so the shuffle still carries only aggregated cells)."""
+    docs = _t(spark, d, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "sum_chars",
+        )
+    )
+
+
+SQL_CUBE_METRICS = """
+SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
 def q_rollup_metrics(spark, d):
     """Hierarchical totals via ROLLUP (order status -> priority -> grand
     total) — partial-aggregable in one pass; null grouping slots coalesced

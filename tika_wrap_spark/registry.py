@@ -37,6 +37,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q5": (q.q_tpch_q5, q.SQL_TPCH_Q5),
     "sessionize": (q.q_sessionize, q.SQL_SESSIONIZE),
     "rollup_metrics": (q.q_rollup_metrics, q.SQL_ROLLUP_METRICS),
+    "cube_metrics": (q.q_cube_metrics, q.SQL_CUBE_METRICS),
     "pivot_events": (q.q_pivot_events, q.SQL_PIVOT_EVENTS),
     "percentiles": (q.q_percentiles, q.SQL_PERCENTILES),
     "approx_percentile": (q.q_approx_percentile, q.SQL_APPROX_PERCENTILE),
