@@ -37,6 +37,8 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q6",
     "tpch_join_agg",
+    "tpch_q5",
+    "funnel_conversion",
     "sessionize",
     "rollup_metrics",
     "rollup_cascade",
@@ -84,7 +86,7 @@ EXTRACT_DOCS = {"0.001": 1000, "0.01": 8000, "0.1": 60000}
 # timed repetitions per query; the reported time is the MIN (this host's
 # neighbor load inflates identical runs up to 2x — BENCH.md finding 3; the
 # min is the right location estimator for a noise floor)
-N_REPS = 2
+N_REPS = 3
 
 
 def _force(df) -> int:
