@@ -421,3 +421,54 @@ class TestTarGzip:
         assert sniff_kind(tt, "") == "tar"
         assert sniff_kind("\x1f\x8b\x08rest", "") == "gzip"
         assert sniff_kind("x" * 258 + "ustar", "") != "tar"  # wrong offset
+
+
+class TestXzBz2:
+    """xz / bz2 wrapper decode (core/gzipbin.py): stdlib cross-validation,
+    extraction recursion (.tar.xz / .tar.bz2), malformed -> parse_ok=false,
+    and the bz2 'BZh'-prefix sniffer edge (bare 'BZh' prose is TEXT)."""
+
+    def test_roundtrip_and_stdlib_cross_validation(self):
+        import bz2 as stdbz2
+        import lzma as stdlzma
+
+        from tika_wrap_spark.core.gzipbin import bz2_bytes, unbz2, unxz, xz_bytes
+
+        data = b"wrapper payload \x00\x01" * 200
+        assert unxz(xz_bytes(data)) == data
+        assert stdlzma.decompress(xz_bytes(data)) == data
+        assert unxz(stdlzma.compress(data, format=stdlzma.FORMAT_XZ)) == data
+        assert unbz2(bz2_bytes(data)) == data
+        assert stdbz2.decompress(bz2_bytes(data)) == data
+        assert unbz2(stdbz2.compress(data)) == data
+
+    def test_tar_xz_and_tar_bz2_double_recursion(self):
+        from tika_wrap_spark.core.gzipbin import bz2_text, xz_text
+        from tika_wrap_spark.core.tarbin import build_tar_text
+
+        for wrap, fmt in ((xz_text, "xz"), (bz2_text, "bz2")):
+            payload = wrap(build_tar_text([("inner.log", "deep %s text" % fmt)]))
+            res = extract_document(_doc(payload))
+            assert res["parse_ok"], res["error"]
+            assert [s["text"] for s in res["spans"]] == ["deep %s text" % fmt]
+            assert res["meta"]["n_containers"] == "2"
+            assert res["meta"]["container_format"] == fmt
+
+    def test_malformed_is_data_not_crash(self):
+        from tika_wrap_spark.core.gzipbin import bz2_bytes, xz_bytes
+
+        xz = xz_bytes(b"some xz payload")
+        res = extract_document(_doc(xz[:-4].decode("latin-1")))
+        assert not res["parse_ok"] and "xz" in res["error"]
+        bz = bz2_bytes(b"some bz2 payload")
+        mangled = bz[:8] + bytes([bz[8] ^ 0xFF]) + bz[9:]
+        res = extract_document(_doc(mangled.decode("latin-1")))
+        assert not res["parse_ok"] and "bz2" in res["error"]
+
+    def test_sniffer_edges(self):
+        from tika_wrap_spark.core.sniff import sniff_kind
+
+        assert sniff_kind("\xfd7zXZ\x00rest", "") == "xz"
+        assert sniff_kind("BZh91AY&SY...", "") == "bz2"
+        assert sniff_kind("BZh", "") == "text"  # bare prefix, no level digit
+        assert sniff_kind("BZhX", "") == "text"  # non-digit level

@@ -202,6 +202,9 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # reads past the 256-char head window in BOTH sniffer forms)
         "\x1f\x8b", "\x1f\x8b\x08", "ustar", "y" * 257 + "ustar",
         "z" * 256 + "xustar", "w" * 257 + "usta",
+        # xz / bz2 wrapper magics incl. the bare-"BZh" empty-slice edge
+        # (Python `"" in "123456789"` is True — the rule needs a len guard)
+        "\xfd7zXZ\x00", "\xfd7zXZ", "BZh", "BZh9", "BZh0", "BZhX", "BZh91AY&SY",
     ]
     payloads = []
     for _ in range(2000):

@@ -20,11 +20,12 @@ from typing import Any
 
 from tika_wrap_spark.core.container import MAX_CONTAINER_DEPTH, parse_container
 from tika_wrap_spark.core.errors import ExtractError
-from tika_wrap_spark.core.gzipbin import gunzip_text
+from tika_wrap_spark.core.gzipbin import gunzip_text, unbz2_text, unxz_text
 from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, html_title
 from tika_wrap_spark.core.media import image_dims_text
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
 from tika_wrap_spark.core.sniff import (
+    KIND_BZ2,
     KIND_GZIP,
     KIND_HTML,
     KIND_MEDIA,
@@ -32,9 +33,18 @@ from tika_wrap_spark.core.sniff import (
     KIND_TAR,
     KIND_TEXT,
     KIND_XML,
+    KIND_XZ,
     KIND_ZIP,
     sniff_kind,
 )
+
+# compressed-stream wrappers: decompress and re-sniff the inner stream
+# (each counts as one container level with a single unnamed member)
+_WRAPPER_DECODERS = {
+    KIND_GZIP: (gunzip_text, "gz"),
+    KIND_XZ: (unxz_text, "xz"),
+    KIND_BZ2: (unbz2_text, "bz2"),
+}
 from tika_wrap_spark.core.tarbin import parse_tar_text
 
 # container member marking an OOXML-analog archive (real OOXML is zip with
@@ -148,21 +158,22 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             for name, payload in entries:
                 n_entries += 1
                 route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
-        elif kind == KIND_GZIP:
+        elif kind in _WRAPPER_DECODERS:
             # wrapper, not an archive: decompress and re-sniff the inner
-            # stream (the .tar.gz path recurses straight into KIND_TAR);
-            # counts as one container level with a single unnamed member
+            # stream (the .tar.gz / .tar.xz / .log.bz2 paths recurse into
+            # whatever the inner bytes sniff as)
             if depth >= MAX_CONTAINER_DEPTH:
                 raise ExtractError(
                     "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
                 )
-            inner = gunzip_text(text)
+            decoder, tag = _WRAPPER_DECODERS[kind]
+            inner = decoder(text)
             n_containers += 1
             n_entries += 1
             depth_max = max(depth_max, depth + 1)
             if not container_format:
-                container_format = KIND_GZIP
-            route(sniff_kind(inner, ""), inner, "", path + ("gz",), depth + 1)
+                container_format = kind
+            route(sniff_kind(inner, ""), inner, "", path + (tag,), depth + 1)
         elif kind == KIND_XML:
             emit(KIND_TEXT, extract_xml_text(text), "")
         else:

@@ -20,6 +20,8 @@ KIND_PDF = "pdf"
 KIND_MEDIA = "media"
 KIND_ZIP = "zip"
 KIND_GZIP = "gzip"
+KIND_XZ = "xz"
+KIND_BZ2 = "bz2"
 KIND_TAR = "tar"
 KIND_XML = "xml"
 KIND_JSON = "json"
@@ -50,6 +52,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          checked before the html-contains rule so an archive whose first
          member is html is still an archive — magic-at-offset-0 wins)
       4. head starts with '\\x1f\\x8b'            -> 'gzip' (RFC 1952 wrapper)
+      4b. head starts with '\\xfd7zXZ\\x00'       -> 'xz'
+      4c. head starts with 'BZh' + level 1-9      -> 'bz2'
       5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
@@ -79,6 +83,12 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_ZIP
     if head.startswith("\x1f\x8b"):
         return KIND_GZIP
+    if head.startswith("\xfd7zXZ\x00"):
+        return KIND_XZ
+    # len guard: head[3:4] of bare "BZh" is "" and `"" in str` is True —
+    # the JVM substring comparison has no such quirk, keep them identical
+    if head.startswith("BZh") and len(head) > 3 and head[3] in "123456789":
+        return KIND_BZ2
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
         return KIND_TAR
     for magic in _MEDIA_MAGICS:

@@ -28,7 +28,7 @@ from typing import Any
 
 from tika_wrap_spark.core.container import build_container
 from tika_wrap_spark.core.extract import extract_document
-from tika_wrap_spark.core.gzipbin import gzip_text
+from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text
 from tika_wrap_spark.core.media import build_jpeg, build_png
 from tika_wrap_spark.core.tarbin import build_tar_text
 from tika_wrap_spark.core.zipbin import build_zip_text
@@ -153,12 +153,13 @@ def _gen_png_payload(rng: random.Random) -> str:
 
 
 def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
-    """Serialize members as one of the four archive shapes the extraction
-    core parses — REAL PK-zip bytes (~40%; seeded per-member stored/deflate
-    mix), REAL ustar tar (~15%), tar wrapped in a REAL gzip stream (~10%,
-    the .tar.gz path: gunzip -> re-sniff -> tar recursion), or the TWC1
-    analog dialect (rest). All four route through the same recursive member
-    walk (zipbin / tarbin / gzipbin / container)."""
+    """Serialize members as one of the archive shapes the extraction core
+    parses — REAL PK-zip bytes (~40%; seeded per-member stored/deflate
+    mix), REAL ustar tar (~15%), tar wrapped in a REAL gzip / xz / bz2
+    stream (~6/3/3% — the .tar.gz/.tar.xz/.tar.bz2 paths: decompress ->
+    re-sniff -> tar recursion), or the TWC1 analog dialect (rest). All
+    route through the same recursive member walk (zipbin / tarbin /
+    gzipbin / container)."""
     r = rng.random()
     if r < 0.4:
         return build_zip_text(
@@ -166,8 +167,12 @@ def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
         )
     if r < 0.55:
         return build_tar_text(entries)
-    if r < 0.65:
+    if r < 0.61:
         return gzip_text(build_tar_text(entries))
+    if r < 0.64:
+        return xz_text(build_tar_text(entries))
+    if r < 0.67:
+        return bz2_text(build_tar_text(entries))
     return build_container(entries)
 
 

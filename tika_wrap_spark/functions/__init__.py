@@ -76,6 +76,12 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
         .when(head.startswith("%PDF-"), F.lit(sn.KIND_PDF))
         .when(head.startswith("PK\x03\x04"), F.lit(sn.KIND_ZIP))
         .when(head.startswith("\x1f\x8b"), F.lit(sn.KIND_GZIP))
+        .when(head.startswith("\xfd7zXZ\x00"), F.lit(sn.KIND_XZ))
+        .when(
+            head.startswith("BZh")
+            & F.substring(head, 4, 1).isin(*list("123456789")),
+            F.lit(sn.KIND_BZ2),
+        )
         # ustar magic at its fixed in-header offset (1-based substring);
         # shorter payloads yield a short/empty substring -> no match, same
         # as the Python slice
