@@ -77,8 +77,11 @@ def unxz(data: bytes) -> bytes:
 
 
 def xz_bytes(data: bytes) -> bytes:
-    """Deterministic single-stream xz framing (fixed CRC64 check)."""
-    return _lzma.compress(data, format=_lzma.FORMAT_XZ, preset=6)
+    """Deterministic single-stream xz framing (fixed CRC64 check).
+    preset 1: the default preset-6 encoder costs ~10x more CPU per stream
+    and dominated corpus GENERATION (builders run per synthetic doc);
+    the decode path — the part the engine owns — is preset-independent."""
+    return _lzma.compress(data, format=_lzma.FORMAT_XZ, preset=1)
 
 
 def unbz2(data: bytes) -> bytes:
