@@ -78,10 +78,13 @@ def unxz(data: bytes) -> bytes:
 
 def xz_bytes(data: bytes) -> bytes:
     """Deterministic single-stream xz framing (fixed CRC64 check).
-    preset 1: the default preset-6 encoder costs ~10x more CPU per stream
-    and dominated corpus GENERATION (builders run per synthetic doc);
-    the decode path — the part the engine owns — is preset-independent."""
-    return _lzma.compress(data, format=_lzma.FORMAT_XZ, preset=1)
+    preset 0 (256 KiB dictionary): members here are KB-sized, and the
+    DECODER allocates the full dictionary recorded in the stream header —
+    preset 6's 8 MiB dict per tiny stream is pure allocation churn that
+    measurably hurts multi-core scaling (BENCH.md finding 17); the encode
+    side also costs ~10x more at preset 6, which dominated corpus
+    generation."""
+    return _lzma.compress(data, format=_lzma.FORMAT_XZ, preset=0)
 
 
 def unbz2(data: bytes) -> bytes:
@@ -109,7 +112,10 @@ def unbz2(data: bytes) -> bytes:
 
 
 def bz2_bytes(data: bytes) -> bytes:
-    return _bz2.compress(data, compresslevel=9)
+    """compresslevel=1 (100 KiB blocks): level 9's 900 KiB blocks make the
+    DECODER allocate ~3.7 MiB per stream — for KB-sized members that is
+    allocation churn, not compression (BENCH.md finding 17)."""
+    return _bz2.compress(data, compresslevel=1)
 
 
 def _text_bridge(fn, what: str):
