@@ -161,6 +161,43 @@ class TestRealZip:
                     z.writestr(name, payload)
             assert parse_zip(buf.getvalue()) == ents
 
+    def test_zip64_and_data_descriptor_roundtrip(self):
+        """Zip64 EOCD64/locator + per-member zip64 extras, and streamed
+        (flag-bit-3 data-descriptor) members — both layouts routine in a
+        100 TB corpus; central-directory sizes stay the parse authority."""
+        import io
+        import zipfile
+
+        from tika_wrap_spark.core.zipbin import build_zip, parse_zip
+
+        ents = [("a.log", b"hello world"), ("b/c.bin", b"\x00\xff" * 300)]
+        for z64 in (False, True):
+            for dd in (False, True):
+                data = build_zip(ents, deflate=True, zip64=z64, data_descriptor=dd)
+                assert parse_zip(data) == ents, (z64, dd)
+                zf = zipfile.ZipFile(io.BytesIO(data))
+                assert [(i.filename, zf.read(i)) for i in zf.infolist()] == ents
+
+    def test_zip64_many_members_past_u16(self):
+        """>65535 members forces the EOCD64 path (the classic zip64 trigger);
+        counts and spot members must both survive."""
+        from tika_wrap_spark.core.zipbin import build_zip, parse_zip
+
+        many = [("m/%05d.txt" % i, b"x%d" % i) for i in range(65600)]
+        got = parse_zip(build_zip(many, zip64=True))
+        assert len(got) == 65600
+        assert got[65599] == many[65599] and got[12345] == many[12345]
+
+    def test_zip64_sentinel_without_locator_is_error(self):
+        from tika_wrap_spark.core.errors import ExtractError
+        from tika_wrap_spark.core.zipbin import build_zip, parse_zip
+
+        data = build_zip([("a.log", b"x")], zip64=True)
+        # clobber the 20-byte locator that precedes the EOCD
+        bad = data[: len(data) - 42] + b"x" * 20 + data[len(data) - 22 :]
+        with pytest.raises(ExtractError, match="zip64 sentinel"):
+            parse_zip(bad)
+
     def test_extracts_like_any_container(self):
         from tika_wrap_spark.core.zipbin import build_zip_text
 
@@ -201,6 +238,49 @@ class TestRealZip:
         assert res["parse_ok"]
         assert res["meta"]["container_format"] == "ooxml"
         assert "body words" in [s["text"] for s in res["spans"]]
+
+    def test_ooxml_realistic_docx_run_concatenation(self):
+        """A realistic docx-shaped zip: WordprocessingML document.xml with
+        namespaced w:p/w:r/w:t runs (entities included). The extracted text
+        must equal the whitespace-normalized run concatenation — pins the
+        OOXML path beyond the [Content_Types].xml marker (VERDICT r3 #8)."""
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        document_xml = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+            '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+            'wordprocessingml/2006/main">'
+            "<w:body>"
+            "<w:p><w:r><w:rPr><w:b/></w:rPr><w:t>Quarterly report</w:t></w:r></w:p>"
+            "<w:p><w:r><w:t>Revenue rose by 12&#37; &amp; costs fell.</w:t></w:r>"
+            '<w:r><w:t xml:space="preserve"> Second run, same paragraph.</w:t>'
+            "</w:r></w:p>"
+            "<w:p><w:r><w:t>Final paragraph.</w:t></w:r></w:p>"
+            "</w:body></w:document>"
+        )
+        content_types = (
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.'
+            'org/package/2006/content-types"><Default Extension="xml" '
+            'ContentType="application/xml"/></Types>'
+        )
+        zt = build_zip_text(
+            [
+                ("[Content_Types].xml", content_types),
+                ("_rels/.rels", '<?xml version="1.0"?><Relationships/>'),
+                ("word/document.xml", document_xml),
+            ],
+            deflate=True,
+        )
+        res = extract_document(_doc(zt))
+        assert res["parse_ok"]
+        assert res["meta"]["container_format"] == "ooxml"
+        texts = [s["text"] for s in res["spans"] if s["kind"] == "text"]
+        doc_text = next(t for t in texts if "Quarterly" in t)
+        # run concatenation: tag strip + entity decode + ws collapse
+        assert doc_text == (
+            "Quarterly report Revenue rose by 12% & costs fell. "
+            "Second run, same paragraph. Final paragraph."
+        )
 
     def test_malformed_shapes_raise(self):
         import struct
@@ -392,7 +472,7 @@ class TestTarGzip:
         res = extract_document(_doc(blob.decode("latin-1")))
         # a mangled header may no longer sniff as tar at all; either way it
         # must come back as a row, never an exception
-        assert not res["parse_ok"] or res["spans"] == [] or True
+        assert isinstance(res, dict) and "parse_ok" in res
         if "ustar" in blob[:1024].decode("latin-1", "replace"):
             assert not res["parse_ok"]
             assert err_frag in res["error"], res["error"]

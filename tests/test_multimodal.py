@@ -225,6 +225,65 @@ def test_resize_and_frames_shapes(spark):
     assert per.filter("k < 1 or lo != 0").count() == 0
 
 
+def test_resize_real_kernel_golden():
+    """The REAL resize path (r4): BMP/PNG pixel decode -> nearest-neighbor
+    resample -> same-format re-encode, pinned against the pure-python
+    replica; BGR/RGB order, bottom-up rows, and row padding all round-trip
+    exactly. Compressed formats stay on the declared stub."""
+    import hashlib
+
+    from tika_wrap_spark.core.media import (
+        bmp_pixels,
+        build_bmp_pixels,
+        build_jpeg,
+        build_png_pixels,
+        png_pixels,
+        resize_nearest,
+    )
+    from tika_wrap_spark.operators.multimodal import _resize_fake, _resize_real
+
+    w, h = 31, 17  # odd dims exercise BMP row padding
+    rgb = bytes(
+        b
+        for y in range(h)
+        for x in range(w)
+        for b in ((x * 7 + y * 13) & 0xFF, (x * 3) & 0xFF, (y * 5) & 0xFF)
+    )
+    for build, decode, top_down in (
+        (lambda: build_bmp_pixels(w, h, rgb), bmp_pixels, False),
+        (lambda: build_bmp_pixels(w, h, rgb, top_down=True), bmp_pixels, True),
+        (lambda: build_png_pixels(w, h, rgb), png_pixels, None),
+    ):
+        out = _resize_real(build(), 9, 5)
+        assert out is not None
+        got = decode(out)
+        assert got == (9, 5, resize_nearest(w, h, rgb, 9, 5)), top_down
+    # golden checksum: the BMP->12x7 resample is byte-stable forever
+    resized = _resize_real(build_bmp_pixels(w, h, rgb), 12, 7)
+    assert hashlib.md5(resized).hexdigest() == _RESIZE_GOLDEN_MD5
+    # compressed formats fall to the stub
+    assert _resize_real(build_jpeg(64, 64), 9, 5) is None
+    assert len(_resize_fake(build_jpeg(64, 64), 9, 5)) == 16
+
+
+_RESIZE_GOLDEN_MD5 = "4e26a3fbbcad07842e03dfa95fef59cb"
+
+
+def test_resize_kernel_column_mix(spark):
+    """Over the fetch mix, BOTH kernels appear and every BMP/PNG ref is
+    real-resized (3 of 8 fetch kinds are pixel-carrying... PNG+BMP = 2)."""
+    media = _media(spark)
+    r = resize_media(media, 16, 16).cache()
+    kinds = {row["kernel"] for row in r.select("kernel").distinct().collect()}
+    assert kinds == {"real", "stub"}
+    # real rows decode back to 16x16 in their own format
+    from tika_wrap_spark.core.media import image_dims
+
+    for row in r.filter("kernel = 'real'").limit(5).collect():
+        assert image_dims(bytes(row["resized"])) == (16, 16)
+    r.unpersist()
+
+
 def test_mp3_header_parse_pure():
     """MPEG-1 Layer III header: true rate/channels/bitrate + estimated
     frame count, ID3v2 tag skipped, malformed shapes -> None."""

@@ -4,6 +4,7 @@ top-k, PII scrubbing, and the engine-exact HLL sketch building blocks.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tika_wrap_spark.operators import text_analysis as ta
@@ -151,10 +152,13 @@ def test_quality_classifier_separates_planted_docs(spark):
         assert r["logit_q"] == want and r["keep"] == (want >= 0)
 
 
-def test_bpe_train_matches_python_replica(spark):
-    """The 3 learned merges equal a pure-python BPE replica (Sennrich-style
+@pytest.mark.parametrize("rounds", [3, 8])
+def test_bpe_train_matches_python_replica(spark, rounds):
+    """The learned merges equal a pure-python BPE replica (Sennrich-style
     vocab pair counting, leftmost non-overlapping merge, count-desc /
-    pair-asc tie-break) on the classic low/lower/newest/widest corpus."""
+    pair-asc tie-break) on the classic low/lower/newest/widest corpus.
+    rounds=8 crosses the BPE_CHECKPOINT_EVERY=4 boundary, proving the
+    mid-loop localCheckpoint (finding-15 discipline) changes nothing."""
     from collections import Counter
 
     from tika_wrap_spark.operators.text_analysis import bpe_train
@@ -166,7 +170,7 @@ def test_bpe_train_matches_python_replica(spark):
     vocab = Counter(words)
     seqs = {w: list(w) for w in vocab}
     want = []
-    for r in range(3):
+    for r in range(rounds):
         pc = Counter()
         for w, syms in seqs.items():
             for i in range(len(syms) - 1):
@@ -190,6 +194,6 @@ def test_bpe_train_matches_python_replica(spark):
 
     got = [
         (r["round"], r["left_sym"], r["right_sym"], r["merged"], r["pair_n"])
-        for r in bpe_train(df, rounds=3).orderBy("round").collect()
+        for r in bpe_train(df, rounds=rounds).orderBy("round").collect()
     ]
     assert got == want, (got, want)

@@ -24,6 +24,7 @@ from tika_wrap_spark.core.gzipbin import gunzip_text, unbz2_text, unxz_text
 from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, html_title
 from tika_wrap_spark.core.media import image_dims_text
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
+from tika_wrap_spark.core.pdfbin import is_real_pdf_text, parse_real_pdf_pages_text
 from tika_wrap_spark.core.sniff import (
     KIND_BZ2,
     KIND_GZIP,
@@ -135,7 +136,14 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 n_blocks += 1
                 emit(KIND_TEXT, block, "")
         elif kind == KIND_PDF:
-            pages = parse_pdf_pages(text)
+            # real binary PDFs (xref/startxref present) parse natively
+            # (core/pdfbin.py: FlateDecode, page tree, content-stream text
+            # operators); the synthetic fixtures dialect has no startxref
+            # and keeps its strict line parser
+            if is_real_pdf_text(text):
+                pages = parse_real_pdf_pages_text(text)
+            else:
+                pages = parse_pdf_pages(text)
             if pdf1_dims is None:
                 pdf1_dims = page_dims(pages[0]) if pages else (0.0, 0.0)
             for page in pages_to_texts(pages):

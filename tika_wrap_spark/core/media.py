@@ -322,3 +322,197 @@ def build_jpeg(width: int, height: int, progressive: bool = False) -> bytes:
         [1, 0x11, 0]
     )
     return JPEG_MAGIC + app0 + sof + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# pixel-level codecs: 24-bit BMP and 8-bit RGB PNG — the two uncompressed /
+# stdlib-decodable formats. These graduate the multimodal resize kernel from
+# a declared stub to real pixel work (no media libs needed: BMP is a plain
+# byte array, PNG is zlib + the five fixed RFC 2083 row filters).
+# ---------------------------------------------------------------------------
+
+
+def bmp_pixels(data: bytes) -> tuple[int, int, bytes] | None:
+    """Decode a 24-bit uncompressed BMP into (w, h, rgb) where ``rgb`` is
+    top-down row-major R,G,B bytes (w*h*3). None for anything else
+    (compressed, paletted, or non-BMP bytes) — the caller's stub path."""
+    if len(data) < 54 or not data.startswith(BMP_MAGIC):
+        return None
+    px_off = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        return None
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    compression = struct.unpack("<I", data[30:34])[0]
+    if w <= 0 or h_raw == 0 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    h = abs(h_raw)
+    top_down = h_raw < 0
+    stride = ((w * 3 + 3) // 4) * 4
+    if px_off + stride * h > len(data):
+        return None
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = px_off + src_row * stride
+        line = data[base : base + w * 3]
+        # BMP stores BGR; emit RGB
+        for x in range(w):
+            out[(row * w + x) * 3 + 0] = line[x * 3 + 2]
+            out[(row * w + x) * 3 + 1] = line[x * 3 + 1]
+            out[(row * w + x) * 3 + 2] = line[x * 3 + 0]
+    return (w, h, bytes(out))
+
+
+def build_bmp_pixels(width: int, height: int, rgb: bytes, top_down: bool = False) -> bytes:
+    """Encode top-down row-major RGB bytes as a 24-bit uncompressed BMP
+    (rows padded to 4 bytes; bottom-up storage unless ``top_down``)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != w*h*3")
+    stride = ((width * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    row_range = range(height) if top_down else range(height - 1, -1, -1)
+    for row in row_range:
+        line = bytearray()
+        for x in range(width):
+            p = (row * width + x) * 3
+            line += bytes((rgb[p + 2], rgb[p + 1], rgb[p]))  # RGB -> BGR
+        rows.append(bytes(line) + pad)
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height if top_down else height,
+        1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+    )
+    return (
+        BMP_MAGIC
+        + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        + info
+        + pixels
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 3) -> bytes | None:
+    """Undo the five RFC 2083 row filters (None/Sub/Up/Average/Paeth) over
+    ``height`` rows of ``width*bpp`` bytes, each prefixed by a filter-type
+    byte. Returns the raw scanlines or None on malformed input."""
+    rowlen = width * bpp
+    if len(raw) < (rowlen + 1) * height:
+        return None
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    for _ in range(height):
+        ft = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for k in range(bpp, rowlen):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(rowlen):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(rowlen):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + ((left + prev[k]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(rowlen):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                c = prev[k - bpp] if k >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[k] = (row[k] + pred) & 0xFF
+        else:
+            return None
+        out.extend(row)
+        prev = row
+    return bytes(out)
+
+
+def png_pixels(data: bytes) -> tuple[int, int, bytes] | None:
+    """Decode an 8-bit RGB (color type 2, no interlace) PNG into
+    (w, h, rgb) top-down row-major bytes. None for palette/alpha/16-bit/
+    interlaced or malformed streams — those stay on the stub path."""
+    if not data.startswith(PNG_MAGIC):
+        return None
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + crc
+    if not w or not h or not idat:
+        return None
+    if w * h * 3 > 256 * 1024 * 1024:
+        return None  # bomb cap
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    rgb = _png_unfilter(raw, w, h, 3)
+    if rgb is None:
+        return None
+    return (w, h, rgb)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def build_png_pixels(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down row-major RGB bytes as a real 8-bit RGB PNG
+    (filter 0 per row, one zlib IDAT, IEND)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != w*h*3")
+    raw = bytearray()
+    for row in range(height):
+        raw.append(0)
+        raw += rgb[row * width * 3 : (row + 1) * width * 3]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(
+    width: int, height: int, rgb: bytes, new_w: int, new_h: int
+) -> bytes:
+    """Deterministic integer nearest-neighbor resample of top-down RGB
+    bytes: target (x, y) samples source (x*w div new_w, y*h div new_h)."""
+    out = bytearray(new_w * new_h * 3)
+    for y in range(new_h):
+        sy = y * height // new_h
+        src_base = sy * width * 3
+        dst_base = y * new_w * 3
+        for x in range(new_w):
+            sp = src_base + (x * width // new_w) * 3
+            dp = dst_base + x * 3
+            out[dp : dp + 3] = rgb[sp : sp + 3]
+    return bytes(out)

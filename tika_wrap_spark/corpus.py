@@ -23,6 +23,7 @@ UDFs call (``core.extract_document``) — the north_star byte-equality bar.
 
 from __future__ import annotations
 
+import functools
 import random
 from typing import Any
 
@@ -30,6 +31,7 @@ from tika_wrap_spark.core.container import build_container
 from tika_wrap_spark.core.extract import extract_document
 from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text
 from tika_wrap_spark.core.media import build_jpeg, build_png
+from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.tarbin import build_tar_text
 from tika_wrap_spark.core.zipbin import build_zip_text
 
@@ -97,23 +99,47 @@ def _escape_pdf(s: str) -> str:
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
 
-def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
+def _gen_pdf_runs(rng: random.Random, giant: bool = False) -> list[list[tuple]]:
+    """Shared page-runs generator: shuffled appearance order so the layout
+    re-sort has signal, regardless of which serialization carries them."""
     n_pages = rng.randint(1, 3)
-    lines = ["%PDF-1.4"]
     lines_per_page = rng.randint(4, 10) * (100 if giant else 1)
-    for page in range(1, n_pages + 1):
+    pages = []
+    for _page in range(n_pages):
         runs = []
         y = 720.0
         for _ in range(lines_per_page):
             x = 72.0 + rng.choice((0.0, 18.0, 36.0))
             runs.append((x, y, _sentence(rng)))
             y -= 12.0
-        rng.shuffle(runs)  # shuffled appearance order: layout re-sort has signal
-        lines.append("%%%%Page: %d" % page)
-        for x, y, text in runs:
-            lines.append("BT %.1f %.1f Td (%s) Tj ET" % (x, y, _escape_pdf(text)))
-    lines.append("%%EOF")
-    return "\n".join(lines)
+        rng.shuffle(runs)
+        pages.append(runs)
+    return pages
+
+
+def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
+    """A PDF payload drawing a five-way serialization mix: the synthetic
+    fixtures dialect (half the draws — it remains the strict-parser
+    regression surface) or a REAL binary PDF (core/pdfbin.py builder) in
+    one of four variants: flate/Td, uncompressed, kerned-TJ arrays, or a
+    PDF 1.5 cross-reference stream."""
+    pages = _gen_pdf_runs(rng, giant)
+    form = rng.random()
+    if form < 0.5:  # fixtures dialect
+        lines = ["%PDF-1.4"]
+        for pno, runs in enumerate(pages, 1):
+            lines.append("%%%%Page: %d" % pno)
+            for x, y, text in runs:
+                lines.append("BT %.1f %.1f Td (%s) Tj ET" % (x, y, _escape_pdf(text)))
+        lines.append("%%EOF")
+        return "\n".join(lines)
+    if form < 0.65:
+        return build_pdf_text(pages)
+    if form < 0.775:
+        return build_pdf_text(pages, flate=False, tj_arrays=True)
+    if form < 0.9:
+        return build_pdf_text(pages, use_tm=True)
+    return build_pdf_text(pages, xref_stream=True, tj_arrays=True)
 
 
 def _gen_csv_payload(rng: random.Random) -> str:
@@ -155,15 +181,19 @@ def _gen_png_payload(rng: random.Random) -> str:
 def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
     """Serialize members as one of the archive shapes the extraction core
     parses — REAL PK-zip bytes (~40%; seeded per-member stored/deflate
-    mix), REAL ustar tar (~15%), tar wrapped in a REAL gzip / xz / bz2
-    stream (~6/3/3% — the .tar.gz/.tar.xz/.tar.bz2 paths: decompress ->
-    re-sniff -> tar recursion), or the TWC1 analog dialect (rest). All
-    route through the same recursive member walk (zipbin / tarbin /
-    gzipbin / container)."""
+    mix, 1-in-5 of those a zip64 layout and 1-in-5 a streamed
+    data-descriptor layout), REAL ustar tar (~15%), tar wrapped in a REAL
+    gzip / xz / bz2 stream (~6/3/3% — the .tar.gz/.tar.xz/.tar.bz2 paths:
+    decompress -> re-sniff -> tar recursion), or the TWC1 analog dialect
+    (rest). All route through the same recursive member walk (zipbin /
+    tarbin / gzipbin / container)."""
     r = rng.random()
     if r < 0.4:
         return build_zip_text(
-            entries, deflate=[rng.random() < 0.5 for _ in entries]
+            entries,
+            deflate=[rng.random() < 0.5 for _ in entries],
+            zip64=rng.random() < 0.2,
+            data_descriptor=rng.random() < 0.2,
         )
     if r < 0.55:
         return build_tar_text(entries)
@@ -182,7 +212,7 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
     ~1-in-5 top-level archives are OOXML-shaped ([Content_Types].xml marker
     + xml members — the zip-that-is-a-document case). Every archive (any
     nesting level, any shape) draws its serialization from _encode_archive's
-    four-way real-zip / real-tar / tar.gz / TWC1 mix."""
+    six-way real-zip / real-tar / tar.gz / tar.xz / tar.bz2 / TWC1 mix."""
     entries: list[tuple[str, str]] = []
     if depth == 0 and rng.random() < 0.2:  # OOXML-analog archive
         entries.append(("[Content_Types].xml", _gen_xml_payload(rng)))
@@ -261,7 +291,17 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 9
+N_ADVERSARIAL = 13
+
+
+@functools.lru_cache(maxsize=1)
+def _wrapper_bombs() -> tuple[str, str, str]:
+    """One decode bomb per compression wrapper: a payload that inflates past
+    ``gzipbin.MAX_INFLATED`` (64 MiB), pinning the bomb cap as corpus data —
+    the cap must register in the error taxonomy at soak scale, never fail a
+    task. Cached: the 65 MiB compress costs ~1 s once per worker."""
+    big = "\x00" * (65 * 1024 * 1024)
+    return (gzip_text(big), xz_text(big), bz2_text(big))
 
 
 def adversarial_rows(base: int) -> list[dict[str, Any]]:
@@ -322,6 +362,23 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
     bad_gz = gz[:15] + chr((ord(gz[15]) + 1) % 256) + gz[16:]
     rows.append(
         {"doc_id": "doc_%07d" % (base + 8), "spans": _make_spans([("gzip", bad_gz, "")])}
+    )
+    # REAL binary pdf with a dangling xref pointer: pdfbin malformed-xref path
+    bad_pdf = build_pdf_text([[(72.0, 700.0, "doomed page")]])
+    bad_pdf = bad_pdf[: bad_pdf.rfind("startxref")] + "startxref\n999999999\n%%EOF\n"
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 9), "spans": _make_spans([("pdf", bad_pdf, "")])}
+    )
+    # decompression bombs, one per wrapper: inflate past the 64 MiB cap
+    gz_bomb, xz_bomb, bz2_bomb = _wrapper_bombs()
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 10), "spans": _make_spans([("gzip", gz_bomb, "")])}
+    )
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 11), "spans": _make_spans([("gzip", xz_bomb, "")])}
+    )
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 12), "spans": _make_spans([("gzip", bz2_bomb, "")])}
     )
     return rows
 

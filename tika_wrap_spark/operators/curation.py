@@ -86,11 +86,11 @@ def shard_assign(
 
 
 PACK_BUDGET = 512
-PACK_BUCKET = 100
+PACK_FANOUT = 4096
 
 
 def pack_sequences(
-    toks: DataFrame, budget: int = PACK_BUDGET, bucket: int = PACK_BUCKET
+    toks: DataFrame, budget: int = PACK_BUDGET, fanout: int = PACK_FANOUT
 ) -> DataFrame:
     """Concat-and-chunk sequence packing — the standard LLM-pretraining
     step that concatenates the token stream in deterministic doc_id order
@@ -98,40 +98,58 @@ def pack_sequences(
     (doc_id, n_toks). Output per doc: its global token offset and the
     first/last sequence ids it lands in (a doc can straddle a boundary).
 
-    Scale shape — a DISTRIBUTED prefix sum, never one global sort: docs
-    group into contiguous doc_id ranges (``bucket`` = doc_id div B); the
-    per-bucket token totals aggregate map-side, their tiny bucket-level
-    running sum is the only single-partition window (n_buckets rows, the
-    same bounded-driver-state shape as the KMV two-stage bottom-k), and
-    each doc's offset = its bucket's base + a within-bucket cumsum
-    (parallel across buckets). One-window oracle proves the two-phase
-    decomposition exact."""
-    b = toks.withColumn("bucket", F.expr(f"doc_id div {bucket}"))
-    bucket_base = (
-        b.groupBy("bucket")
-        .agg(F.sum("n_toks").alias("bsum"))
+    Scale shape — a THREE-LEVEL distributed prefix sum, never one global
+    sort and never an unbounded single-partition window:
+
+      * leaf buckets  b1 = doc_id div fanout   (<= fanout docs each),
+      * mid buckets   b2 = b1 div fanout       (<= fanout leaves each),
+      * the only unpartitioned window runs over the MID-bucket table —
+        ceil(id_range / fanout^2) rows, i.e. <= ~60k rows even at 10^12
+        docs (fanout 4096) — bounded single-partition state, the same
+        shape as the KMV two-stage bottom-k;
+      * every partitioned window (per-b2 leaf cumsum, per-b1 doc cumsum)
+        sees <= fanout rows per partition.
+
+    The leaf-base join keys on b1 — co-partitioned with the per-b1 doc
+    window's shuffle, NOT broadcast (the leaf table is id_range/fanout
+    rows: broadcastable at test SF, not at 10^12). The mid-base table IS
+    broadcast (always tiny). One-window oracle proves the decomposition
+    exact regardless of fanout."""
+    b = toks.withColumn("b1", F.expr(f"doc_id div {fanout}")).withColumn(
+        "b2", F.expr(f"doc_id div {fanout} div {fanout}")
+    )
+    s1 = b.groupBy("b2", "b1").agg(F.sum("n_toks").alias("s1sum"))
+    mid_base = (
+        s1.groupBy("b2")
+        .agg(F.sum("s1sum").alias("s2sum"))
         .withColumn(
-            "base",
+            "b2base",
             F.coalesce(
-                F.sum("bsum").over(
-                    Window.orderBy("bucket").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                F.sum("s2sum").over(
+                    Window.orderBy("b2").rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .select("bucket", "base")
+        .select("b2", "b2base")
+    )
+    w_leaf = (
+        Window.partitionBy("b2").orderBy("b1").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    leaf_base = (
+        s1.withColumn("l1off", F.coalesce(F.sum("s1sum").over(w_leaf), F.lit(0)))
+        .join(F.broadcast(mid_base), "b2")
+        .select("b1", (F.col("b2base") + F.col("l1off")).alias("b1base"))
     )
     w_in = (
-        Window.partitionBy("bucket")
+        Window.partitionBy("b1")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     placed = (
         b.withColumn("local_off", F.coalesce(F.sum("n_toks").over(w_in), F.lit(0)))
-        .join(F.broadcast(bucket_base), "bucket")
-        .withColumn("start_off", (F.col("base") + F.col("local_off")).cast("long"))
+        .join(leaf_base, "b1")
+        .withColumn("start_off", (F.col("b1base") + F.col("local_off")).cast("long"))
     )
     seq_first = F.expr(f"start_off div {budget}")
     seq_last = F.expr(

@@ -225,7 +225,22 @@ def connected_components(
     )
     nodes = sym.select(F.col("s").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("label"))
-    prev = None
+
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids() -> dict:
+        # JVM-side registry of actually-persisted RDDs; neither
+        # DataFrame.rdd nor queryExecution().toRdd() hands back the RDD
+        # localCheckpoint persisted (both wrap it in fresh derived RDDs,
+        # so unpersist on them is a silent no-op — verified empirically)
+        out = {}
+        it = sc._jsc.sc().getPersistentRDDs().toList().iterator()
+        while it.hasNext():
+            t = it.next()
+            out[t._1()] = t._2()
+        return out
+
+    prev_blocks: list = []
     for _it in range(max_iter):
         prop = (
             sym.join(labels, sym["s"] == labels["id"])
@@ -237,6 +252,7 @@ def connected_components(
         # extra join, no arithmetic over the label values themselves (a
         # long-sum would both overflow under ANSI at 10^12 nodes and bar
         # string ids; a 0/1 count does neither)
+        before = set(_persistent_ids())
         stepped = labels.join(prop, labels["id"] == prop["id2"], "left").select(
             "id",
             F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
@@ -244,12 +260,16 @@ def connected_components(
             .cast("long")
             .alias("changed"),
         ).localCheckpoint(eager=True)
+        after = _persistent_ids()
+        this_blocks = [r for i, r in after.items() if i not in before]
         n_changed = stepped.agg(F.sum("changed").alias("c")).collect()[0]["c"] or 0
-        if prev is not None:
-            # the new checkpoint's blocks are self-contained: drop the
-            # superseded round's blocks instead of waiting for driver GC
-            prev.rdd.unpersist()
-        prev = stepped
+        # the new checkpoint's blocks are self-contained (eager=True
+        # materialized them above), so the superseded round's blocks can
+        # be freed NOW instead of lingering until driver GC — up to 64
+        # rounds of label tables otherwise pile up in block storage
+        for r in prev_blocks:
+            r.unpersist(False)
+        prev_blocks = this_blocks
         labels = stepped.select("id", "label")
         if n_changed == 0:
             break

@@ -36,15 +36,18 @@ from pyspark.sql import types as T
 
 from tika_wrap_spark.core.media import (
     avi_info,
-    build_mp3,
+    bmp_pixels,
     build_avi,
-    build_bmp,
+    build_bmp_pixels,
     build_gif,
     build_jpeg,
-    build_png,
+    build_mp3,
+    build_png_pixels,
     build_wav,
     image_dims,
     mp3_info,
+    png_pixels,
+    resize_nearest,
     wav_info,
 )
 from tika_wrap_spark.portability import make_portable
@@ -153,24 +156,43 @@ PAYLOAD_SCHEMA = T.StructType(
 )
 
 
+def _gradient_rgb(w: int, h: int, seed: int) -> bytes:
+    """Deterministic spatially-varying pixels (seeded gradient) so resize
+    goldens have real signal at every sample point."""
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            p = (y * w + x) * 3
+            out[p] = (x * 7 + y * 13 + seed) & 0xFF
+            out[p + 1] = (x * 3 + seed * 5) & 0xFF
+            out[p + 2] = (y * 5 + seed * 11) & 0xFF
+    return bytes(out)
+
+
 def _fetch_fake(ref: str) -> bytes:
     """Deterministic object-store-fetch stand-in, keyed on the ref digest:
     ~7/8 of refs come back as REAL PNG/JPEG/GIF/BMP/WAV/AVI/MP3 byte streams
     (valid headers, digest-derived parameters) so the decode path exercises
     true header parsing across every real kernel; the rest stay opaque
-    bytes (the unrecognized-payload stub path)."""
+    bytes (the unrecognized-payload stub path). PNG and BMP payloads carry
+    REAL pixel arrays (small digest-derived dims) so the resize kernel's
+    decode -> resample -> re-encode path runs on true pixels."""
     h = hashlib.md5(ref.encode("utf-8")).digest()
     v = int.from_bytes(h[:4], "big")
     w, hgt = 16 + v % 1920, 16 + (v >> 8) % 1080
+    # pixel-carrying formats keep dims small: the payload is w*h*3 bytes
+    pw, ph = 8 + v % 56, 8 + (v >> 8) % 56
     kind = v % 8
     if kind == 0:
-        return build_png(w, hgt, h)
+        return build_png_pixels(pw, ph, _gradient_rgb(pw, ph, h[4]))
     if kind == 1:
         return build_jpeg(w, hgt, progressive=bool(v & 8))
     if kind == 2:
         return build_gif(w, hgt, v89=bool(v & 16))
     if kind == 3:
-        return build_bmp(w, hgt, top_down=bool(v & 32))
+        return build_bmp_pixels(
+            pw, ph, _gradient_rgb(pw, ph, h[5]), top_down=bool(v & 32)
+        )
     if kind == 4:
         return build_wav(1 + v % 2, (8000, 16000, 44100)[v % 3], 16, 1 + (v >> 8) % 96000)
     if kind == 5:
@@ -220,33 +242,64 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("out_width", T.IntegerType(), False),
         T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("kernel", T.StringType(), False),
         T.StructField("resized", T.BinaryType(), False),
     ]
 )
 
 
 def _resize_fake(payload: bytes, w: int, h: int) -> bytes:
-    """Deterministic stand-in for an image resample (PIL seam): digest of
+    """Deterministic stand-in for a COMPRESSED-format resample (JPEG/GIF
+    full-frame decoders need media libs the sandbox lacks): digest of
     (payload, target dims) — stable across runs/partitionings."""
     return hashlib.md5(payload + b"|%dx%d" % (w, h)).digest()
 
 
+def _resize_real(payload: bytes, w: int, h: int) -> bytes | None:
+    """REAL pixel kernel for the stdlib-decodable formats: 24-bit BMP and
+    8-bit RGB PNG decode to raw RGB (core/media.py pixel codecs), integer
+    nearest-neighbor resample, re-encode in the same format. None for
+    anything else — the caller falls back to the declared stub."""
+    dec = bmp_pixels(payload)
+    if dec is not None:
+        sw, sh, rgb = dec
+        return build_bmp_pixels(w, h, resize_nearest(sw, sh, rgb, w, h))
+    dec = png_pixels(payload)
+    if dec is not None:
+        sw, sh, rgb = dec
+        return build_png_pixels(w, h, resize_nearest(sw, sh, rgb, w, h))
+    return None
+
+
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """(media_ref, payload) -> resized binary at (width, height). Kernel is
-    the STUB `_resize_fake`; the Spark plumbing (binary in, binary out,
-    Arrow batching) is the real production shape."""
+    """(media_ref, payload) -> resized binary at (width, height). BMP and
+    pixel-carrying PNG payloads go through the REAL nearest-neighbor kernel
+    (decode -> resample -> re-encode, pure stdlib); compressed formats keep
+    the declared `_resize_fake` stub. The ``kernel`` column records which
+    path each row took."""
     make_portable()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             refs = pdf["media_ref"].tolist()
             payloads = pdf["payload"].tolist()
+            kernels, outs = [], []
+            for p in payloads:
+                b = bytes(p)
+                real = _resize_real(b, width, height)
+                if real is not None:
+                    kernels.append("real")
+                    outs.append(real)
+                else:
+                    kernels.append("stub")
+                    outs.append(_resize_fake(b, width, height))
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
                     "out_width": [width] * len(refs),
                     "out_height": [height] * len(refs),
-                    "resized": [_resize_fake(bytes(p), width, height) for p in payloads],
+                    "kernel": kernels,
+                    "resized": outs,
                 }
             )
 

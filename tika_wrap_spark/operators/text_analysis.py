@@ -379,11 +379,21 @@ def bpe_train(df: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     return out
 
 
+BPE_CHECKPOINT_EVERY = 4
+
+
 def _bpe_loop(df: DataFrame, rounds: int):
     """Shared BPE machinery: returns (vocab states v0..v_rounds, top-pair
     DataFrames t0..t_{rounds-1}) — the ONLY implementation of the pair
     count / argmax / merge-apply round (bpe_train and bpe_compression both
-    derive from it; never fork the loop)."""
+    derive from it; never fork the loop).
+
+    Finding-15 discipline (BENCH.md): every ``BPE_CHECKPOINT_EVERY`` rounds
+    the vocab state is EAGERLY ``localCheckpoint``ed, truncating the chained
+    plan — without it a real 30k-merge vocab builds a plan with 30k stacked
+    exchanges and per-round compile cost grows without bound. At the default
+    rounds=3 no checkpoint triggers, so the oracle path stays one pure
+    declarative plan."""
     words = _norm(df).select(
         F.explode(F.split(F.col("norm"), " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -416,6 +426,8 @@ def _bpe_loop(df: DataFrame, rounds: int):
             ).alias("seq"),
             "freq",
         )
+        if (_r + 1) % BPE_CHECKPOINT_EVERY == 0 and _r + 1 < rounds:
+            v = v.localCheckpoint(eager=True)
         states.append(v)
     return states, tops
 

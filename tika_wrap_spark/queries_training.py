@@ -772,7 +772,7 @@ def q_ann_ivf_topk(spark, d):
     ~nprobe/n_cells of the corpus per query instead of all of it."""
     emb = _t(spark, d, "embeddings")
     return sim.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 3), k=10, n_cells=IVF_CELLS, nprobe=IVF_NPROBE
+        emb, emb.filter(F.col("vec_id") < 3), k=10, n_cells=None, nprobe=IVF_NPROBE
     )
 
 
@@ -804,7 +804,7 @@ WITH q AS (
   FROM q
 ), seeds AS (
   SELECT CAST(vec_id AS BIGINT) AS cell, eq AS ceq, nq AS cnq
-  FROM n WHERE vec_id < {IVF_CELLS}
+  FROM n WHERE vec_id < greatest({IVF_CELLS}, (SELECT count(*) FROM embeddings) // {sim.IVF_VECS_PER_CELL})
 ), a0 AS (
   SELECT v.vec_id, s.cell,
          {cosq(dot_seed, "v.nq", "greatest(s.cnq, 1)")} AS cell_cos
@@ -867,7 +867,7 @@ def q_semantic_dedup(spark, d):
     """SemDeDup-style semantic near-dup audit over the embeddings table:
     IVF-cell clustering (integer-exact index build) + within-cell cosine
     threshold; one keep/drop row per vector."""
-    return sim.semantic_dedup(_t(spark, d, "embeddings"), n_cells=IVF_CELLS)
+    return sim.semantic_dedup(_t(spark, d, "embeddings"), n_cells=None)
 
 
 def _sql_semantic_dedup() -> str:
@@ -896,7 +896,7 @@ SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
 
 
 def q_ann_pq_topk(spark, d):
-    """Product-quantization ADC top-k (8 subspaces x 16 codes) with the
+    """Product-quantization ADC top-k (32 subspaces x 16 codes) with the
     exact squared-L2 and signed ADC error on the record — codebook train,
     encode, LUT scoring all integer-exact and oracled."""
     emb = _t(spark, d, "embeddings")
@@ -1931,18 +1931,48 @@ def q_container_extract(spark, d):
 
 def q_error_taxonomy(spark, d):
     """Operational error observability: parse failures tallied by CLASS
-    (timeout / container / pdf / html / internal / other) — the monitoring
-    view a 10^12-doc run pages on. Pure when-chain over the error string +
-    partial-agg count; the reference exposes only a per-doc bool
-    (src/java-env.h:17), this is its production-grade upgrade."""
+    (timeout / bomb / container / archive / pdf / html / internal / other)
+    — the monitoring view a 10^12-doc run pages on. Pure when-chain over
+    the error string + partial-agg count; the reference exposes only a
+    per-doc bool (src/java-env.h:17), this is its production-grade
+    upgrade. The ``bomb`` class (r4) counts decompression-cap hits — the
+    adversarial corpus plants one 65-MiB bomb per wrapper so the cap is
+    continuously exercised, and it must register HERE, never as a task
+    failure."""
     from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
 
     ext = extract_in_memory(spark, _corpus_df(spark, d))
-    cls = (
+    cls = _error_class_col()
+    return (
+        ext.groupBy(cls.alias("error_class"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _error_class_col():
+    """The when-chain mapping an extraction error string to its monitoring
+    class — shared by q_error_taxonomy and the soak tool (single source)."""
+    return (
         F.when(F.col("parse_ok"), F.lit("ok"))
         .when(F.col("error").startswith("timeout:"), F.lit("timeout"))
+        .when(
+            F.col("error").contains("inflated payload exceeds")
+            | F.col("error").contains("exceeds cap"),
+            F.lit("bomb"),
+        )
         .when(F.col("error").contains("container"), F.lit("container"))
-        .when(F.col("error").contains("PDF"), F.lit("pdf"))
+        .when(
+            F.col("error").startswith("zip:")
+            | F.col("error").startswith("tar:")
+            | F.col("error").startswith("gzip:")
+            | F.col("error").startswith("xz:")
+            | F.col("error").startswith("bz2:"),
+            F.lit("archive"),
+        )
+        .when(
+            F.col("error").contains("PDF") | F.col("error").startswith("pdf:"),
+            F.lit("pdf"),
+        )
         .when(
             F.col("error").contains("tag") | F.col("error").contains("comment")
             | F.col("error").contains("declaration"),
@@ -1950,10 +1980,6 @@ def q_error_taxonomy(spark, d):
         )
         .when(F.col("error").startswith("internal:"), F.lit("internal"))
         .otherwise(F.lit("other"))
-    )
-    return (
-        ext.groupBy(cls.alias("error_class"))
-        .agg(F.count("*").alias("n_docs"))
     )
 
 

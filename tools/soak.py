@@ -36,15 +36,37 @@ def main() -> int:
     meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit("0"))  # noqa: E731
 
     t0 = time.monotonic()
-    corpus = distributed_corpus_df(spark, args.docs, seed=7)
+    # adversarial=True plants the malformed tail INCLUDING the three
+    # 65-MiB decompression bombs: the caps must register as `bomb`
+    # taxonomy rows at soak scale, never as task failures
+    corpus = distributed_corpus_df(spark, args.docs, seed=7, adversarial=True)
     ext = extract_in_memory(spark, corpus)
-    row = ext.agg(
-        F.count("*").alias("docs"),
-        F.sum(F.size("spans")).alias("spans"),
-        F.sum((~F.col("parse_ok")).cast("long")).alias("errors"),
-        F.sum(meta_at("n_containers").cast("long")).alias("containers"),
-        F.sum(meta_at("n_container_entries").cast("long")).alias("members"),
-    ).collect()[0]
+    from tika_wrap_spark.queries_training import _error_class_col
+
+    # ONE pass: per-class partial-agg rows (<=9), totals derived driver-side
+    per_class = (
+        ext.groupBy(_error_class_col().alias("error_class"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size("spans")).alias("spans"),
+            F.sum(meta_at("n_containers").cast("long")).alias("containers"),
+            F.sum(meta_at("n_container_entries").cast("long")).alias("members"),
+        )
+        .collect()
+    )
+    tot = lambda k: sum(int(r[k] or 0) for r in per_class)  # noqa: E731
+    row = {
+        "docs": tot("docs"),
+        "spans": tot("spans"),
+        "errors": sum(int(r["docs"]) for r in per_class if r["error_class"] != "ok"),
+        "containers": tot("containers"),
+        "members": tot("members"),
+    }
+    classes = {
+        r["error_class"]: int(r["docs"])
+        for r in per_class
+        if r["error_class"] != "ok"
+    }
     wall = time.monotonic() - t0
     print(
         json.dumps(
@@ -57,6 +79,7 @@ def main() -> int:
                 "wall_sec": round(wall, 1),
                 "docs_per_sec": round(row["docs"] / wall, 1),
                 "cpus": args.cpus,
+                "error_classes": classes,
             }
         )
     )
