@@ -733,6 +733,22 @@ _CS_SCAN = re.compile(
 )
 
 
+# fast paths for the dominant show-run idioms (one regex drive instead of
+# 3-7 generic token iterations): "x y Td", "a b c d e f Tm", "(…) Tj".
+_WS_C = rb"[\x00\t\n\x0c\r ]"
+_NUM_C = rb"[+-]?(?:\d+\.?\d*|\.\d+)"
+_OPEND = rb"(?![A-Za-z0-9'\"*])"  # operator must not continue (Td vs TD)
+_FAST_TD = re.compile(
+    rb"(%s)%s+(%s)%s+Td%s" % (_NUM_C, _WS_C, _NUM_C, _WS_C, _OPEND)
+)
+_FAST_TM = re.compile(
+    rb"(%s)%s+(%s)%s+(%s)%s+(%s)%s+(%s)%s+(%s)%s+Tm%s"
+    % (_NUM_C, _WS_C, _NUM_C, _WS_C, _NUM_C, _WS_C, _NUM_C, _WS_C,
+       _NUM_C, _WS_C, _NUM_C, _WS_C, _OPEND)
+)
+_FAST_TJ = re.compile(rb"%s*Tj%s" % (_WS_C, _OPEND))
+
+
 def _content_runs(
     content: bytes, fonts: dict[str, FontDecoder]
 ) -> list[tuple[float, float, str]]:
@@ -750,6 +766,9 @@ def _content_runs(
     i = 0
     n = len(content)
     scan = _CS_SCAN.match
+    fast_td = _FAST_TD.match
+    fast_tm = _FAST_TM.match
+    fast_tj = _FAST_TJ.match
 
     def show(raw: bytes) -> None:
         if raw:
@@ -765,12 +784,33 @@ def _content_runs(
             i = m.end()  # whitespace / comment / stray byte
             continue
         if kind == "num":
+            fm = fast_td(content, i)
+            if fm:  # "x y Td" as one drive
+                lx += float(fm.group(1))
+                ly += float(fm.group(2))
+                i = fm.end()
+                stack.clear()
+                continue
+            fm = fast_tm(content, i)
+            if fm:  # "a b c d e f Tm" as one drive
+                lx = float(fm.group(5))
+                ly = float(fm.group(6))
+                i = fm.end()
+                stack.clear()
+                continue
             s = m.group(0)
             stack.append(float(s) if b"." in s else int(s))
             i = m.end()
             continue
         if kind == "str":
             s, i = _parse_literal_string(content, i)
+            fm = fast_tj(content, i)
+            if fm:  # "(…) Tj" shows immediately, no stack round-trip
+                if in_text:
+                    show(s)
+                i = fm.end()
+                stack.clear()
+                continue
             stack.append(s)
             continue
         if kind == "name":
