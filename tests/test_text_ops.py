@@ -197,3 +197,47 @@ def test_bpe_train_matches_python_replica(spark, rounds):
         for r in bpe_train(df, rounds=rounds).orderBy("round").collect()
     ]
     assert got == want, (got, want)
+
+
+def test_lm_perplexity_scores_oov_and_replicates_python(spark):
+    """CCNet-style bigram LM filter: a held-out doc made of bigrams the
+    train split repeats constantly scores low surprisal and keeps; a
+    held-out gibberish doc of never-seen bigrams costs pure OOV and drops.
+    Arithmetic pinned against a python replica of the integer surrogate."""
+    from collections import Counter
+
+    from tika_wrap_spark.operators.text_analysis import (
+        LM_OOV_SURPRISAL,
+        LM_SCALE,
+        lm_perplexity,
+    )
+
+    # md5('lm:'+id) coin: ids 11/18 land in the SCORE split, the rest train
+    train_text = "the cat sat on the mat " * 3
+    rows = [(i, train_text) for i in range(60) if i not in (11, 18, 25)]
+    rows.append((11, "the cat sat on the mat"))  # all bigrams seen
+    rows.append((18, "zzq qqx xxv vvk kkp"))  # pure gibberish: all OOV
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_perplexity(df, keep_max_mean=10_000).collect()}
+    assert set(got) >= {11, 18}
+    # python replica over the train split
+    toks = train_text.strip().split()
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    for a, b in zip(toks, toks[1:]):
+        c2[(a, b)] += 1
+        c1[a] += 1
+    n_train = len([r for r in rows if r[0] not in (11, 18)])
+    stoks = "the cat sat on the mat".split()
+    want_sum = sum(
+        (LM_SCALE * c1[a] * n_train) // (c2[(a, b)] * n_train)
+        for a, b in zip(stoks, stoks[1:])
+    )
+    r11 = got[11]
+    assert r11["n_bigrams"] == 5
+    assert r11["surprisal_sum"] == want_sum, (r11["surprisal_sum"], want_sum)
+    assert r11["keep"] is True
+    r18 = got[18]
+    assert r18["n_bigrams"] == 4
+    assert r18["surprisal_sum"] == 4 * LM_OOV_SURPRISAL
+    assert r18["keep"] is False

@@ -482,3 +482,89 @@ def quality_classifier(df: DataFrame) -> DataFrame:
         logit.cast("long").alias("logit_q"),
         (logit >= 0).alias("keep"),
     )
+
+
+# CCNet-style LM quality filtering (Wenzek et al. 2020, arXiv:1911.00359):
+# score held-out docs with an n-gram LM trained on the corpus itself.
+LM_SCALE = 1000
+LM_TRAIN_4096 = 3686  # ~90% of docs train the LM (md5 coin, retry-stable)
+LM_OOV_SURPRISAL = 1_000_000  # fixed cost for a bigram the LM never saw
+LM_SALT = "lm:"
+
+
+def lm_perplexity(df: DataFrame, keep_max_mean: int) -> DataFrame:
+    """Bigram-LM perplexity filter over the documents table — the CCNet
+    curation step (train a LM on the corpus, drop what it finds
+    surprising), integer-exact so the whole pass is oracle-checkable.
+
+    Split: a deterministic md5 coin puts ~90% of docs in the LM TRAIN
+    split; the rest are SCORED. Surprisal surrogate per scored bigram:
+    ``(LM_SCALE * c(w1)) div c(w1, w2)`` — the quantized inverse
+    conditional probability, exactly monotone in -log p(w2|w1) and
+    identical integer arithmetic in Spark and DuckDB; bigrams the train
+    split never produced cost the fixed ``LM_OOV_SURPRISAL``. Output per
+    scored doc: bigram count, surprisal sum/mean, keep flag
+    (``mean <= keep_max_mean``).
+
+    Scale shape: bigram and prefix counts are partial-aggregable groupBys
+    over the train split (the classic vocab reduction — counts, never
+    text, flow into the joins); scoring joins each held-out doc's bigrams
+    against the two count tables on their natural keys — co-partitioned
+    shuffles, no broadcast of anything corpus-sized, nothing all-pairs,
+    no driver state. At 10^12 docs the count tables are the n-gram vocab
+    (millions of rows), the scored side streams through."""
+    from tika_wrap_spark.operators.curation import bucket_expr  # noqa: PLC0415
+
+    toks = F.expr(
+        "filter(split(norm, ' '), x -> x != '')"
+    )
+    base = _norm(df).select(
+        "doc_id",
+        toks.alias("toks"),
+        (
+            bucket_expr(F.col("doc_id").cast("string"), LM_SALT, 3) < LM_TRAIN_4096
+        ).alias("is_train"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2)) "
+                "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "is_train", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    train = bigrams.filter(F.col("is_train"))
+    cnt2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cnt1 = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bigrams.filter(~F.col("is_train"))
+        .join(cnt2, ["w1", "w2"], "left")
+        .join(cnt1, ["w1"], "left")
+        .withColumn(
+            "surprisal",
+            F.when(
+                F.col("c2").isNotNull(),
+                F.expr(f"({LM_SCALE} * c1) div c2"),
+            ).otherwise(F.lit(LM_OOV_SURPRISAL)),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("surprisal").cast("long").alias("surprisal_sum"),
+    )
+    held = base.filter(~F.col("is_train")).select("doc_id")
+    return (
+        held.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprisal_sum", F.lit(0)).cast("long").alias("surprisal_sum"),
+            F.expr("coalesce(surprisal_sum, 0) div greatest(coalesce(n_bigrams, 0), 1)")
+            .cast("long")
+            .alias("surprisal_mean_q"),
+        )
+        .withColumn("keep", F.col("surprisal_mean_q") <= keep_max_mean)
+    )

@@ -1348,6 +1348,63 @@ GROUP BY 1
 """
 
 
+LM_KEEP_MAX_MEAN = 40_000  # keep when mean surprisal <= this (tuned at sf0.01: drops the high-surprisal tail)
+
+
+def q_lm_perplexity(spark, d):
+    """CCNet-style LM quality filter (Wenzek et al. 2020, arXiv:1911.00359):
+    a bigram LM trained on ~90% of the corpus (md5-coin split) scores the
+    held-out docs; surprisal is the integer surrogate
+    (SCALE * c(w1)) div c(w1,w2), OOV bigrams cost a fixed constant. The
+    whole pass — split, counts, scoring join, per-doc aggregate — is
+    oracle-checkable integer arithmetic."""
+    return ta.lm_perplexity(_t(spark, d, "documents"), keep_max_mean=LM_KEEP_MAX_MEAN)
+
+
+def _sql_lm_perplexity() -> str:
+    coin = cu.bucket_sql_expr("CAST(doc_id AS VARCHAR)", ta.LM_SALT, 3)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(str_split({_NORM_DUCK}, ' '), x -> x <> '') AS toks,
+         {coin} < {ta.LM_TRAIN_4096} AS is_train
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, is_train, toks[i.i] AS w1, toks[i.i + 1] AS w2
+  FROM base, unnest(generate_series(1, len(toks) - 1)) AS i(i)
+  WHERE len(toks) >= 2
+), cnt2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bigrams WHERE is_train GROUP BY 1, 2
+), cnt1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bigrams WHERE is_train GROUP BY 1
+), scored AS (
+  SELECT b.doc_id,
+         CASE WHEN c.c2 IS NOT NULL THEN ({ta.LM_SCALE} * p.c1) // c.c2
+              ELSE {ta.LM_OOV_SURPRISAL} END AS surprisal
+  FROM bigrams b
+  LEFT JOIN cnt2 c ON b.w1 = c.w1 AND b.w2 = c.w2
+  LEFT JOIN cnt1 p ON b.w1 = p.w1
+  WHERE NOT b.is_train
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(surprisal) AS BIGINT) AS surprisal_sum
+  FROM scored GROUP BY 1
+)
+SELECT h.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(p.surprisal_sum, 0) AS BIGINT) AS surprisal_sum,
+       CAST(coalesce(p.surprisal_sum, 0) // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT)
+         AS surprisal_mean_q,
+       coalesce(p.surprisal_sum, 0) // greatest(coalesce(p.n_bigrams, 0), 1)
+         <= {LM_KEEP_MAX_MEAN} AS keep
+FROM (SELECT doc_id FROM base WHERE NOT is_train) h
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+SQL_LM_PERPLEXITY = _sql_lm_perplexity()
+
+
 def q_quality_classifier(spark, d):
     """Fixed-integer-weight linear quality model over the documents table
     (the learned-filter seam; engine-exact logit)."""

@@ -41,6 +41,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mixture_temperature": (qt.q_mixture_temperature, qt.SQL_MIXTURE_TEMPERATURE),
     "text_rarity": (qt.q_text_rarity, qt.SQL_TEXT_RARITY),
     "quality_classifier": (qt.q_quality_classifier, qt.SQL_QUALITY_CLASSIFIER),
+    "lm_perplexity": (qt.q_lm_perplexity, qt.SQL_LM_PERPLEXITY),
     "container_extract": (qt.q_container_extract, None),
     "fixture_verify": (qt.q_fixture_verify, None),
     "error_taxonomy": (qt.q_error_taxonomy, None),
