@@ -73,6 +73,7 @@ HEADLINE = [
     "text_langid",
     "text_quality",
     "quality_classifier",
+    "lm_perplexity",
     "token_count",
     "doc_fingerprint",
 ]
