@@ -265,3 +265,52 @@ def test_langid_confusion_planted_mislabel(spark):
     assert not cells[("fr", "en")]["is_correct"]
     assert cells[("fr", "en")]["share_q"] == 500  # 1 of 2 fr-labeled docs
     assert cells[("en", "en")]["is_correct"]
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    """DSIR weights: a raw doc written in the target domain's vocabulary
+    out-weighs a raw doc of vocabulary the target never uses; ratio
+    arithmetic pinned against a python replica of the two-stage integer
+    quantization."""
+    import hashlib
+
+    from tika_wrap_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_SALT,
+        DSIR_SCALE,
+        importance_weights,
+    )
+
+    target_text = "alpha beta gamma delta alpha beta " * 4
+    rows = [(i, target_text, "en", "src0", 0) for i in range(8)]
+    rows.append((100, "alpha beta gamma delta", "en", "src1", 0))  # target-like
+    rows.append((101, "zulu yankee xray whiskey", "en", "src1", 0))  # foreign
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: r for r in importance_weights(df).collect()}
+    assert set(got) == {100, 101}  # only the raw pool is scored
+    assert got[100]["weight_mean_q"] > got[101]["weight_mean_q"]
+
+    # python replica of the bucket + two-stage ratio arithmetic
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5((DSIR_SALT + tok).encode()).hexdigest()[:2], 16) % DSIR_BUCKETS
+
+    from collections import Counter
+
+    t_counts: Counter = Counter()
+    for _ in range(8):
+        for tok in target_text.split():
+            t_counts[bucket(tok)] += 1
+    raw_toks = "alpha beta gamma delta".split() + "zulu yankee xray whiskey".split()
+    r_counts = Counter(bucket(t) for t in raw_toks)
+    t_tot, r_tot = sum(t_counts.values()), sum(r_counts.values())
+
+    def ratio(b: int) -> int:
+        p_t = (DSIR_SCALE * (t_counts.get(b, 0) + 1)) // (t_tot + DSIR_BUCKETS)
+        p_r = (DSIR_SCALE * (r_counts.get(b, 0) + 1)) // (r_tot + DSIR_BUCKETS)
+        return (DSIR_SCALE * p_t) // max(p_r, 1)
+
+    want_100 = sum(ratio(bucket(t)) for t in "alpha beta gamma delta".split())
+    assert got[100]["weight_sum"] == want_100
+    assert got[100]["weight_mean_q"] == want_100 // 4

@@ -41,6 +41,36 @@ def test_embed_media_shape_and_determinism(spark):
         assert all(-1.0 <= x < 1.0 for x in r["embedding"])
     again = {r["media_ref"]: r["embedding"] for r in embed_media(media, dim=16).collect()}
     assert {r["media_ref"]: r["embedding"] for r in rows} == again
+    # the fetch mix contains both decodable (BMP/PNG -> real) and
+    # compressed (JPEG/GIF/... -> stub) payloads
+    assert {r["kernel"] for r in rows} == {"real", "stub"}
+
+
+def test_embed_real_kernel_matches_python_replica():
+    """The real pixel embedding is the 4x4 grayscale grid of the
+    nearest-neighbor-pooled image — replicated here bit-for-bit."""
+    from tika_wrap_spark.core.media import build_bmp_pixels, resize_nearest
+    from tika_wrap_spark.operators.multimodal import _embed_real
+
+    w, h = 20, 12
+    rgb = bytes(
+        b
+        for y in range(h)
+        for x in range(w)
+        for b in ((x * 11) & 0xFF, (y * 7) & 0xFF, ((x + y) * 3) & 0xFF)
+    )
+    got = _embed_real(build_bmp_pixels(w, h, rgb), 16)
+    small = resize_nearest(w, h, rgb, 4, 4)
+    want = [
+        ((299 * small[i * 3] + 587 * small[i * 3 + 1] + 114 * small[i * 3 + 2]) // 1000)
+        / 256.0
+        for i in range(16)
+    ]
+    assert got == want
+    # compressed formats return None (the stub seam)
+    from tika_wrap_spark.core.media import build_jpeg
+
+    assert _embed_real(build_jpeg(64, 64), 16) is None
 
 
 def test_embed_feeds_similarity_ops(spark):

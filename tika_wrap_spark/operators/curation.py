@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tika_wrap_spark.operators.dedup import normalized
+
 HEX = "0123456789abcdef"
 
 
@@ -384,5 +386,85 @@ def temperature_sample(
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("rate_q").cast("long").alias("rate_q"),
             F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
+# DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+# select raw-pool docs whose hashed n-gram profile looks like the target
+# domain. The feature space is a FIXED number of hash buckets, so the two
+# domain profiles are tiny broadcastable tables at any corpus scale.
+DSIR_BUCKETS = 64
+DSIR_SCALE = 1_000_000
+DSIR_SALT = "dsir:"
+DSIR_TARGET_SOURCE = "src0"
+
+
+def importance_weights(
+    df: DataFrame, target_source: str = DSIR_TARGET_SOURCE
+) -> DataFrame:
+    """Hashed-unigram importance weights over the documents table. Docs
+    from ``target_source`` define the TARGET feature profile; every other
+    doc is the RAW pool to be scored. Per token, feature bucket =
+    md5-bucket mod DSIR_BUCKETS; per-bucket ratio is the add-one-smoothed
+    integer surrogate, quantized in two overflow-proof stages:
+
+        p_t_q   = (SCALE * (t_b + 1)) div (t_tot + B)
+        p_r_q   = (SCALE * (r_b + 1)) div (r_tot + B)
+        ratio_q = (SCALE * p_t_q) div greatest(p_r_q, 1)
+
+    — the smoothed p_target(b)/p_raw(b) probability ratio times SCALE;
+    every intermediate is bounded by SCALE^2 = 1e12 REGARDLESS of corpus
+    size (no count product ever forms, so ANSI long arithmetic can't
+    overflow at 10^12 docs), identical BIGINT ops in Spark and DuckDB. A
+    raw doc's weight is the mean ratio over its token occurrences; high
+    mean = its mass sits in buckets the target over-represents.
+
+    Scale shape: both profiles are partial-aggregable groupBys that land
+    in a DSIR_BUCKETS-row table (fixed size — broadcast); scoring is one
+    map-side broadcast join + a per-doc aggregate. Nothing shuffles on
+    content; at 10^12 docs the only large movement is the doc-level
+    aggregate of (doc_id, ratio) pairs, keyed by doc_id."""
+    toks = normalized(df).select(
+        "doc_id",
+        "source",
+        F.explode(F.expr("filter(split(norm, ' '), x -> x != '')")).alias("tok"),
+    )
+    bucketed = toks.withColumn(
+        "b", bucket_expr(F.col("tok"), DSIR_SALT, 2) % DSIR_BUCKETS
+    )
+    tgt = bucketed.filter(F.col("source") == target_source)
+    raw = bucketed.filter(F.col("source") != target_source)
+    tprof = tgt.groupBy("b").agg(F.count("*").alias("t_b"))
+    rprof = raw.groupBy("b").agg(F.count("*").alias("r_b"))
+    ttot = tgt.agg(F.count("*").alias("t_tot"))
+    rtot = raw.agg(F.count("*").alias("r_tot"))
+    # dense 64-row ratio table: every bucket present (missing -> count 0)
+    buckets = df.sparkSession.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    ratios = (
+        buckets.join(tprof, "b", "left")
+        .join(rprof, "b", "left")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "b",
+            F.expr(
+                f"({DSIR_SCALE} * (({DSIR_SCALE} * (coalesce(t_b, 0) + 1)) div (t_tot + {DSIR_BUCKETS}))) div "
+                f"greatest(({DSIR_SCALE} * (coalesce(r_b, 0) + 1)) div (r_tot + {DSIR_BUCKETS}), 1)"
+            ).alias("ratio_q"),
+        )
+    )
+    scored = raw.join(F.broadcast(ratios), "b")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("ratio_q").cast("long").alias("weight_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "weight_sum",
+            F.expr("weight_sum div greatest(n_toks, 1)").cast("long").alias("weight_mean_q"),
         )
     )

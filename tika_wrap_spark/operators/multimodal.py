@@ -343,16 +343,18 @@ def frame_sample(media: DataFrame, every_n: int = 30, max_frames: int = 8) -> Da
 EMBED_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType(), False),
+        T.StructField("kernel", T.StringType(), False),
         T.StructField("embedding", T.ArrayType(T.FloatType(), False), False),
     ]
 )
 
 
 def _embed_fake(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a vision-encoder forward pass (the model
-    seam): md5-chained pseudo-floats in [-1, 1), stable across runs and
-    partitionings. A real deployment swaps in an ONNX/torch encoder here;
-    the Arrow batch shape and output type are the production contract."""
+    """Deterministic stand-in for a LEARNED vision-encoder forward pass on
+    compressed formats (the model seam): md5-chained pseudo-floats in
+    [-1, 1), stable across runs and partitionings. A real deployment swaps
+    in an ONNX/torch encoder here; the Arrow batch shape and output type
+    are the production contract."""
     out: list[float] = []
     h = payload
     while len(out) < dim:
@@ -361,22 +363,58 @@ def _embed_fake(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+def _embed_real(payload: bytes, dim: int) -> list[float] | None:
+    """REAL pixel feature for the stdlib-decodable formats: decode BMP/PNG
+    to RGB, nearest-neighbor pool to a sqrt(dim) x sqrt(dim) grid, emit the
+    per-cell grayscale (ITU-R 601 integer weights) scaled to [0, 1). A
+    classic perceptual thumbnail-hash feature: nearby crops/resizes of the
+    same image land close in cosine space, so the downstream LSH/IVF
+    operators have true visual-similarity signal for decodable payloads.
+    None for compressed formats — the caller keeps the encoder-seam stub."""
+    dec = bmp_pixels(payload)
+    if dec is None:
+        dec = png_pixels(payload)
+    if dec is None:
+        return None
+    w, h, rgb = dec
+    side = max(1, int(dim**0.5))
+    small = resize_nearest(w, h, rgb, side, side)
+    out = []
+    for i in range(side * side):
+        r, g, b = small[i * 3], small[i * 3 + 1], small[i * 3 + 2]
+        gray = (299 * r + 587 * g + 114 * b) // 1000
+        out.append(gray / 256.0)
+    while len(out) < dim:  # non-square dims pad with zeros (contract: len==dim)
+        out.append(0.0)
+    return out[:dim]
+
+
 def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
-    """(media_ref, payload) -> (media_ref, embedding: array<float>) via
-    Arrow-batched mapInPandas — the bridge from the multimodal decode path
-    into the similarity operators (`operators/similarity.py` consumes this
-    column shape directly: quantize -> LSH bucket -> top-k)."""
+    """(media_ref, payload) -> (media_ref, kernel, embedding: array<float>)
+    via Arrow-batched mapInPandas — the bridge from the multimodal decode
+    path into the similarity operators (`operators/similarity.py` consumes
+    the embedding column directly: quantize -> LSH bucket -> top-k).
+    BMP/PNG payloads embed through the REAL pixel kernel (`_embed_real`:
+    decode -> pool -> grayscale grid); compressed formats keep the declared
+    encoder-seam stub; the ``kernel`` column records which."""
     make_portable()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             refs = pdf["media_ref"].tolist()
             payloads = pdf["payload"].tolist()
+            kernels, embs = [], []
+            for p in payloads:
+                b = bytes(p)
+                e = _embed_real(b, dim)
+                if e is not None:
+                    kernels.append("real")
+                    embs.append(e)
+                else:
+                    kernels.append("stub")
+                    embs.append(_embed_fake(b, dim))
             yield pd.DataFrame(
-                {
-                    "media_ref": refs,
-                    "embedding": [_embed_fake(bytes(p), dim) for p in payloads],
-                }
+                {"media_ref": refs, "kernel": kernels, "embedding": embs}
             )
 
     return media.mapInPandas(batches, schema=EMBED_SCHEMA)

@@ -1348,6 +1348,55 @@ GROUP BY 1
 """
 
 
+def q_importance_resample(spark, d):
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    hashed-unigram importance weights of every raw-pool doc against the
+    src0 target profile — two fixed-64-bucket domain profiles (broadcast),
+    overflow-proof two-stage integer ratio, per-doc mean weight."""
+    return cu.importance_weights(_t(spark, d, "documents"))
+
+
+def _sql_importance_resample() -> str:
+    b = DSIR_B_SQL = "(" + cu.bucket_sql_expr("t.tok", cu.DSIR_SALT, 2) + f" % {cu.DSIR_BUCKETS})"
+    s, nb = cu.DSIR_SCALE, cu.DSIR_BUCKETS
+    tgt = cu.DSIR_TARGET_SOURCE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(str_split({_NORM_DUCK}, ' '), x -> x <> '')) AS tok
+  FROM documents
+), bk AS (
+  SELECT doc_id, source, {b.replace('t.tok', 'tok')} AS b FROM toks t
+), tprof AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS t_b FROM bk WHERE source = '{tgt}' GROUP BY 1
+), rprof AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS r_b FROM bk WHERE source <> '{tgt}' GROUP BY 1
+), tot AS (
+  SELECT CAST((SELECT count(*) FROM bk WHERE source = '{tgt}') AS BIGINT) AS t_tot,
+         CAST((SELECT count(*) FROM bk WHERE source <> '{tgt}') AS BIGINT) AS r_tot
+), ratios AS (
+  SELECT g.b,
+         CAST(({s} * (({s} * (coalesce(t.t_b, 0) + 1)) // (tot.t_tot + {nb}))) //
+              greatest(({s} * (coalesce(r.r_b, 0) + 1)) // (tot.r_tot + {nb}), 1) AS BIGINT)
+           AS ratio_q
+  FROM range({nb}) AS g(b)
+  LEFT JOIN tprof t ON g.b = t.b
+  LEFT JOIN rprof r ON g.b = r.b
+  CROSS JOIN tot
+)
+SELECT k.doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(rt.ratio_q) AS BIGINT) AS weight_sum,
+       CAST(sum(rt.ratio_q) // greatest(count(*), 1) AS BIGINT) AS weight_mean_q
+FROM bk k JOIN ratios rt ON k.b = rt.b
+WHERE k.source <> '{tgt}'
+GROUP BY 1
+"""
+
+
+SQL_IMPORTANCE_RESAMPLE = _sql_importance_resample()
+
+
 LM_KEEP_MAX_MEAN = 40_000  # keep when mean surprisal <= this (tuned at sf0.01: drops the high-surprisal tail)
 
 
@@ -2091,8 +2140,9 @@ def q_media_resize(spark, d):
 
 def q_media_embed_ann(spark, d):
     """End-to-end multimodal -> similarity bridge: media payloads ->
-    (stub) encoder embeddings -> quantize -> LSH bucket stats. Exercises
-    the full typed array<float> flow the ANN operators consume."""
+    embeddings (REAL pixel grayscale-grid features for BMP/PNG, encoder-
+    seam stub for compressed formats) -> quantize -> LSH bucket stats.
+    Exercises the full typed array<float> flow the ANN operators consume."""
     from tika_wrap_spark.operators.multimodal import embed_media  # noqa: PLC0415
     from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
 

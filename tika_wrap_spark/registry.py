@@ -42,6 +42,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_rarity": (qt.q_text_rarity, qt.SQL_TEXT_RARITY),
     "quality_classifier": (qt.q_quality_classifier, qt.SQL_QUALITY_CLASSIFIER),
     "lm_perplexity": (qt.q_lm_perplexity, qt.SQL_LM_PERPLEXITY),
+    "importance_resample": (qt.q_importance_resample, qt.SQL_IMPORTANCE_RESAMPLE),
     "container_extract": (qt.q_container_extract, None),
     "fixture_verify": (qt.q_fixture_verify, None),
     "error_taxonomy": (qt.q_error_taxonomy, None),
