@@ -360,3 +360,58 @@ def test_pq_adc_self_hit_and_recall(spark):
         exact = set(sorted(eq, key=lambda c: (l2(eq[q], eq[c]), c))[:10])
         hits += len(exact & {r["cand_id"] for r in rows if r["query_id"] == q})
     assert hits >= 18  # measured 19/30; leave 1 headroom, still > LSH's 17
+
+
+def test_shingle_containment_flags_embedded_doc(spark):
+    """A short doc quoted verbatim inside a long one: containment of the
+    smaller side hits 1000 while Jaccard stays low -> subset_like fires;
+    an unrelated doc pair produces no candidate at all."""
+    import tika_wrap_spark.queries_training as qt
+    from tika_wrap_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = short + " " + " ".join("filler%d word%d" % (i, i) for i in range(40))
+    rows = [
+        (0, short, "en", "s", 0),
+        (1, long_doc, "en", "s", 0),
+        (2, "unrelated totally different content here", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # replicate the query body on a local frame (q_* reads the sf tables)
+    grams0 = dd.doc_ngrams(df, n=2).join(df.select("doc_id", "source"), "doc_id")
+    g = grams0.select("doc_id", "source", "gram")
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(1000 * inter) div least(za.sz, zb.sz)").alias("cont_q"),
+            F.floor(
+                F.lit(1000) * F.col("inter")
+                / (F.col("za.sz") + F.col("zb.sz") - F.col("inter"))
+            ).alias("j_q"),
+        )
+        .collect()
+    )
+    got = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (0, 1) in got
+    r = got[(0, 1)]
+    assert r["cont_q"] == 1000  # every short-doc shingle appears in the long doc
+    assert r["j_q"] < qt.CONTAIN_LOW_J_Q  # symmetric Jaccard misses it
+    assert not any(2 in k for k in got)  # unrelated doc never pairs

@@ -241,3 +241,48 @@ def test_lm_perplexity_scores_oov_and_replicates_python(spark):
     assert r18["n_bigrams"] == 4
     assert r18["surprisal_sum"] == 4 * LM_OOV_SURPRISAL
     assert r18["keep"] is False
+
+
+def test_bpe_apply_matches_python_replica(spark):
+    """bpe_apply re-segments every doc under the learned merges; per-doc
+    token budgets equal the pure-python merge application."""
+    from collections import Counter
+
+    from tika_wrap_spark.operators.text_analysis import bpe_apply
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = [(0, " ".join(words[:8])), (1, " ".join(words[8:]))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # python replica: train 3 merges on the SAME corpus, then apply
+    vocab = Counter(words)
+    seqs = {w: list(w) for w in vocab}
+    for _ in range(3):
+        pc: Counter = Counter()
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        (a, b), _n = min(pc.items(), key=lambda kv: (-kv[1], "|%s|  |%s|" % kv[0]))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+
+    got = {r["doc_id"]: r for r in bpe_apply(df, rounds=3).collect()}
+    for doc_id, text in docs:
+        ws = text.split()
+        want_char = sum(len(w) for w in ws)
+        want_bpe = sum(len(seqs[w]) for w in ws)
+        r = got[doc_id]
+        assert r["n_words"] == len(ws)
+        assert r["tokens_char"] == want_char
+        assert r["tokens_bpe"] == want_bpe
+        assert r["saved_q"] == (1000 * (want_char - want_bpe)) // want_char
+    # merges actually compress
+    assert all(r["tokens_bpe"] < r["tokens_char"] for r in got.values())

@@ -568,3 +568,54 @@ def lm_perplexity(df: DataFrame, keep_max_mean: int) -> DataFrame:
         )
         .withColumn("keep", F.col("surprisal_mean_q") <= keep_max_mean)
     )
+
+
+def bpe_apply(df: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Apply the learned BPE merge table to the corpus — the train->apply
+    half that turns ``bpe_train`` into an actual tokenizer: every doc's
+    words re-segment under the same ``rounds`` merges (identical leftmost
+    non-overlapping ``replace`` semantics, same fenced-string trick), and
+    the per-doc output reports the character-baseline vs post-merge token
+    budget that sequence packing consumes downstream.
+
+    Scale shape: the merge table is ``rounds`` 1-row broadcasts applied as
+    chained column expressions — the per-doc word table never shuffles for
+    the application itself; the only shuffle is the final per-doc
+    aggregate. Output: (doc_id, n_words, tokens_char, tokens_bpe,
+    saved_q = floor(1000 * saved / char-baseline))."""
+    _states, tops = _bpe_loop(df, rounds)
+    dwords = _norm(df).select(
+        "doc_id",
+        F.explode(F.expr("filter(split(norm, ' '), w -> w != '')")).alias("word"),
+    )
+    seq0 = F.concat(
+        F.lit("|"), F.array_join(F.split(F.col("word"), ""), "|  |"), F.lit("|")
+    )
+    w = dwords.select(
+        "doc_id", F.length("word").alias("n_chars"), seq0.alias("seq")
+    )
+    for top in tops:
+        merged = F.translate(F.col("pair"), "| ", "")
+        w = w.crossJoin(F.broadcast(top)).select(
+            "doc_id",
+            "n_chars",
+            F.replace(
+                F.col("seq"),
+                F.col("pair"),
+                F.concat(F.lit("|"), merged, F.lit("|")),
+            ).alias("seq"),
+        )
+    agg = w.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("tokens_char"),
+        F.sum(F.size(F.split(F.col("seq"), "  "))).cast("long").alias("tokens_bpe"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "tokens_char",
+        "tokens_bpe",
+        F.expr("(1000 * (tokens_char - tokens_bpe)) div greatest(tokens_char, 1)")
+        .cast("long")
+        .alias("saved_q"),
+    )

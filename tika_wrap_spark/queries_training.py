@@ -123,6 +123,95 @@ FROM pairs JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
 """
 
 
+CONTAIN_MIN_Q = 800  # containment-of-the-smaller-side flag threshold
+CONTAIN_LOW_J_Q = 500  # ...while Jaccard stays below this = subset-like
+
+
+def q_shingle_containment(spark, d):
+    """Doc-in-doc duplication audit: n-gram CONTAINMENT of the smaller
+    document, C = |S(A) n S(B)| / min(|S(A)|, |S(B)|) (Broder's resemblance
+    companion) — catches a short doc quoted/embedded inside a long one,
+    where symmetric Jaccard stays low and the MinHash family goes blind.
+    Emits both metrics per candidate pair plus the subset-like flag
+    (containment high, Jaccard low).
+
+    Scale shape: identical to ngram_jaccard — DF-capped shingles defuse
+    the hot-shingle quadratic join; sizes and pair intersections are
+    partial-aggregable; the two size joins key on doc ids."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 100)
+    grams0 = dd.doc_ngrams(docs, n=2).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "gram")
+    gram_df = grams0.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    g = grams0.join(
+        gram_df.filter(F.col("gram_df") <= NGRAM_DF_CAP), "gram"
+    ).select("doc_id", "source", "gram")
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= 2)
+    )
+    out = (
+        pairs.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.col("za.sz").cast("long").alias("sz_a"),
+            F.col("zb.sz").cast("long").alias("sz_b"),
+            F.expr("(1000 * inter) div least(za.sz, zb.sz)").cast("long").alias("cont_q"),
+            F.floor(
+                F.lit(1000) * F.col("inter")
+                / (F.col("za.sz") + F.col("zb.sz") - F.col("inter"))
+            ).cast("long").alias("j_q"),
+        )
+    )
+    return out.withColumn(
+        "subset_like",
+        (F.col("cont_q") >= CONTAIN_MIN_Q) & (F.col("j_q") < CONTAIN_LOW_J_Q),
+    )
+
+
+SQL_SHINGLE_CONTAINMENT = f"""
+WITH docs AS (
+  SELECT doc_id, source, str_split({_NORM_DUCK}, ' ') AS w
+  FROM documents WHERE doc_id < 100
+), grams0 AS (
+  SELECT DISTINCT doc_id, source, w[t.i] || ' ' || w[t.i+1] AS gram
+  FROM docs, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+), gdf AS (
+  SELECT gram, count(*) AS gram_df FROM grams0 GROUP BY gram
+), grams AS (
+  SELECT g.doc_id, g.source, g.gram
+  FROM grams0 g JOIN gdf USING (gram) WHERE gram_df <= {NGRAM_DF_CAP}
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(za.sz AS BIGINT) AS sz_a, CAST(zb.sz AS BIGINT) AS sz_b,
+       CAST((1000 * inter) // least(za.sz, zb.sz) AS BIGINT) AS cont_q,
+       CAST(floor(1000.0 * inter / (za.sz + zb.sz - inter)) AS BIGINT) AS j_q,
+       (1000 * inter) // least(za.sz, zb.sz) >= {CONTAIN_MIN_Q}
+         AND floor(1000.0 * inter / (za.sz + zb.sz - inter)) < {CONTAIN_LOW_J_Q}
+         AS subset_like
+FROM pairs JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
+"""
+
+
 N_MINHASH = 16
 BAND_ROWS = 4
 
@@ -1272,6 +1361,50 @@ FROM t{r}"""
 
 
 SQL_BPE_TRAIN = _sql_bpe_train()
+
+
+def q_bpe_apply(spark, d):
+    """Apply the 3 learned BPE merges to every doc (the tokenizer's
+    train->apply loop closed): per-doc character-baseline vs post-merge
+    token budget, quantized savings share."""
+    return ta.bpe_apply(_t(spark, d, "documents"), rounds=ta.BPE_ROUNDS)
+
+
+def _sql_bpe_apply() -> str:
+    # reuse the train chain's CTEs (v0..vN + t0..tN merge picks), then run
+    # the same fenced-replace application over PER-DOC word sequences
+    prefix = SQL_BPE_TRAIN.split("\nSELECT CAST(0", 1)[0]
+    parts = [prefix]
+    parts.append(f""", dwords AS (
+  SELECT doc_id, unnest(list_filter(str_split({_NORM_DUCK}, ' '), w -> w <> '')) AS word
+  FROM documents
+), a0 AS (
+  SELECT doc_id, CAST(length(word) AS BIGINT) AS n_chars,
+         '|' || array_to_string(str_split(word, ''), '|  |') || '|' AS seq
+  FROM dwords
+)""")
+    for r in range(ta.BPE_ROUNDS):
+        parts.append(f""", a{r + 1} AS (
+  SELECT a.doc_id, a.n_chars,
+         replace(a.seq, t.pair,
+                 '|' || replace(replace(t.pair, '|', ''), ' ', '') || '|') AS seq
+  FROM a{r} a, t{r} t
+)""")
+    last = ta.BPE_ROUNDS
+    parts.append(f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_chars) AS BIGINT) AS tokens_char,
+       CAST(sum(len(str_split(seq, '  '))) AS BIGINT) AS tokens_bpe,
+       CAST((1000 * (sum(n_chars) - sum(len(str_split(seq, '  '))))) //
+            greatest(sum(n_chars), 1) AS BIGINT) AS saved_q
+FROM a{last}
+GROUP BY 1
+""")
+    return "".join(parts)
+
+
+SQL_BPE_APPLY = _sql_bpe_apply()
 
 
 def q_bpe_compression(spark, d):

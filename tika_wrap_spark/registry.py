@@ -43,6 +43,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_classifier": (qt.q_quality_classifier, qt.SQL_QUALITY_CLASSIFIER),
     "lm_perplexity": (qt.q_lm_perplexity, qt.SQL_LM_PERPLEXITY),
     "importance_resample": (qt.q_importance_resample, qt.SQL_IMPORTANCE_RESAMPLE),
+    "shingle_containment": (qt.q_shingle_containment, qt.SQL_SHINGLE_CONTAINMENT),
+    "bpe_apply": (qt.q_bpe_apply, qt.SQL_BPE_APPLY),
     "container_extract": (qt.q_container_extract, None),
     "fixture_verify": (qt.q_fixture_verify, None),
     "error_taxonomy": (qt.q_error_taxonomy, None),
