@@ -167,11 +167,12 @@ def _nearest_cells(
 ) -> DataFrame:
     """Rank centroids per vector by quantized cosine (tie -> lowest cell id)
     and keep the top ``n_keep``. Centroids are tiny and broadcast, so the
-    vector side never shuffles for scoring; the rank window shuffles
-    N x n_cells scored rows (at 10^12 scale swap the n_keep=1 case for a
-    single-pass max_by aggregate to avoid even that)."""
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
+    vector side never shuffles for scoring. The assignment case
+    (``n_keep=1`` — every corpus vector, the big side) is a single-pass
+    PARTIAL-AGGREGABLE argmax (max of a (cell_cos, -cell) struct: combiners
+    shrink each map task to one row per vector before any shuffle); only
+    the multi-probe case (queries — the tiny side) pays a rank window over
+    n_keep x n_cells scored rows."""
     dot = int_dot(F.col("eq"), F.col("ceq"))
     # greatest(cnq, 1): a fully-degenerate all-zero centroid must not div/0;
     # identical guard on the oracle side keeps ranking engine-exact
@@ -180,6 +181,19 @@ def _nearest_cells(
         "cell",
         cosine_q(dot, F.col("nq"), F.greatest(F.col("cnq"), F.lit(1))).alias("cell_cos"),
     )
+    if n_keep == 1:
+        # argmax via struct max: cell_cos desc, then lowest cell id — the
+        # negated cell makes lexicographic struct-max implement both
+        best = scored.groupBy(id_col).agg(
+            F.max(F.struct(F.col("cell_cos"), (-F.col("cell")).alias("neg_cell"))).alias("m")
+        )
+        return best.select(
+            id_col,
+            (-F.col("m.neg_cell")).cast("long").alias("cell"),
+            F.lit(1).cast("int").alias("rn"),
+        )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
     w = Window.partitionBy(id_col).orderBy(F.col("cell_cos").desc(), F.col("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
