@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 113  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 115  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -56,7 +56,7 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     bad = [r for r in result if not r["parse_ok"]]
     # bad html, cut pdf, cut twc1, depth bomb, cut zip, zip crc, cut tar,
     # bad gzip, dangling-xref real pdf, gzip/xz/bz2 decompression bombs
-    assert len(bad) == 12
+    assert len(bad) == 14
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 

@@ -25,12 +25,16 @@ from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, htm
 from tika_wrap_spark.core.media import image_dims_text
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
 from tika_wrap_spark.core.pdfbin import is_real_pdf_text, parse_real_pdf_pages_text
+from tika_wrap_spark.core.eml import parse_eml
+from tika_wrap_spark.core.rtf import rtf_to_text
 from tika_wrap_spark.core.sniff import (
     KIND_BZ2,
+    KIND_EML,
     KIND_GZIP,
     KIND_HTML,
     KIND_MEDIA,
     KIND_PDF,
+    KIND_RTF,
     KIND_TAR,
     KIND_TEXT,
     KIND_XML,
@@ -102,6 +106,8 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     pdf1_dims: tuple[float, float] | None = None  # first pdf's first page
     media1_dims: tuple[int, int] | None = None  # first parseable image's w,h
     container_format = ""  # 'ooxml' if any archive carries the marker member
+    eml_subject = ""  # first message's decoded Subject (Tika dc:title analog)
+    eml_from = ""
 
     def emit(kind: str, text: str, media_ref: str) -> None:
         nonlocal offset
@@ -117,6 +123,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         inputs at example/demo1.cpp:48-49)."""
         nonlocal n_pages, n_blocks, n_media, n_containers, n_entries
         nonlocal depth_max, title, pdf1_dims, media1_dims, container_format
+        nonlocal eml_subject, eml_from
         kinds_seen.add(kind)
         if kind == KIND_MEDIA:
             n_media += 1
@@ -182,6 +189,29 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             if not container_format:
                 container_format = kind
             route(sniff_kind(inner, ""), inner, "", path + (tag,), depth + 1)
+        elif kind == KIND_RTF:
+            # native RTF control-word parse (core/rtf.py); Tika's RTFParser
+            # analog — document text only, destination groups skipped
+            emit(KIND_TEXT, rtf_to_text(text), "")
+        elif kind == KIND_EML:
+            # rfc822/MIME message: one more container kind — each leaf part
+            # (decoded body / attachment) re-sniffs and recurses, so an
+            # html body extracts as html and a zip attachment as an archive
+            if depth >= MAX_CONTAINER_DEPTH:
+                raise ExtractError(
+                    "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
+                )
+            eml_meta, eml_parts = parse_eml(text)
+            n_containers += 1
+            depth_max = max(depth_max, depth + 1)
+            if not container_format:
+                container_format = KIND_EML
+            if not eml_subject:
+                eml_subject = eml_meta.get("eml_subject", "")
+                eml_from = eml_meta.get("eml_from", "")
+            for name, payload in eml_parts:
+                n_entries += 1
+                route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
         elif kind == KIND_XML:
             emit(KIND_TEXT, extract_xml_text(text), "")
         else:
@@ -215,6 +245,8 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "pdf_page1_h": "" if pdf1_dims is None else "%.1f" % pdf1_dims[1],
         "media1_w": "" if media1_dims is None else _stringify(media1_dims[0]),
         "media1_h": "" if media1_dims is None else _stringify(media1_dims[1]),
+        "eml_subject": eml_subject,
+        "eml_from": eml_from,
         "kinds": ",".join(sorted(kinds_seen)),
         "parser": "tika_wrap_spark-0.1",
     }

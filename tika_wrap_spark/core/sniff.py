@@ -26,6 +26,8 @@ KIND_TAR = "tar"
 KIND_XML = "xml"
 KIND_JSON = "json"
 KIND_CSV = "csv"
+KIND_RTF = "rtf"
+KIND_EML = "eml"
 
 # ustar magic position (bytes-as-text offset); checked against the FULL
 # payload, not the head window
@@ -40,6 +42,25 @@ _HTML_MARKERS = ("<!doctype html", "<html", "<head", "<body")
 # (any prose starting "BM…" would misroute); BMP bytes are still decoded
 # by magic in the multimodal path, where payloads are known-binary.
 _MEDIA_MAGICS = ("\x89PNG\r\n", "\xff\xd8\xff", "GIF87a", "GIF89a", "RIFF")
+
+# RFC 5322 message detection over the lstripped-lowered head: a STRONG
+# opener alone suffices (headers only mail software writes); a WEAK opener
+# (headers prose might imitate) needs a second header line as corroborator.
+_EML_STRONG = (
+    "return-path:",
+    "received:",
+    "delivered-to:",
+    "mime-version:",
+    "message-id:",
+)
+_EML_WEAK = ("from:", "to:", "subject:", "date:")
+_EML_CORROBORATORS = (
+    "\nmime-version:",
+    "\nsubject:",
+    "\nfrom:",
+    "\nto:",
+    "\nmessage-id:",
+)
 
 
 def sniff_kind(text: str, media_ref: str = "") -> str:
@@ -60,10 +81,17 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          documented deterministic pin)
       6. head starts with a media magic (PNG/JPEG bytes-as-text,
          as found inside container members)       -> 'media'
+      6b. head starts with '{\\rtf'               -> 'rtf' (magic at offset
+         0; MUST precede the json rule — an RTF head also begins '{')
       7. head (lstripped, lowercased) begins with an HTML marker -> 'html'
       8. lstripped head begins with '<?xml'       -> 'xml' (so an xhtml
          document with an xml prolog classifies xml — deterministic pin)
       9. head contains '<html' in the first HEAD_WINDOW chars -> 'html'
+      9b. lstripped lowered head begins with a STRONG rfc5322 header
+         (Return-Path/Received/Delivered-To/MIME-Version/Message-ID), or
+         with a WEAK one (From/To/Subject/Date) followed by a second
+         header line in the head window       -> 'eml' (MUST precede the
+         csv rule — 'From: a@x, b@y, c@z' has two commas)
      10. lstripped head begins with '{' or '['    -> 'json'
      11. first line of head has >= 2 commas       -> 'csv'
      12. otherwise                                -> 'text'
@@ -94,6 +122,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
     for magic in _MEDIA_MAGICS:
         if head.startswith(magic):
             return KIND_MEDIA
+    if head.startswith("{\\rtf"):
+        return KIND_RTF
     lowered = head.lstrip().lower()
     for marker in _HTML_MARKERS:
         if lowered.startswith(marker):
@@ -102,6 +132,11 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_XML
     if "<html" in lowered:
         return KIND_HTML
+    if any(lowered.startswith(s) for s in _EML_STRONG) or (
+        any(lowered.startswith(w) for w in _EML_WEAK)
+        and any(c in lowered for c in _EML_CORROBORATORS)
+    ):
+        return KIND_EML
     if lowered.startswith("{") or lowered.startswith("["):
         return KIND_JSON
     first_line = head.split("\n", 1)[0]

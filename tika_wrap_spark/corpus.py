@@ -28,12 +28,17 @@ import random
 from typing import Any
 
 from tika_wrap_spark.core.container import build_container
+from tika_wrap_spark.core.eml import build_eml
 from tika_wrap_spark.core.extract import extract_document
 from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text
 from tika_wrap_spark.core.media import build_jpeg, build_png
 from tika_wrap_spark.core.pdfbin import build_pdf_text
+from tika_wrap_spark.core.rtf import build_rtf
 from tika_wrap_spark.core.tarbin import build_tar_text
 from tika_wrap_spark.core.zipbin import build_zip_text
+
+# cp1252-exercising vocabulary for rtf/eml payloads (escape + charset paths)
+_ACCENT_WORDS = ("café", "naïve", "Zürich", "résumé", "façade", "señor")
 
 _WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
@@ -166,6 +171,49 @@ def _gen_xml_payload(rng: random.Random) -> str:
     return '<?xml version="1.0" encoding="UTF-8"?>\n<doc>%s</doc>' % items
 
 
+def _gen_rtf_payload(rng: random.Random) -> str:
+    """RTF payload: 2-6 paragraphs, ~half carrying cp1252 accents (the
+    ``\\'hh`` escape path), an \\info title destination the extractor must
+    skip (core/rtf.py)."""
+    paras = []
+    for _ in range(rng.randint(2, 6)):
+        p = " ".join(_sentence(rng) for _ in range(rng.randint(1, 3)))
+        if rng.random() < 0.5:
+            p += " " + rng.choice(_ACCENT_WORDS) + "."
+        paras.append(p)
+    return build_rtf(paras, title=_words(rng, 3))
+
+
+def _gen_eml_payload(rng: random.Random, depth: int = 0) -> str:
+    """rfc822/MIME message payload: ~40% simple singlepart text; otherwise
+    multipart/mixed with a quoted-printable text body (accents exercise the
+    qp + charset decode), ~60% an html alternative, and ~40% a base64
+    attachment (png head or a real zip — the message-as-container path)."""
+    subject = _words(rng, rng.randint(2, 5))
+    if rng.random() < 0.3:
+        subject += " " + rng.choice(_ACCENT_WORDS)
+    from_addr = "%s@%s.example" % (rng.choice(_WORDS), rng.choice(_WORDS))
+    to_addr = "%s@%s.example" % (rng.choice(_WORDS), rng.choice(_WORDS))
+    body = "\n".join(_sentence(rng) for _ in range(rng.randint(2, 6)))
+    if rng.random() < 0.4:
+        body += "\nMit freundlichen Grüßen — " + rng.choice(_ACCENT_WORDS)
+    if rng.random() < 0.4:
+        return build_eml(subject, from_addr, to_addr, body)
+    html = _gen_html_payload(rng) if rng.random() < 0.6 else ""
+    attachments: list[tuple[str, str]] = []
+    if rng.random() < 0.4:
+        if rng.random() < 0.5 or depth > 0:
+            attachments.append(("image_1.png", _gen_png_payload(rng)))
+        else:
+            attachments.append(
+                (
+                    "archive_1.zip",
+                    build_zip_text([("inner.log", _gen_text_payload(rng))]),
+                )
+            )
+    return build_eml(subject, from_addr, to_addr, body, html, attachments)
+
+
 def _gen_png_payload(rng: random.Random) -> str:
     """Embedded-media member bytes-as-text: a REAL image head — PNG magic +
     IHDR with seeded dims and correct chunk CRC (or, ~1 in 4, a JPEG
@@ -232,6 +280,10 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
             entries.append(("member_%d.html" % i, _gen_html_payload(rng)))
         elif k < 0.8:
             entries.append(("member_%d.pdf" % i, _gen_pdf_payload(rng)))
+        elif k < 0.85:
+            entries.append(("member_%d.rtf" % i, _gen_rtf_payload(rng)))
+        elif k < 0.9:
+            entries.append(("member_%d.eml" % i, _gen_eml_payload(rng, depth + 1)))
         else:
             entries.append(("member_%d.png" % i, _gen_png_payload(rng)))
     return _encode_archive(rng, entries)
@@ -268,10 +320,14 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             payloads = [("text", _gen_json_payload(rng), "")]
         else:
             payloads = [("text", _gen_xml_payload(rng), "")]
-    elif r < 0.66:
+    elif r < 0.63:
         payloads = [("html", _gen_html_payload(rng), "")]
-    elif r < 0.86:
+    elif r < 0.66:  # rfc822/MIME message (message-as-container path)
+        payloads = [("eml", _gen_eml_payload(rng), "")]
+    elif r < 0.83:
         payloads = [("pdf", _gen_pdf_payload(rng), "")]
+    elif r < 0.86:  # rtf document
+        payloads = [("rtf", _gen_rtf_payload(rng), "")]
     elif r < 0.93:  # interleaved container doc (pre-flattened zip analog)
         payloads = []
         media_n = 0
@@ -291,7 +347,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 13
+N_ADVERSARIAL = 15
 
 
 @functools.lru_cache(maxsize=1)
@@ -379,6 +435,26 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
     )
     rows.append(
         {"doc_id": "doc_%07d" % (base + 12), "spans": _make_spans([("gzip", bz2_bomb, "")])}
+    )
+    # malformed rtf: group opened and never closed (core/rtf.py raise path)
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 13),
+            "spans": _make_spans(
+                [("rtf", "{\\rtf1\\ansi {\\b bold run never closed", "")]
+            ),
+        }
+    )
+    # malformed eml: multipart whose closing --boundary-- is cut off
+    cut_eml = build_eml(
+        "truncated message",
+        "mailer@example.invalid",
+        "inbox@example.invalid",
+        "body before the cut",
+        "<html><body><p>html part body</p></body></html>",
+    ).rsplit("--=_twc_boundary_001--", 1)[0]
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 14), "spans": _make_spans([("eml", cut_eml, "")])}
     )
     return rows
 

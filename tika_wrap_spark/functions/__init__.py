@@ -66,6 +66,15 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
     is_media_magic = F.lit(False)
     for magic in sn._MEDIA_MAGICS:
         is_media_magic = is_media_magic | head.startswith(magic)
+    eml_strong = F.lit(False)
+    for s in sn._EML_STRONG:
+        eml_strong = eml_strong | lowered.startswith(s)
+    eml_weak = F.lit(False)
+    for w in sn._EML_WEAK:
+        eml_weak = eml_weak | lowered.startswith(w)
+    eml_corr = F.lit(False)
+    for c in sn._EML_CORROBORATORS:
+        eml_corr = eml_corr | lowered.contains(c)
     first_line = F.substring_index(head, "\n", 1)
     return (
         F.when(
@@ -90,9 +99,11 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
             F.lit(sn.KIND_TAR),
         )
         .when(is_media_magic, F.lit(sn.KIND_MEDIA))
+        .when(head.startswith("{\\rtf"), F.lit(sn.KIND_RTF))
         .when(html_marker, F.lit(sn.KIND_HTML))
         .when(lowered.startswith("<?xml"), F.lit(sn.KIND_XML))
         .when(lowered.contains("<html"), F.lit(sn.KIND_HTML))
+        .when(eml_strong | (eml_weak & eml_corr), F.lit(sn.KIND_EML))
         .when(lowered.startswith("{") | lowered.startswith("["), F.lit(sn.KIND_JSON))
         .when(F.size(F.split(first_line, ",")) >= 3, F.lit(sn.KIND_CSV))
         .otherwise(F.lit(sn.KIND_TEXT))
