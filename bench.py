@@ -53,6 +53,7 @@ HEADLINE = [
     "contamination",
     "mixture_temperature",
     "text_rarity",
+    "gopher_repetition",
     "sketch_cms",
     "dedup_exact",
     "dedup_simhash",

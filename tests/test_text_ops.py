@@ -286,3 +286,51 @@ def test_bpe_apply_matches_python_replica(spark):
         assert r["saved_q"] == (1000 * (want_char - want_bpe)) // want_char
     # merges actually compress
     assert all(r["tokens_bpe"] < r["tokens_char"] for r in got.values())
+
+
+def test_gopher_repetition_matches_hand_computation(spark):
+    """Planted docs with known n-gram structure: a pure-python replica of
+    the quantized share definitions must match the Spark operator exactly
+    (same bar as the bpe/perplexity replicas)."""
+    from collections import Counter
+
+    from tika_wrap_spark.operators.text_analysis import gopher_repetition
+
+    rows = [
+        (0, "ha ha ha ha ha ha"),              # one bigram dominates
+        (1, "a b c d e a b c d e a b c d e"),  # repeated 5-gram
+        (2, "all distinct words here now"),    # no repetition
+        (3, "x"),                              # below every gram order
+        (4, ""),                               # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}
+
+    def replica(text):
+        norm = " ".join(text.strip().lower().split())
+        toks = [t for t in norm.split(" ") if t]
+        out = {"n_chars_norm": len(norm), "n_toks": len(toks)}
+        for n, key in ((2, "top2"), (3, "top3")):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            out[key + "_chars"] = max((v * len(g) for g, v in c.items()), default=0)
+        grams5 = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+        c5 = Counter(grams5)
+        out["dup5_chars"] = sum(v * len(g) for g, v in c5.items() if v > 1)
+        for key in ("top2", "top3", "dup5"):
+            out[key + "_share_q"] = (
+                1000 * out[key + "_chars"] // max(out["n_chars_norm"], 1)
+            )
+        return out
+
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        want = replica(text)
+        have = {k: v for k, v in got[doc_id].items() if k != "doc_id"}
+        assert have == want, (doc_id, have, want)
+    # sanity on the planted structure itself
+    assert got[0]["top2_share_q"] > 800      # 'ha ha' dominates
+    assert got[1]["dup5_share_q"] > 500      # repeated 5-gram covers most chars
+    assert got[2]["dup5_chars"] == 0
+    assert got[3]["top2_chars"] == got[3]["top3_chars"] == 0
+    assert got[4]["n_toks"] == 0 and got[4]["dup5_share_q"] == 0

@@ -246,6 +246,100 @@ def repetition_features(df: DataFrame) -> DataFrame:
     )
 
 
+# gopher_repetition n-gram orders: top-share for 2/3-grams, duplicate-char
+# share for 5-grams (Rae et al. 2021 "Gopher" §A1.1 repetition filters)
+GOPHER_TOP_NS = (2, 3)
+GOPHER_DUP_N = 5
+
+
+def _gram_structs(n: int) -> str:
+    """SQL expr: the document's word ``n``-grams as (n, gram) structs —
+    empty for docs shorter than ``n`` tokens. The ``size >= n`` CASE guard
+    matters: Spark ``sequence(0, -1)`` is DESCENDING ``[0, -1]``, not empty
+    (round-2 invariant), so the guard cannot be folded into the sequence."""
+    return (
+        "CASE WHEN size(toks) >= {n} THEN "
+        "transform(sequence(0, size(toks) - {n}), "
+        "i -> struct({n}L AS n, concat_ws(' ', slice(toks, i + 1, {n})) AS gram)) "
+        "ELSE array() END"
+    ).format(n=n)
+
+
+def gopher_repetition(df: DataFrame) -> DataFrame:
+    """Gopher-style n-gram repetition signals per document: the character
+    share of the single most frequent 2-gram and 3-gram, and the character
+    share of all 5-grams that occur more than once — the three filters the
+    Gopher appendix applies beyond line/token repetition (those live in
+    ``repetition_features``). Shares are exact quantized integers:
+    ``floor(1000 * gram_chars / n_chars_norm)`` where gram_chars counts the
+    gram string's characters (separator spaces included) times occurrences.
+
+    LINEAR single-scan shape at any corpus size: all three orders ride ONE
+    explode (a union'd (n, gram) struct array) into groupBy(doc_id, n,
+    gram) -> groupBy(doc_id) — two partial-aggregable shuffles total, with
+    per-doc stats carried through via first(); no joins, no windows, so a
+    10^12-doc run pays exactly the token volume."""
+    gram_arrays = ", ".join(_gram_structs(n) for n in (*GOPHER_TOP_NS, GOPHER_DUP_N))
+    base = (
+        _norm(df)
+        .withColumn("toks", F.filter(F.split(F.col("norm"), " "), lambda t: t != ""))
+        .select(
+            "doc_id",
+            F.length("norm").cast("long").alias("n_chars_norm"),
+            F.size("toks").cast("long").alias("n_toks"),
+            F.explode_outer(F.expr("concat(%s)" % gram_arrays)).alias("g"),
+        )
+    )
+    counts = base.groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")).agg(
+        F.count("*").alias("c"),
+        F.first("n_chars_norm").alias("n_chars_norm"),
+        F.first("n_toks").alias("n_toks"),
+    )
+    chars = F.col("c") * F.length("gram")
+
+    def top_chars(n: int) -> Column:
+        return (
+            F.max(F.when(F.col("n") == n, chars).otherwise(F.lit(0)))
+            .cast("long")
+        )
+
+    agg = counts.groupBy("doc_id").agg(
+        F.first("n_chars_norm").alias("n_chars_norm"),
+        F.first("n_toks").alias("n_toks"),
+        top_chars(GOPHER_TOP_NS[0]).alias("top2_chars"),
+        top_chars(GOPHER_TOP_NS[1]).alias("top3_chars"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("n") == GOPHER_DUP_N) & (F.col("c") > 1), chars
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dup5_chars"),
+    )
+
+    def share_q(col: str) -> Column:
+        return (
+            F.floor(F.lit(1000) * F.col(col) / F.greatest(F.col("n_chars_norm"), F.lit(1)))
+            .cast("long")
+            .alias(col.replace("_chars", "_share_q"))
+        )
+
+    return agg.select(
+        "doc_id",
+        "n_chars_norm",
+        "n_toks",
+        "top2_chars",
+        share_q("top2_chars"),
+        "top3_chars",
+        share_q("top3_chars"),
+        "dup5_chars",
+        share_q("dup5_chars"),
+    )
+
+
 CMS_D = 3
 CMS_W = 512
 CMS_K = 20

@@ -1284,6 +1284,60 @@ FROM g
 """
 
 
+def q_gopher_repetition(spark, d):
+    """Gopher n-gram repetition filters (top-2/3-gram char share,
+    duplicate-5-gram char share) — the appendix-A1.1 family beyond
+    text_repetition's line/token signals. One explode, two
+    partial-aggregable shuffles, full documents table."""
+    return ta.gopher_repetition(_t(spark, d, "documents"))
+
+
+def _sql_grams(n: int) -> str:
+    """DuckDB n-gram list over toks (1-based inclusive array_slice);
+    generate_series(1, 0) is [] in DuckDB, so no CASE guard is needed —
+    the asymmetry with Spark's descending sequence() is the round-2
+    invariant, handled on the Spark side."""
+    return (
+        "list_transform(generate_series(1, greatest(len(toks) - {m}, 0)), "
+        "i -> array_to_string(array_slice(toks, i, i + {m}), ' '))"
+    ).format(m=n - 1)
+
+
+SQL_GOPHER_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_NORM_DUCK} AS norm FROM documents
+), f AS (
+  SELECT doc_id, length(norm) AS n_chars_norm,
+         list_filter(str_split(norm, ' '), w -> w <> '') AS toks
+  FROM t
+), grams AS (
+  SELECT doc_id, 2 AS n, unnest({_sql_grams(2)}) AS gram FROM f
+  UNION ALL
+  SELECT doc_id, 3 AS n, unnest({_sql_grams(3)}) AS gram FROM f
+  UNION ALL
+  SELECT doc_id, 5 AS n, unnest({_sql_grams(5)}) AS gram FROM f
+), c AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+), agg AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN c * length(gram) ELSE 0 END) AS top2_chars,
+         max(CASE WHEN n = 3 THEN c * length(gram) ELSE 0 END) AS top3_chars,
+         sum(CASE WHEN n = 5 AND c > 1 THEN c * length(gram) ELSE 0 END) AS dup5_chars
+  FROM c GROUP BY 1
+)
+SELECT f.doc_id,
+       CAST(f.n_chars_norm AS BIGINT) AS n_chars_norm,
+       CAST(len(f.toks) AS BIGINT) AS n_toks,
+       CAST(coalesce(agg.top2_chars, 0) AS BIGINT) AS top2_chars,
+       CAST(floor(1000.0 * coalesce(agg.top2_chars, 0) / greatest(f.n_chars_norm, 1)) AS BIGINT) AS top2_share_q,
+       CAST(coalesce(agg.top3_chars, 0) AS BIGINT) AS top3_chars,
+       CAST(floor(1000.0 * coalesce(agg.top3_chars, 0) / greatest(f.n_chars_norm, 1)) AS BIGINT) AS top3_share_q,
+       CAST(coalesce(agg.dup5_chars, 0) AS BIGINT) AS dup5_chars,
+       CAST(floor(1000.0 * coalesce(agg.dup5_chars, 0) / greatest(f.n_chars_norm, 1)) AS BIGINT) AS dup5_share_q
+FROM f LEFT JOIN agg ON f.doc_id = agg.doc_id
+"""
+
+
 def q_tfidf_topk(spark, d):
     """Top-3 salient terms per document by integer-exact tf-idf."""
     return ta.tfidf_topk(_t(spark, d, "documents"))
@@ -2170,7 +2224,8 @@ def q_container_extract(spark, d):
 
 def q_error_taxonomy(spark, d):
     """Operational error observability: parse failures tallied by CLASS
-    (timeout / bomb / container / archive / pdf / html / internal / other)
+    (timeout / bomb / container / archive / pdf / rtf / eml / html /
+    internal / other)
     — the monitoring view a 10^12-doc run pages on. Pure when-chain over
     the error string + partial-agg count; the reference exposes only a
     per-doc bool (src/java-env.h:17), this is its production-grade
@@ -2212,6 +2267,8 @@ def _error_class_col():
             F.col("error").contains("PDF") | F.col("error").startswith("pdf:"),
             F.lit("pdf"),
         )
+        .when(F.col("error").startswith("rtf:"), F.lit("rtf"))
+        .when(F.col("error").startswith("eml:"), F.lit("eml"))
         .when(
             F.col("error").contains("tag") | F.col("error").contains("comment")
             | F.col("error").contains("declaration"),
