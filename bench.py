@@ -48,6 +48,7 @@ HEADLINE = [
     "curate_corpus",
     "sample_stratified",
     "shard_export",
+    "shard_shuffle",
     "bloom_antijoin",
     "pack_sequences",
     "contamination",

@@ -314,3 +314,37 @@ def test_importance_weights_prefer_target_like_docs(spark):
     want_100 = sum(ratio(bucket(t)) for t in "alpha beta gamma delta".split())
     assert got[100]["weight_sum"] == want_100
     assert got[100]["weight_mean_q"] == want_100 // 4
+
+
+def test_shard_shuffle_is_an_epoch_keyed_permutation(spark):
+    """shard_shuffle: (shard, pos) is a bijection over docs, stable across
+    recomputation/partitioning, and different epochs give genuinely
+    different orders while keeping the same doc set."""
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    e0 = cu.shard_shuffle(df, 8, epoch=0).collect()
+    assert len(e0) == 400
+    # bijection: every (shard, pos) slot unique, pos is 1..size(shard)
+    slots = {(r["shard"], r["pos"]) for r in e0}
+    assert len(slots) == 400
+    by_shard: dict[int, list[int]] = {}
+    for r in e0:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # every shard populated, no hot shard (md5-uniform: 400/8 = 50 +- wide)
+    assert set(by_shard) == set(range(8))
+    assert max(len(p) for p in by_shard.values()) < 3 * min(
+        len(p) for p in by_shard.values()
+    )
+    # determinism under repartitioning
+    again = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in cu.shard_shuffle(df.repartition(7), 8, epoch=0).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in e0}
+    # a different epoch permutes differently but covers the same docs
+    e1 = cu.shard_shuffle(df, 8, epoch=1).collect()
+    assert {r["doc_id"] for r in e1} == {r["doc_id"] for r in e0}
+    order0 = {r["doc_id"]: (r["shard"], r["pos"]) for r in e0}
+    moved = sum(1 for r in e1 if (r["shard"], r["pos"]) != order0[r["doc_id"]])
+    assert moved > 300  # essentially everything moves

@@ -87,6 +87,30 @@ def shard_assign(
     return df.withColumn("shard", (bucket % n_shards).cast("long"))
 
 
+def shard_shuffle(
+    df: DataFrame, n_shards: int, epoch: int = 0, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global training-order shuffle — the 'shuffled shards'
+    construction every pretraining data loader consumes: each doc draws a
+    32-bit md5 shuffle key (salted by ``epoch``, so every epoch is an
+    independent permutation), lands in ``shard = key mod n_shards``, and
+    takes ``pos`` = its rank within the shard by (key, doc_id). Retry- and
+    partitioning-stable: the whole permutation is a pure function of
+    (doc_id, epoch), never of RNG state or row order.
+
+    Scale shape: ONE shuffle on the uniform md5 shard key, then per-shard
+    window sorts of ~n_docs/n_shards rows each — parallelism equals
+    n_shards, so size n_shards to the cluster (docs/10M shards keeps a
+    10^12-doc sort bounded at ~10M rows per task). No global sort exists
+    anywhere in the plan."""
+    key = bucket_expr(F.col(key_col).cast("string"), "shuf%d:" % epoch, 8)
+    keyed = df.withColumn("shuffle_key", key).withColumn(
+        "shard", (F.col("shuffle_key") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", key_col)
+    return keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
 PACK_BUDGET = 512
 PACK_FANOUT = 4096
 

@@ -1863,6 +1863,34 @@ SQL_SAMPLE_STRATIFIED = _sql_sample_stratified()
 
 
 N_SHARDS = 8
+SHUFFLE_EPOCH = 1
+
+
+def q_shard_shuffle(spark, d):
+    """Epoch-deterministic global shuffle into training shards (the
+    'shuffled shards' data-loader order): md5(epoch-salted) 32-bit key ->
+    shard + within-shard rank. One uniform shuffle + bounded per-shard
+    window sorts; the permutation is a pure function of (doc_id, epoch)."""
+    return cu.shard_shuffle(
+        _t(spark, d, "documents"), N_SHARDS, epoch=SHUFFLE_EPOCH
+    ).select("doc_id", "shuffle_key", "shard", "pos")
+
+
+def _sql_shard_shuffle() -> str:
+    key = cu.bucket_sql_expr("CAST(doc_id AS VARCHAR)", "shuf%d:" % SHUFFLE_EPOCH, 8)
+    return f"""
+WITH k AS (
+  SELECT doc_id, CAST({key} AS BIGINT) AS shuffle_key FROM documents
+), s AS (
+  SELECT doc_id, shuffle_key, shuffle_key % {N_SHARDS} AS shard FROM k
+)
+SELECT doc_id, shuffle_key, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+FROM s
+"""
+
+
+SQL_SHARD_SHUFFLE = _sql_shard_shuffle()
 
 
 def q_shard_export(spark, d):
