@@ -8,6 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tika_wrap_spark.schemas import CORPUS_SCHEMA
 
+# ids per corpus-generation task (see the finding-22 comment in
+# distributed_corpus_df): small enough that a task's entire INPUT stream
+# (8-byte ids + framing, ~32 KB) fits in the worker socket buffers
+GEN_IDS_PER_TASK = 4096
+
 
 def _span_tuple(s: dict[str, Any]) -> tuple:
     return (s["kind"], s["text"], s["media_ref"], s["offset"])
@@ -53,9 +58,18 @@ def distributed_corpus_df(
     from tika_wrap_spark.portability import make_portable
 
     make_portable()
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism * 2
     total = n_docs + (N_ADVERSARIAL if adversarial else 0)
+    if num_partitions is None:
+        # Bound ids-per-task (~GEN_IDS_PER_TASK): pyspark 4's single-threaded
+        # PythonRunner can wedge when a task's pending INPUT outlives the
+        # first output backpressure stall (JVM waits writable, python waits
+        # readable — observed live at 15625 ids/task on the r4 corpus,
+        # BENCH.md finding 22). Small tasks also bound generator skew at any
+        # corpus size — the 10^12-doc-safe default.
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism * 2,
+            -(-total // GEN_IDS_PER_TASK),
+        )
     row_fn = _make_row_fn(n_docs, seed)
 
     def gen(batches):
@@ -91,9 +105,18 @@ def distributed_golden_df(
     from tika_wrap_spark.portability import make_portable
 
     make_portable()
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism * 2
     total = n_docs + (N_ADVERSARIAL if adversarial else 0)
+    if num_partitions is None:
+        # Bound ids-per-task (~GEN_IDS_PER_TASK): pyspark 4's single-threaded
+        # PythonRunner can wedge when a task's pending INPUT outlives the
+        # first output backpressure stall (JVM waits writable, python waits
+        # readable — observed live at 15625 ids/task on the r4 corpus,
+        # BENCH.md finding 22). Small tasks also bound generator skew at any
+        # corpus size — the 10^12-doc-safe default.
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism * 2,
+            -(-total // GEN_IDS_PER_TASK),
+        )
     row_fn = _make_row_fn(n_docs, seed)
     from tika_wrap_spark.core.extract import extract_document  # noqa: PLC0415
 
