@@ -167,7 +167,6 @@ def parse_eml(text: str) -> tuple[dict[str, str], list[tuple[str, str]]]:
             sub_headers, sub_body = _split_headers(_decode_body(body, headers))
             walk(sub_headers, sub_body, depth + 1)
         else:
-            _, params = _content_type(headers)
             disp = headers.get("content-disposition", "")
             fname = ""
             m = re.search(r'filename="?([^";]+)"?', disp) or re.search(

@@ -573,6 +573,39 @@ FROM reach GROUP BY id
 """.format(minhash=SQL_DEDUP_MINHASH_LSH.strip())
 
 
+def q_dedup_cluster_stats(spark, d):
+    """Near-dup cluster-SIZE histogram — the dedup observability view a
+    production run reads first: how many clusters of each size exist, how
+    many docs they hold, and how many docs dedup would remove (size - 1
+    keeper per cluster). Two partial-aggregable groupBys on top of the
+    connected-components fixpoint; scale cost is the CC itself."""
+    cc = q_dedup_clusters(spark, d)
+    sizes = cc.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_removable"),
+        )
+    )
+
+
+SQL_DEDUP_CLUSTER_STATS = f"""
+WITH cc AS ({{clusters}}),
+sizes AS (
+  SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+FROM sizes GROUP BY cluster_size
+""".format(clusters=SQL_DEDUP_CLUSTERS.strip())
+
+
 def q_winnow_fp(spark, d):
     """Winnowing (rolling k-gram min) fingerprints, k=8 w=4, doc_id<40."""
     docs = _t(spark, d, "documents").filter(F.col("doc_id") < 40)

@@ -23,6 +23,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: never driver-graded (as of r3) + round-4 debuts ----
     "gopher_repetition": (qt.q_gopher_repetition, qt.SQL_GOPHER_REPETITION),
     "shard_shuffle": (qt.q_shard_shuffle, qt.SQL_SHARD_SHUFFLE),
+    "dedup_cluster_stats": (qt.q_dedup_cluster_stats, qt.SQL_DEDUP_CLUSTER_STATS),
     "chunk_dedup": (qt.q_chunk_dedup, qt.SQL_CHUNK_DEDUP),
     "ann_ivf_topk": (qt.q_ann_ivf_topk, qt.SQL_ANN_IVF_TOPK),
     "ann_pq_topk": (qt.q_ann_pq_topk, qt.SQL_ANN_PQ_TOPK),
