@@ -351,3 +351,41 @@ def test_decode_media_real_mp3(spark):
     a, b = got["m3:a"], got["m3:b"]
     assert (a["media_kind"], a["width"], a["height"], a["n_frames"]) == ("audio", 2, 32000, 11)
     assert (b["media_kind"], b["width"], b["height"], b["n_frames"]) == ("audio", 1, 44100, 3)
+
+
+def test_gif_lzw_codec_roundtrip_and_resize():
+    """Late r4: GIF graduates from the compressed-format stub — real LZW
+    decode/encode (variable code width, CLEAR handling, 4096-entry cap)
+    against the fixed 252-color level-cube palette. decode(encode(rgb)) is
+    the palette-quantized image; a second roundtrip is lossless; the
+    resize kernel flows GIF -> decode -> resample -> re-encode -> GIF."""
+    import random
+
+    from tika_wrap_spark.core.media import (
+        build_gif,
+        build_gif_pixels,
+        gif_dims,
+        gif_pixels,
+        resize_nearest,
+    )
+    from tika_wrap_spark.operators.multimodal import _embed_real, _resize_real
+
+    rng = random.Random(11)
+    w, h = 64, 33  # large enough to force LZW width growth
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    g = build_gif_pixels(w, h, rgb)
+    assert gif_dims(g) == (w, h)  # header parse still sees real dims
+    dw, dh, quant = gif_pixels(g)
+    assert (dw, dh) == (w, h) and len(quant) == w * h * 3
+    # second roundtrip lossless: palette colors map to themselves
+    assert gif_pixels(build_gif_pixels(w, h, quant))[2] == quant
+    # real resize path: decoded output equals the pure-python resample
+    out = _resize_real(g, 9, 5)
+    assert out is not None and out[:6] == b"GIF89a"
+    assert gif_pixels(out) == (9, 5, resize_nearest(w, h, quant, 9, 5))
+    # real embedding path accepts pixel-carrying GIFs
+    emb = _embed_real(g, 16)
+    assert emb is not None and len(emb) == 16
+    # header-only GIFs keep the stub path (no image data to decode)
+    assert gif_pixels(build_gif(32, 16)) is None
+    assert _resize_real(build_gif(32, 16), 9, 5) is None

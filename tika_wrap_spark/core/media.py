@@ -516,3 +516,213 @@ def resize_nearest(
             dp = dst_base + x * 3
             out[dp : dp + 3] = rgb[sp : sp + 3]
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel codec: real LZW (GIF89a spec appendix F / GIF87a) — graduates the
+# compressed-image seam for GIF from the declared stub to real pixel work.
+# Palette-indexed: encode quantizes RGB to a fixed 6x7x6 level cube (252
+# colors), decode maps indices back through the file's own color table.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
+    """GIF-variant LZW: variable code width starting at min+1, CLEAR resets
+    the table, EOI ends the stream; table caps at 4096 entries. Returns the
+    index stream, or None on a malformed code sequence."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    width = min_code_size + 1
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (dict-growing, CLEAR on table full)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# fixed encode palette: 6x7x6 RGB level cube (252 entries, padded to 256)
+_GIF_LEVELS = (6, 7, 6)
+
+
+def _gif_palette() -> bytes:
+    pal = bytearray()
+    lr, lg, lb = _GIF_LEVELS
+    for r in range(lr):
+        for g in range(lg):
+            for b in range(lb):
+                pal += bytes(
+                    (r * 255 // (lr - 1), g * 255 // (lg - 1), b * 255 // (lb - 1))
+                )
+    pal += b"\x00" * (256 * 3 - len(pal))
+    return bytes(pal)
+
+
+def gif_pixels(data: bytes) -> tuple[int, int, bytes] | None:
+    """Decode a non-interlaced GIF whose first image covers the full screen
+    into (w, h, top-down rgb). Real LZW + color-table mapping, pure python.
+    None for interlaced/partial-frame/malformed streams — the stub path."""
+    if len(data) < 13 or data[:6] not in GIF_MAGICS:
+        return None
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                return None
+            left, top, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+            ipacked = data[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                pal = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if ipacked & 0x40:  # interlaced: declared out of scope
+                return None
+            if (left, top, iw, ih) != (0, 0, w, h) or not pal:
+                return None
+            if pos >= len(data):
+                return None
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = _lzw_decode(bytes(lzw), min_code)
+            if idx is None or len(idx) < w * h:
+                return None
+            rgb = bytearray(w * h * 3)
+            npal = len(pal) // 3
+            for i in range(w * h):
+                j = idx[i]
+                if j >= npal:
+                    return None
+                rgb[i * 3 : i * 3 + 3] = pal[j * 3 : j * 3 + 3]
+            return (w, h, bytes(rgb))
+        elif block == 0x3B:
+            return None  # trailer before any image
+        else:
+            return None
+    return None
+
+
+def build_gif_pixels(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down RGB as a real GIF89a: global 252-color level-cube
+    palette, full-frame image descriptor, real LZW stream in 255-byte
+    sub-blocks. Lossy by palette quantization (the decode of an encode
+    returns the quantized pixels, deterministic)."""
+    lr, lg, lb = _GIF_LEVELS
+    idx = bytearray(width * height)
+    for i in range(width * height):
+        r, g, b = rgb[i * 3], rgb[i * 3 + 1], rgb[i * 3 + 2]
+        idx[i] = (
+            (r * (lr - 1) + 127) // 255 * (lg * lb)
+            + (g * (lg - 1) + 127) // 255 * lb
+            + (b * (lb - 1) + 127) // 255
+        )
+    lzw = _lzw_encode(bytes(idx), 8)
+    blocks = bytearray()
+    for k in range(0, len(lzw), 255):
+        chunk = lzw[k : k + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        GIF_MAGICS[1]
+        + struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+        + _gif_palette()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([8])
+        + bytes(blocks)
+        + b"\x00;"
+    )

@@ -37,8 +37,10 @@ from pyspark.sql import types as T
 from tika_wrap_spark.core.media import (
     avi_info,
     bmp_pixels,
+    gif_pixels,
     build_avi,
     build_bmp_pixels,
+    build_gif_pixels,
     build_gif,
     build_jpeg,
     build_mp3,
@@ -188,7 +190,11 @@ def _fetch_fake(ref: str) -> bytes:
     if kind == 1:
         return build_jpeg(w, hgt, progressive=bool(v & 8))
     if kind == 2:
-        return build_gif(w, hgt, v89=bool(v & 16))
+        # half pixel-carrying (real LZW image data -> the real resize/embed
+        # kernels), half header-only (the header-parse-only path)
+        if v & 16:
+            return build_gif_pixels(pw, ph, _gradient_rgb(pw, ph, h[6]))
+        return build_gif(w, hgt, v89=False)
     if kind == 3:
         return build_bmp_pixels(
             pw, ph, _gradient_rgb(pw, ph, h[5]), top_down=bool(v & 32)
@@ -249,15 +255,17 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _resize_fake(payload: bytes, w: int, h: int) -> bytes:
-    """Deterministic stand-in for a COMPRESSED-format resample (JPEG/GIF
-    full-frame decoders need media libs the sandbox lacks): digest of
+    """Deterministic stand-in for a COMPRESSED-format resample (JPEG
+    full-frame decode needs media libs the sandbox lacks; GIF decodes for
+    real since late r4): digest of
     (payload, target dims) — stable across runs/partitionings."""
     return hashlib.md5(payload + b"|%dx%d" % (w, h)).digest()
 
 
 def _resize_real(payload: bytes, w: int, h: int) -> bytes | None:
-    """REAL pixel kernel for the stdlib-decodable formats: 24-bit BMP and
-    8-bit RGB PNG decode to raw RGB (core/media.py pixel codecs), integer
+    """REAL pixel kernel for the stdlib-decodable formats: 24-bit BMP,
+    8-bit RGB PNG, and LZW GIF decode to raw RGB (core/media.py pixel
+    codecs), integer
     nearest-neighbor resample, re-encode in the same format. None for
     anything else — the caller falls back to the declared stub."""
     dec = bmp_pixels(payload)
@@ -268,12 +276,16 @@ def _resize_real(payload: bytes, w: int, h: int) -> bytes | None:
     if dec is not None:
         sw, sh, rgb = dec
         return build_png_pixels(w, h, resize_nearest(sw, sh, rgb, w, h))
+    dec = gif_pixels(payload)
+    if dec is not None:
+        sw, sh, rgb = dec
+        return build_gif_pixels(w, h, resize_nearest(sw, sh, rgb, w, h))
     return None
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """(media_ref, payload) -> resized binary at (width, height). BMP and
-    pixel-carrying PNG payloads go through the REAL nearest-neighbor kernel
+    pixel-carrying PNG/GIF payloads go through the REAL nearest-neighbor kernel
     (decode -> resample -> re-encode, pure stdlib); compressed formats keep
     the declared `_resize_fake` stub. The ``kernel`` column records which
     path each row took."""
@@ -364,8 +376,8 @@ def _embed_fake(payload: bytes, dim: int) -> list[float]:
 
 
 def _embed_real(payload: bytes, dim: int) -> list[float] | None:
-    """REAL pixel feature for the stdlib-decodable formats: decode BMP/PNG
-    to RGB, nearest-neighbor pool to a sqrt(dim) x sqrt(dim) grid, emit the
+    """REAL pixel feature for the stdlib-decodable formats: decode
+    BMP/PNG/GIF to RGB, nearest-neighbor pool to a sqrt(dim) x sqrt(dim) grid, emit the
     per-cell grayscale (ITU-R 601 integer weights) scaled to [0, 1). A
     classic perceptual thumbnail-hash feature: nearby crops/resizes of the
     same image land close in cosine space, so the downstream LSH/IVF
@@ -374,6 +386,8 @@ def _embed_real(payload: bytes, dim: int) -> list[float] | None:
     dec = bmp_pixels(payload)
     if dec is None:
         dec = png_pixels(payload)
+    if dec is None:
+        dec = gif_pixels(payload)
     if dec is None:
         return None
     w, h, rgb = dec
@@ -394,7 +408,7 @@ def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
     via Arrow-batched mapInPandas — the bridge from the multimodal decode
     path into the similarity operators (`operators/similarity.py` consumes
     the embedding column directly: quantize -> LSH bucket -> top-k).
-    BMP/PNG payloads embed through the REAL pixel kernel (`_embed_real`:
+    BMP/PNG/GIF payloads embed through the REAL pixel kernel (`_embed_real`:
     decode -> pool -> grayscale grid); compressed formats keep the declared
     encoder-seam stub; the ``kernel`` column records which."""
     make_portable()
