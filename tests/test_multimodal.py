@@ -389,3 +389,39 @@ def test_gif_lzw_codec_roundtrip_and_resize():
     # header-only GIFs keep the stub path (no image data to decode)
     assert gif_pixels(build_gif(32, 16)) is None
     assert _resize_real(build_gif(32, 16), 9, 5) is None
+
+
+def test_jpeg_baseline_codec_roundtrip_and_resize():
+    """Late r4: baseline JPEG graduates from the stub — a pure-python
+    ITU-T T.81 codec (Annex-K tables, 4:4:4 encoder; decoder also takes
+    2x-subsampled + restart-marker streams). Lossy-but-deterministic:
+    byte-identical re-encode, close roundtrip on smooth images, and the
+    resize/embed kernels flow JPEG end to end. Progressive stays stub."""
+    from tika_wrap_spark.core.jpegbin import build_jpeg_pixels, jpeg_pixels
+    from tika_wrap_spark.core.media import build_jpeg, jpeg_dims
+    from tika_wrap_spark.operators.multimodal import _embed_real, _resize_real
+
+    w, h = 24, 17
+    rgb = bytes(
+        min(255, (x * 9 + y * 4) % 256)
+        for y in range(h)
+        for x in range(w)
+        for _ in range(3)
+    )
+    j = build_jpeg_pixels(w, h, rgb)
+    assert jpeg_dims(j) == (w, h)  # header parse agrees with the encoder
+    assert build_jpeg_pixels(w, h, rgb) == j  # deterministic bytes
+    dw, dh, out = jpeg_pixels(j)
+    assert (dw, dh) == (w, h)
+    mean = sum(abs(a - b) for a, b in zip(rgb, out)) / len(rgb)
+    assert mean < 12, mean  # smooth-image fidelity bound
+    # real resize path: decode -> resample -> re-encode as baseline JPEG
+    r = _resize_real(j, 9, 5)
+    assert r is not None and r[:2] == b"\xff\xd8"
+    assert jpeg_pixels(r)[0:2] == (9, 5)
+    # real embedding path
+    e = _embed_real(j, 16)
+    assert e is not None and len(e) == 16
+    # header-only and progressive JPEGs keep the stub path
+    assert jpeg_pixels(build_jpeg(64, 32)) is None
+    assert _resize_real(build_jpeg(64, 32, progressive=True), 9, 5) is None

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tika_wrap_spark.core.jpegbin import build_jpeg_pixels, jpeg_pixels
 from tika_wrap_spark.core.media import (
     avi_info,
     bmp_pixels,
@@ -188,6 +189,10 @@ def _fetch_fake(ref: str) -> bytes:
     if kind == 0:
         return build_png_pixels(pw, ph, _gradient_rgb(pw, ph, h[4]))
     if kind == 1:
+        # half pixel-carrying baseline JPEG (real scan data -> the real
+        # DCT kernels), half header-only (incl. progressive -> stub)
+        if v & 128:
+            return build_jpeg_pixels(pw, ph, _gradient_rgb(pw, ph, h[7]))
         return build_jpeg(w, hgt, progressive=bool(v & 8))
     if kind == 2:
         # half pixel-carrying (real LZW image data -> the real resize/embed
@@ -255,17 +260,17 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _resize_fake(payload: bytes, w: int, h: int) -> bytes:
-    """Deterministic stand-in for a COMPRESSED-format resample (JPEG
-    full-frame decode needs media libs the sandbox lacks; GIF decodes for
-    real since late r4): digest of
+    """Deterministic stand-in for formats outside the real codecs
+    (progressive/arithmetic JPEG, unrecognized bytes; baseline JPEG and
+    GIF decode for REAL since late r4): digest of
     (payload, target dims) — stable across runs/partitionings."""
     return hashlib.md5(payload + b"|%dx%d" % (w, h)).digest()
 
 
 def _resize_real(payload: bytes, w: int, h: int) -> bytes | None:
     """REAL pixel kernel for the stdlib-decodable formats: 24-bit BMP,
-    8-bit RGB PNG, and LZW GIF decode to raw RGB (core/media.py pixel
-    codecs), integer
+    8-bit RGB PNG, LZW GIF, and baseline JPEG decode to raw RGB
+    (core/media.py + core/jpegbin.py pixel codecs), integer
     nearest-neighbor resample, re-encode in the same format. None for
     anything else — the caller falls back to the declared stub."""
     dec = bmp_pixels(payload)
@@ -280,6 +285,10 @@ def _resize_real(payload: bytes, w: int, h: int) -> bytes | None:
     if dec is not None:
         sw, sh, rgb = dec
         return build_gif_pixels(w, h, resize_nearest(sw, sh, rgb, w, h))
+    dec = jpeg_pixels(payload)
+    if dec is not None:
+        sw, sh, rgb = dec
+        return build_jpeg_pixels(w, h, resize_nearest(sw, sh, rgb, w, h))
     return None
 
 
@@ -377,7 +386,7 @@ def _embed_fake(payload: bytes, dim: int) -> list[float]:
 
 def _embed_real(payload: bytes, dim: int) -> list[float] | None:
     """REAL pixel feature for the stdlib-decodable formats: decode
-    BMP/PNG/GIF to RGB, nearest-neighbor pool to a sqrt(dim) x sqrt(dim) grid, emit the
+    BMP/PNG/GIF/baseline-JPEG to RGB, nearest-neighbor pool to a sqrt(dim) x sqrt(dim) grid, emit the
     per-cell grayscale (ITU-R 601 integer weights) scaled to [0, 1). A
     classic perceptual thumbnail-hash feature: nearby crops/resizes of the
     same image land close in cosine space, so the downstream LSH/IVF
@@ -388,6 +397,8 @@ def _embed_real(payload: bytes, dim: int) -> list[float] | None:
         dec = png_pixels(payload)
     if dec is None:
         dec = gif_pixels(payload)
+    if dec is None:
+        dec = jpeg_pixels(payload)
     if dec is None:
         return None
     w, h, rgb = dec
@@ -408,7 +419,7 @@ def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
     via Arrow-batched mapInPandas — the bridge from the multimodal decode
     path into the similarity operators (`operators/similarity.py` consumes
     the embedding column directly: quantize -> LSH bucket -> top-k).
-    BMP/PNG/GIF payloads embed through the REAL pixel kernel (`_embed_real`:
+    BMP/PNG/GIF/baseline-JPEG payloads embed through the REAL pixel kernel (`_embed_real`:
     decode -> pool -> grayscale grid); compressed formats keep the declared
     encoder-seam stub; the ``kernel`` column records which."""
     make_portable()
