@@ -163,3 +163,52 @@ def test_pdf_parser_total_on_garbage(parts):
         except ExtractError:
             return
     assert extract_pdf_pages(stream) == a
+
+
+_rtf_alphabet = st.sampled_from(list("{}\\rtf1u c0'9ab \n-_~*binpa"))
+_eml_alphabet = st.sampled_from(
+    list("FromTo:Subjec Dat\nMIE-Vrsin1.0;=?bqQB?utf8&\t\"bounday celt/mixd")
+)
+
+
+@given(st.text(alphabet=_rtf_alphabet, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_rtf_fuzz_never_raises_through_extract(body):
+    """Arbitrary rtf-flavored payloads (magic prefixed, so they route rtf):
+    rtf_to_text raises only ExtractError, and extract_document always
+    returns a row — same policy bar as the archive/pdf parsers."""
+    from tika_wrap_spark.core.errors import ExtractError
+    from tika_wrap_spark.core.rtf import rtf_to_text
+
+    payload = "{\\rtf1" + body
+    try:
+        out = rtf_to_text(payload)
+        assert isinstance(out, str)
+        assert rtf_to_text(payload) == out  # deterministic
+    except ExtractError:
+        pass
+    res = extract_document(
+        [{"kind": "rtf", "text": payload, "media_ref": "", "offset": 0}]
+    )
+    assert isinstance(res["parse_ok"], bool)
+
+
+@given(st.text(alphabet=_eml_alphabet, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_eml_fuzz_never_raises_through_extract(body):
+    """Arbitrary header-flavored payloads: parse_eml raises only
+    ExtractError; extract_document always returns a row whatever the
+    sniffer decides the payload is."""
+    from tika_wrap_spark.core.errors import ExtractError
+    from tika_wrap_spark.core.eml import parse_eml
+
+    payload = "From: a@x\n" + body
+    try:
+        meta, parts = parse_eml(payload)
+        assert isinstance(meta, dict) and isinstance(parts, list)
+    except ExtractError:
+        pass
+    res = extract_document(
+        [{"kind": "eml", "text": payload, "media_ref": "", "offset": 0}]
+    )
+    assert isinstance(res["parse_ok"], bool)
