@@ -282,6 +282,44 @@ class TestRealZip:
             "Second run, same paragraph. Final paragraph."
         )
 
+    def test_ooxml_xlsx_shared_strings(self):
+        """An xlsx-shaped zip: SpreadsheetML sharedStrings.xml cell text
+        must surface through the generic OOXML xml-member path — pins that
+        spreadsheets extract their string table, not just docx bodies."""
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        shared = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+            '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+            '2006/main" count="3" uniqueCount="3">'
+            "<si><t>Region</t></si><si><t>Revenue &amp; margin</t></si>"
+            "<si><t>Total for Q3</t></si></sst>"
+        )
+        sheet = (
+            '<?xml version="1.0"?><worksheet><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+            '<c r="B1" t="s"><v>1</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>2</v></c>'
+            '<c r="B2"><v>1234.5</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+        zt = build_zip_text(
+            [
+                ("[Content_Types].xml", '<?xml version="1.0"?><Types/>'),
+                ("xl/sharedStrings.xml", shared),
+                ("xl/worksheets/sheet1.xml", sheet),
+            ],
+            deflate=True,
+        )
+        res = extract_document(_doc(zt))
+        assert res["parse_ok"]
+        assert res["meta"]["container_format"] == "ooxml"
+        all_text = " ".join(s["text"] for s in res["spans"] if s["kind"] == "text")
+        assert "Region" in all_text
+        assert "Revenue & margin" in all_text  # entity decode through xml path
+        assert "Total for Q3" in all_text
+        assert "1234.5" in all_text  # inline numeric cell value
+
     def test_malformed_shapes_raise(self):
         import struct
 
