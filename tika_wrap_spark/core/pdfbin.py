@@ -747,6 +747,47 @@ _FAST_TM = re.compile(
        _NUM_C, _WS_C, _NUM_C, _WS_C, _OPEND)
 )
 _FAST_TJ = re.compile(rb"%s*Tj%s" % (_WS_C, _OPEND))
+_FAST_TJARR = re.compile(rb"%s*TJ%s" % (_WS_C, _OPEND))
+_NUM_TOK = re.compile(rb"%s" % _NUM_C)
+
+
+def _parse_tj_array_fast(content: bytes, i: int) -> tuple[bytes, int] | None:
+    """Fast path for the hot ``[(s1) k1 (s2) ...] TJ`` kerned-show form:
+    one tight loop over literal/hex strings and kern numbers instead of a
+    generic parse_object recursion per element. Returns (joined string
+    bytes, end-after-TJ) only when the WHOLE array is simple elements AND
+    is immediately followed by TJ; anything else -> None, generic path
+    (nothing is consumed). Semantics identical to the TJ operator branch:
+    byte elements concatenate in order, kern numbers are ignored."""
+    n = len(content)
+    j = i + 1  # past '['
+    parts: list[bytes] = []
+    while j < n:
+        c = content[j]
+        if c in b" \t\r\n\x0c\x00":
+            j += 1
+            continue
+        if c == 0x5D:  # ']'
+            m = _FAST_TJARR.match(content, j + 1)
+            if not m:
+                return None
+            return b"".join(parts), m.end()
+        if c == 0x28:  # '(' literal string
+            s, j = _parse_literal_string(content, j)
+            parts.append(s)
+            continue
+        if c == 0x3C:  # '<' hex string ('<<' dict -> generic path)
+            if j + 1 < n and content[j + 1] == 0x3C:
+                return None
+            s, j = _parse_hex_string(content, j)
+            parts.append(s)
+            continue
+        m = _NUM_TOK.match(content, j)
+        if m:
+            j = m.end()
+            continue
+        return None
+    return None
 
 
 def _content_runs(
@@ -823,6 +864,13 @@ def _content_runs(
             i = m.end()
             continue
         if kind == "arr":
+            fast = _parse_tj_array_fast(content, i)
+            if fast is not None:  # "[(…) k (…)] TJ" as one drive
+                if in_text:
+                    show(fast[0])
+                i = fast[1]
+                stack.clear()
+                continue
             arr, i = parse_object(content, i)
             stack.append(arr)
             continue
