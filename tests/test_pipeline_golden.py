@@ -125,3 +125,36 @@ def test_cogrouped_fixture_verify_operator(spark):
     )
     bad = verify_against_golden(golden, perturbed).filter(~F.col("seq_match"))
     assert [r["doc_id"] for r in bad.collect()] == ["doc_0000003"]
+
+
+def test_corpus_mix_composition_pinned():
+    """Top-level sniffed-kind composition of the 500-doc seed-42 corpus,
+    pinned EXACTLY. Exists because a debugging edit once silently dropped
+    the eml slice (routed it to html) and every count-based test still
+    passed — the totals are composition-insensitive. Any intentional mix
+    change must update this pin consciously."""
+    import collections
+
+    from tika_wrap_spark.core.sniff import sniff_kind
+
+    from tika_wrap_spark.corpus import gen_doc
+
+    kinds = collections.Counter()
+    for i in range(500):
+        for s in gen_doc(i, 42)["spans"]:
+            kinds[sniff_kind(s["text"] or "", s["media_ref"] or "")] += 1
+    assert dict(kinds) == {
+        "csv": 77,
+        "pdf": 140,
+        "html": 151,
+        "xml": 16,
+        "media": 59,
+        "text": 145,
+        "json": 28,
+        "eml": 12,
+        "rtf": 15,
+        "zip": 19,
+        "tar": 8,
+        "bz2": 1,
+        "gzip": 2,
+    }, dict(kinds)

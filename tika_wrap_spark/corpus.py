@@ -323,7 +323,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     elif r < 0.63:
         payloads = [("html", _gen_html_payload(rng), "")]
     elif r < 0.66:  # rfc822/MIME message (message-as-container path)
-        payloads = [("html", _gen_html_payload(rng), "")]  # BISECT-A
+        payloads = [("eml", _gen_eml_payload(rng), "")]
     elif r < 0.83:
         payloads = [("pdf", _gen_pdf_payload(rng), "")]
     elif r < 0.86:  # rtf document
