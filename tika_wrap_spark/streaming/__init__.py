@@ -168,3 +168,44 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_shard_export(
+    extracted_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+):
+    """Streaming training-shard export with exactly-once semantics — the
+    foreachBatch idempotence recipe: every micro-batch assigns the same
+    deterministic md5 shard as the batch exporter
+    (``operators.curation.shard_assign``) plus its epoch id, and writes
+    ``shard=<k>/batch=<epoch>/`` partitions under dynamic partition
+    OVERWRITE. A redelivered epoch (crash between write and checkpoint
+    commit) rewrites exactly its own ``batch=<epoch>`` partitions and
+    nothing else, so the store never double-counts and never loses other
+    epochs — the same idempotence contract as the batch extraction store.
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from tika_wrap_spark.operators.curation import shard_assign  # noqa: PLC0415
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        out = shard_assign(df, n_shards, key_col=key_col).withColumn(
+            "batch", F.lit(int(epoch_id)).cast("long")
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard", "batch")
+            .parquet(out_dir)
+        )
+
+    return (
+        extracted_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
