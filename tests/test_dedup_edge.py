@@ -415,3 +415,56 @@ def test_shingle_containment_flags_embedded_doc(spark):
     assert r["cont_q"] == 1000  # every short-doc shingle appears in the long doc
     assert r["j_q"] < qt.CONTAIN_LOW_J_Q  # symmetric Jaccard misses it
     assert not any(2 in k for k in got)  # unrelated doc never pairs
+
+
+def test_lsh_giant_bucket_star_edges_linear(spark):
+    """The web-scale killer, planted: 1,000 near-identical docs land in ONE
+    band bucket per band. The pair clique would be 4 * 1000*999/2 join rows
+    (~2M); star edges must emit exactly 999 (O(m)), the capped pair join
+    must emit ZERO pairs from the giant bucket while SURFACING the drop,
+    and connected components over the star edges still recover the single
+    1,000-member cluster."""
+    from pyspark.sql import functions as F
+
+    n = 1000
+    rows = [(i, "the exact same template text repeated verbatim") for i in range(n)]
+    rows += [(n + j, "totally unrelated document %d with words %d" % (j, j)) for j in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = dd.doc_tokens(df)
+    sigs = dd.minhash_signatures(toks, 16)
+
+    # star edges: exactly m-1 per component, hub = min doc_id
+    edges = dd.lsh_star_edges(sigs, 16, 4)
+    got = edges.collect()
+    giant = [r for r in got if r["doc_a"] == 0]
+    assert len(giant) == n - 1
+    assert {r["doc_b"] for r in giant} == set(range(1, n))
+    assert all(r["n_shared_bands"] == 4 for r in giant)  # identical sigs: all bands
+    # the 5 unrelated docs may star among themselves but never into the giant
+    assert all(r["doc_a"] >= n or r["doc_b"] >= n for r in got if r["doc_a"] != 0)
+
+    # capped pair join: giant bucket dropped, drop surfaced, never silent
+    pairs = dd.lsh_candidate_pairs(sigs, 16, 4, max_bucket=64)
+    assert pairs.filter(F.col("doc_a") < n).filter(F.col("doc_b") < n).count() == 0
+    stats = dd.bucket_drop_stats(dd.lsh_bands(sigs, 16, 4), 64).collect()[0]
+    assert stats["dropped_buckets"] == 4  # one giant bucket per band
+    assert stats["dropped_pairs"] == 4 * n * (n - 1) // 2
+
+    # CC over star edges: one cluster holding all n docs, keeper = 0
+    cc = {r["doc_id"]: r["cluster"] for r in dd.connected_components(edges.select("doc_a", "doc_b")).collect()}
+    assert all(cc[i] == 0 for i in range(n))
+
+
+def test_lsh_capped_equals_uncapped_under_cap(spark):
+    """With every bucket under the cap, the capped pair join is IDENTICAL
+    to the uncapped one (the cap only ever removes over-cap buckets)."""
+    df = spark.createDataFrame(
+        [(i, "doc %d shares some words %d" % (i, i % 3)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    sigs = dd.minhash_signatures(dd.doc_tokens(df), 16)
+    a = {(r["doc_a"], r["doc_b"], r["n_shared_bands"]) for r in dd.lsh_candidate_pairs(sigs, 16, 4).collect()}
+    b = {(r["doc_a"], r["doc_b"], r["n_shared_bands"]) for r in dd.lsh_candidate_pairs(sigs, 16, 4, max_bucket=64).collect()}
+    assert a == b
+    stats = dd.bucket_drop_stats(dd.lsh_bands(sigs, 16, 4), 64).collect()[0]
+    assert stats["dropped_buckets"] == 0 and stats["dropped_pairs"] == 0

@@ -89,11 +89,21 @@ def minhash_signatures(tokens: DataFrame, n_hashes: int = 16) -> DataFrame:
     return tokens.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, n_hashes: int = 16, band_rows: int = 4
-) -> DataFrame:
-    """Band the signature (bands of ``band_rows``), bucket-join on band
-    value: pairs sharing >=1 band are candidates."""
+# Default band-bucket size cap for the PAIR-AUDIT path. A bucket of m
+# members emits m*(m-1)/2 join rows; on a web corpus one templated
+# near-dup cluster routinely puts 10^4-10^6 docs in a single band bucket
+# (they survive exact dedup because of per-page noise), and that one
+# skewed key then produces 10^8-10^12 shuffle rows — task OOM. Buckets
+# over the cap are DROPPED FROM THE PAIR JOIN ONLY (clustering uses
+# star edges instead, which are O(m) and need no cap) and the drop is
+# SURFACED via ``lsh_bucket_stats`` — never a silent truncation.
+DEFAULT_MAX_BUCKET = 64
+
+
+def lsh_bands(sigs: DataFrame, n_hashes: int = 16, band_rows: int = 4) -> DataFrame:
+    """Explode MinHash signatures into (doc_id, band_idx, band_val) bucket
+    membership rows — the shared input of the pair join, the star-edge
+    builder, and the bucket audit."""
     n_bands = n_hashes // band_rows
     bands = F.array(
         *[
@@ -105,9 +115,66 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    exploded = sigs.select(
-        "doc_id", F.posexplode(bands).alias("band_idx", "band_val")
+    return sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_val"))
+
+
+def _capped(exploded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Keep only bucket-membership rows whose (band_idx, band_val) bucket
+    holds <= max_bucket members: one partial-aggregable groupBy on the
+    bucket key + one equi-join back on the key just aggregated."""
+    if max_bucket is None:
+        return exploded
+    bsz = exploded.groupBy("band_idx", "band_val").agg(F.count("*").alias("bm"))
+    return (
+        exploded.join(bsz.filter(F.col("bm") <= max_bucket), ["band_idx", "band_val"])
+        .select(*exploded.columns)
     )
+
+
+def bucket_drop_stats(exploded: DataFrame, max_bucket: int) -> DataFrame:
+    """ONE-row audit of what the pair-cap drops: total buckets, dropped
+    buckets, and the pair volume those buckets would have emitted
+    (sum m*(m-1)/2). Cross-joined onto capped pair-audit outputs so the
+    truncation is always on the record (the no-silent-caps rule)."""
+    return (
+        exploded.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("bm"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum((F.col("bm") > max_bucket).cast("long")).alias("dropped_buckets"),
+            # integer div keeps the pair count exact (bm*(bm-1) is even);
+            # the sum rides a decimal so a genuinely giant bucket can't
+            # raise the ANSI long-sum overflow before the final cast
+            F.sum(
+                F.when(
+                    F.col("bm") > max_bucket,
+                    F.expr("bm * (bm - 1) div 2").cast("decimal(38,0)"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("dropped_pairs"),
+        )
+        .select(
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.coalesce(F.col("dropped_buckets"), F.lit(0)).cast("long").alias("dropped_buckets"),
+            F.coalesce(F.col("dropped_pairs"), F.lit(0)).cast("long").alias("dropped_pairs"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_hashes: int = 16,
+    band_rows: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Band the signature (bands of ``band_rows``), bucket-join on band
+    value: pairs sharing >=1 band are candidates.
+
+    ``max_bucket`` bounds the self-join per bucket (see DEFAULT_MAX_BUCKET
+    for why an uncapped bucket is the web-scale killer); callers that cap
+    must also surface ``bucket_drop_stats`` so the drop is never silent.
+    Clustering should NOT use this at all — ``lsh_star_edges`` spans the
+    same connected components in O(m) rows per bucket with no cap."""
+    exploded = _capped(lsh_bands(sigs, n_hashes, band_rows), max_bucket)
     left = exploded.alias("a")
     right = exploded.alias("b")
     return (
@@ -118,6 +185,39 @@ def lsh_candidate_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def lsh_star_edges(
+    sigs: DataFrame, n_hashes: int = 16, band_rows: int = 4
+) -> DataFrame:
+    """LSH candidate edges for CLUSTERING, O(m) per bucket: each bucket
+    member joins the bucket's min(doc_id) hub instead of every other
+    member. A star spans exactly the nodes the bucket's m*(m-1)/2 pair
+    clique spans, so connected components over UNVERIFIED buckets reach
+    the identical fixpoint — while a 10^6-member template bucket emits
+    10^6-1 edges instead of ~5*10^11. This is the only LSH edge generator
+    that survives a hot near-dup cluster at web scale; no cap needed.
+
+    When edges are subsequently Jaccard-VERIFIED, verification runs
+    member-vs-hub (anchor verification): a member whose similarity to the
+    hub is below threshold drops out even if it matches some non-hub
+    member. That recall trade is the standard production choice — the
+    alternative (verify all bucket pairs) is exactly the quadratic this
+    exists to avoid.
+
+    Output matches ``lsh_candidate_pairs``'s shape (doc_a < doc_b,
+    n_shared_bands = bands in which the pair shared a bucket) so
+    ``jaccard_verify`` composes unchanged. Cost: one partial-aggregable
+    groupBy on the bucket key (the hub), one equi-join back on that key,
+    one groupBy on the edge."""
+    exploded = lsh_bands(sigs, n_hashes, band_rows)
+    hubs = exploded.groupBy("band_idx", "band_val").agg(F.min("doc_id").alias("hub"))
+    return (
+        exploded.join(hubs, ["band_idx", "band_val"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .groupBy(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
 
@@ -277,8 +377,30 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 
 
+def simhash_bands(
+    sigs: DataFrame, n_bands: int = 4, band_bits: int = 4
+) -> DataFrame:
+    """Explode 16-bit SimHash signatures into (doc_id, simhash, band_idx,
+    band_val) bucket rows — shared by the pair join and the bucket audit."""
+    bands = F.array(
+        *[
+            F.expr(
+                f"CAST(floor(simhash / {1 << (band_bits * b)}) % {1 << band_bits} AS BIGINT)"
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(
+        "doc_id", "simhash", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+
+
 def simhash_pairs(
-    sigs: DataFrame, n_bands: int = 4, band_bits: int = 4, max_hamming: int = 3
+    sigs: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket by signature bands, verify hamming
     within buckets only — never all-pairs.
@@ -288,18 +410,17 @@ def simhash_pairs(
     bands, so at least one band matches — bucketing loses NO qualifying
     pair. All integer arithmetic (band extract = floor-div/mod, hamming =
     bit_count(xor)), DuckDB-oracle exact.
+
+    ``max_bucket`` bounds the within-bucket self-join exactly like the
+    MinHash path (see DEFAULT_MAX_BUCKET): a 16-bit signature over a
+    homogeneous web corpus puts whole template families in one band
+    bucket, and m members there cost m^2/2 join rows. Capped buckets are
+    dropped from the join and MUST be surfaced via ``bucket_drop_stats``
+    over ``simhash_bands`` output (the pigeonhole completeness guarantee
+    then holds for pairs outside dropped buckets only — on the record,
+    never silent).
     """
-    bands = F.array(
-        *[
-            F.expr(
-                f"CAST(floor(simhash / {1 << (band_bits * b)}) % {1 << band_bits} AS BIGINT)"
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = sigs.select(
-        "doc_id", "simhash", F.posexplode(bands).alias("band_idx", "band_val")
-    )
+    exploded = _capped(simhash_bands(sigs, n_bands, band_bits), max_bucket)
     pairs = (
         exploded.alias("a")
         .join(

@@ -214,24 +214,57 @@ FROM pairs JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
 
 N_MINHASH = 16
 BAND_ROWS = 4
+# band-bucket size cap for the PAIR-AUDIT queries (dedup_minhash_lsh /
+# minhash_est_error / split_leakage / dedup_simhash_pairs): a bucket of m
+# members costs m*(m-1)/2 join rows, and one hot template cluster at web
+# scale puts 10^4+ docs in a single bucket — the cap bounds the join and
+# the dropped volume is SURFACED as columns (never silent). Clustering
+# does not cap: it rides O(m) star edges (dd.lsh_star_edges).
+LSH_MAX_BUCKET = dd.DEFAULT_MAX_BUCKET
+
+
+def _lsh_toks_sigs(spark, d):
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 60)
+    toks = dd.doc_tokens(docs)
+    return toks, dd.minhash_signatures(toks, N_MINHASH)
+
+
+def _lsh_verified_pairs(spark, d):
+    """Bucket-capped LSH candidates + exact-Jaccard verification — the
+    shared audit-path core of dedup_minhash_lsh / minhash_est_error /
+    split_leakage (doc_id<60 bounds the oracle's verify)."""
+    toks, sigs = _lsh_toks_sigs(spark, d)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, N_MINHASH, BAND_ROWS, max_bucket=LSH_MAX_BUCKET
+    )
+    return dd.jaccard_verify(pairs, toks)
 
 
 def q_dedup_minhash_lsh(spark, d):
     """MinHash(16) + LSH(4 bands x 4 rows) over unigram shingles, candidates
-    verified with exact Jaccard. Restricted to doc_id<60 to bound the
-    all-pairs verify in the oracle."""
-    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 60)
-    toks = dd.doc_tokens(docs)
-    sigs = dd.minhash_signatures(toks, N_MINHASH)
-    pairs = dd.lsh_candidate_pairs(sigs, N_MINHASH, BAND_ROWS)
-    return dd.jaccard_verify(pairs, toks).select(
+    verified with exact Jaccard. Buckets over LSH_MAX_BUCKET members are
+    dropped from the pair join (the web-scale m^2 defuse) and the dropped
+    volume rides every row as dropped_buckets/dropped_pairs via a 1-row
+    broadcast crossJoin — the no-silent-caps rule. Restricted to doc_id<60
+    to bound the all-pairs verify in the oracle."""
+    toks, sigs = _lsh_toks_sigs(spark, d)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, N_MINHASH, BAND_ROWS, max_bucket=LSH_MAX_BUCKET
+    )
+    verified = dd.jaccard_verify(pairs, toks).select(
         "doc_a", "doc_b", "n_shared_bands", "inter", "union_sz", "j_q"
+    )
+    stats = dd.bucket_drop_stats(
+        dd.lsh_bands(sigs, N_MINHASH, BAND_ROWS), LSH_MAX_BUCKET
+    )
+    return verified.crossJoin(
+        F.broadcast(stats.select("dropped_buckets", "dropped_pairs"))
     )
 
 
-def _minhash_ctes() -> str:
-    """Shared CTE chain (toks -> sigs -> bands -> pairs -> sizes -> inter)
-    for every minhash-derived oracle; the final SELECT differs per query."""
+def _minhash_base_ctes() -> str:
+    """Shared CTE prefix (toks -> sigs -> bands -> bsz) of every
+    minhash-derived oracle."""
     mins = ",\n         ".join(
         f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(N_MINHASH)
     )
@@ -253,12 +286,12 @@ def _minhash_ctes() -> str:
   FROM toks GROUP BY doc_id
 ), bands AS (
 {band_rows}
-), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), sizes AS (
+), bsz AS (
+  SELECT band_idx, band_val, count(*) AS bm FROM bands GROUP BY 1, 2
+)"""
+
+
+_MINHASH_TAIL = """sizes AS (
   SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
 ), inter AS (
   SELECT p.doc_a, p.doc_b, p.n_shared_bands, count(*) AS inter
@@ -269,9 +302,70 @@ def _minhash_ctes() -> str:
 )"""
 
 
+def _minhash_ctes() -> str:
+    """Audit-path CTE chain: bucket-CAPPED pair join, then sizes/inter."""
+    return f"""{_minhash_base_ctes()}, kept AS (
+  SELECT b.doc_id, b.band_idx, b.band_val
+  FROM bands b JOIN bsz USING (band_idx, band_val) WHERE bm <= {LSH_MAX_BUCKET}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+  FROM kept a JOIN kept b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), {_MINHASH_TAIL}"""
+
+
+def _minhash_star_ctes() -> str:
+    """Clustering-path CTE chain: STAR edges (member -> bucket min) instead
+    of the within-bucket pair clique — O(m) per bucket, no cap needed."""
+    return f"""{_minhash_base_ctes()}, hubs AS (
+  SELECT band_idx, band_val, min(doc_id) AS hub FROM bands GROUP BY 1, 2
+), pairs AS (
+  SELECT h.hub AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+  FROM bands b JOIN hubs h
+    ON b.band_idx = h.band_idx AND b.band_val = h.band_val
+  WHERE b.doc_id <> h.hub
+  GROUP BY 1, 2
+), {_MINHASH_TAIL}"""
+
+
+_DROP_COLS_SQL = f"""
+       (SELECT CAST(coalesce(sum(CASE WHEN bm > {LSH_MAX_BUCKET} THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM bsz) AS dropped_buckets,
+       (SELECT CAST(coalesce(sum(CASE WHEN bm > {LSH_MAX_BUCKET} THEN bm * (bm - 1) // 2 ELSE 0 END), 0) AS BIGINT)
+        FROM bsz) AS dropped_pairs"""
+
+
 def _sql_minhash() -> str:
     return f"""
 WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, n_shared_bands, inter,
+       za.sz + zb.sz - inter AS union_sz,
+       CAST(floor(1000.0 * inter / (za.sz + zb.sz - inter)) AS BIGINT) AS j_q,{_DROP_COLS_SQL}
+FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _sql_minhash()
+
+
+def q_dedup_star_edges(spark, d):
+    """LSH STAR edges — the clustering-path candidate generator: each band
+    bucket's members join the bucket's min(doc_id) hub (O(m) rows per
+    bucket instead of the m*(m-1)/2 pair clique), then exact-Jaccard
+    verification runs member-vs-hub. This is the edge set connected
+    components consume at web scale; a 10^6-member template bucket emits
+    10^6-1 edges, never 5*10^11."""
+    toks, sigs = _lsh_toks_sigs(spark, d)
+    edges = dd.lsh_star_edges(sigs, N_MINHASH, BAND_ROWS)
+    return dd.jaccard_verify(edges, toks).select(
+        "doc_a", "doc_b", "n_shared_bands", "inter", "union_sz", "j_q"
+    )
+
+
+def _sql_star_edges() -> str:
+    return f"""
+WITH {_minhash_star_ctes()}
 SELECT doc_a, doc_b, n_shared_bands, inter,
        za.sz + zb.sz - inter AS union_sz,
        CAST(floor(1000.0 * inter / (za.sz + zb.sz - inter)) AS BIGINT) AS j_q
@@ -279,7 +373,7 @@ FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
 """
 
 
-SQL_DEDUP_MINHASH_LSH = _sql_minhash()
+SQL_DEDUP_STAR_EDGES = _sql_star_edges()
 
 
 SPLIT_TEST_4096 = 410  # ~10% held-out test split
@@ -294,9 +388,9 @@ def q_split_leakage(spark, d):
     labels; a pair that crosses the boundary is evaluation leakage the
     split inherited from the corpus. Costs two equi-joins of the (small)
     verified pair set against the per-doc split column — the pair volume
-    is already LSH-bounded, never all-pairs."""
+    is LSH-bounded AND bucket-capped (LSH_MAX_BUCKET), never all-pairs."""
     pairs = (
-        q_dedup_minhash_lsh(spark, d)
+        _lsh_verified_pairs(spark, d)
         .filter(F.col("j_q") >= CLUSTER_JQ_MIN)
         .select("doc_a", "doc_b", "j_q")
     )
@@ -360,11 +454,12 @@ def q_minhash_est_error(spark, d):
     estimate j_est = n_agree/16 next to the exact Jaccard and the absolute
     error — at 100 TB the signature estimate is what a first-pass filter
     uses, and this query keeps its observed error on the record. Costs one
-    extra broadcast-sized join over the already-bucketed candidates."""
-    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 60)
-    toks = dd.doc_tokens(docs)
-    sigs = dd.minhash_signatures(toks, N_MINHASH)
-    pairs = dd.lsh_candidate_pairs(sigs, N_MINHASH, BAND_ROWS)
+    extra broadcast-sized join over the already-bucketed (and bucket-capped)
+    candidates."""
+    toks, sigs = _lsh_toks_sigs(spark, d)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, N_MINHASH, BAND_ROWS, max_bucket=LSH_MAX_BUCKET
+    )
     exact = dd.jaccard_verify(pairs, toks).select("doc_a", "doc_b", "j_q")
     agree = None
     for i in range(N_MINHASH):
@@ -458,13 +553,26 @@ SIMHASH_MAX_HAMMING = 3
 def q_dedup_simhash_pairs(spark, d):
     """SimHash near-dup PAIRS: band the 16-bit signatures (4x4), bucket-join
     on equal bands, verify hamming <= 3 within buckets only. Pigeonhole:
-    4 bands never miss a <=3-bit pair; candidate volume stays bucket-bounded
-    at scale (no all-pairs). doc_id<300 bounds the oracle's pair payload
-    (16-bit sigs over a homogeneous corpus cluster tightly)."""
+    4 bands never miss a <=3-bit pair AMONG KEPT BUCKETS; buckets over
+    LSH_MAX_BUCKET members are dropped from the join (a 16-bit signature
+    over a homogeneous web corpus puts whole template families in one
+    bucket — m^2/2 join rows otherwise) and the dropped volume rides every
+    row as dropped_buckets/dropped_pairs. doc_id<300 bounds the oracle's
+    pair payload."""
     docs = _t(spark, d, "documents").filter(F.col("doc_id") < 300)
     sigs = dd.simhash_16(dd.doc_tokens(docs))
-    return dd.simhash_pairs(
-        sigs, SIMHASH_BANDS, SIMHASH_BAND_BITS, SIMHASH_MAX_HAMMING
+    pairs = dd.simhash_pairs(
+        sigs,
+        SIMHASH_BANDS,
+        SIMHASH_BAND_BITS,
+        SIMHASH_MAX_HAMMING,
+        max_bucket=LSH_MAX_BUCKET,
+    )
+    stats = dd.bucket_drop_stats(
+        dd.simhash_bands(sigs, SIMHASH_BANDS, SIMHASH_BAND_BITS), LSH_MAX_BUCKET
+    )
+    return pairs.crossJoin(
+        F.broadcast(stats.select("dropped_buckets", "dropped_pairs"))
     )
 
 
@@ -479,15 +587,20 @@ def _sql_simhash_pairs() -> str:
 WITH sig AS ({base}),
 bands AS (
 {band_rows}
+), bsz AS (
+  SELECT band_idx, band_val, count(*) AS bm FROM bands GROUP BY 1, 2
+), kept AS (
+  SELECT b.* FROM bands b JOIN bsz USING (band_idx, band_val)
+  WHERE bm <= {LSH_MAX_BUCKET}
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sig_a, b.simhash AS sig_b, count(*) AS n_shared_bands
-  FROM bands a JOIN bands b
+  FROM kept a JOIN kept b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b, sig_a, sig_b, n_shared_bands,
-       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming,{_DROP_COLS_SQL}
 FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
 """
 
@@ -540,12 +653,15 @@ ORDER BY cos_q DESC, vec_a, vec_b LIMIT 50
 
 def q_dedup_clusters(spark, d):
     """Near-dup CLUSTERS: connected components (min-label propagation) over
-    the verified MinHash-LSH pairs with quantized Jaccard >= 0.5 — each doc
-    gets the smallest doc_id in its component as ``cluster`` and the
-    canonical keeper flag. Iterative (driver-coordinated loop, each step a
-    distributed join+agg); the DuckDB oracle computes the identical fixpoint
-    with a recursive CTE."""
-    pairs = q_dedup_minhash_lsh(spark, d).filter(F.col("j_q") >= CLUSTER_JQ_MIN)
+    verified STAR edges (member vs bucket-hub, quantized Jaccard >= 0.5) —
+    each doc gets the smallest doc_id in its component as ``cluster`` and
+    the canonical keeper flag. Star edges are O(m) per band bucket, so a
+    hot template cluster at web scale costs m-1 edges instead of m^2/2
+    pair rows; verification is member-vs-hub (anchor verification, the
+    standard production recall trade). Iterative (driver-coordinated loop,
+    each step a distributed join+agg); the DuckDB oracle computes the
+    identical fixpoint with a recursive CTE."""
+    pairs = q_dedup_star_edges(spark, d).filter(F.col("j_q") >= CLUSTER_JQ_MIN)
     cc = dd.connected_components(pairs.select("doc_a", "doc_b"))
     return cc.select(
         "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("is_keeper")
@@ -553,7 +669,7 @@ def q_dedup_clusters(spark, d):
 
 
 SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE base AS ({{minhash}}),
+WITH RECURSIVE base AS ({{star}}),
 pairs AS (
   SELECT doc_a, doc_b FROM base WHERE j_q >= {CLUSTER_JQ_MIN}
 ),
@@ -570,7 +686,7 @@ reach(id, label) AS (
 )
 SELECT id AS doc_id, min(label) AS cluster, id = min(label) AS is_keeper
 FROM reach GROUP BY id
-""".format(minhash=SQL_DEDUP_MINHASH_LSH.strip())
+""".format(star=SQL_DEDUP_STAR_EDGES.strip())
 
 
 def q_dedup_cluster_stats(spark, d):
@@ -2141,7 +2257,7 @@ def q_dedup_keep_best(spark, d):
     one shuffle, no window over the corpus, and a valid total order in
     both engines."""
     docs = _t(spark, d, "documents").filter(F.col("doc_id") < 60)
-    pairs = q_dedup_minhash_lsh(spark, d).filter(F.col("j_q") >= CLUSTER_JQ_MIN)
+    pairs = q_dedup_star_edges(spark, d).filter(F.col("j_q") >= CLUSTER_JQ_MIN)
     cc = dd.connected_components(pairs.select("doc_a", "doc_b"))
     qual = ta.quality_features(docs).select("doc_id", "stop_ratio_q")
     member = (
@@ -2168,10 +2284,10 @@ def q_dedup_keep_best(spark, d):
 
 
 def _sql_keep_best() -> str:
-    minhash = SQL_DEDUP_MINHASH_LSH.strip()
+    star = SQL_DEDUP_STAR_EDGES.strip()
     quality = SQL_TEXT_QUALITY.strip()
     return f"""
-WITH RECURSIVE base AS ({minhash}),
+WITH RECURSIVE base AS ({star}),
 pairs AS (SELECT doc_a, doc_b FROM base WHERE j_q >= {CLUSTER_JQ_MIN}),
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
