@@ -468,3 +468,25 @@ def test_lsh_capped_equals_uncapped_under_cap(spark):
     assert a == b
     stats = dd.bucket_drop_stats(dd.lsh_bands(sigs, 16, 4), 64).collect()[0]
     assert stats["dropped_buckets"] == 0 and stats["dropped_pairs"] == 0
+
+
+def test_brute_force_topk_rejects_corpus_sized_query_side(spark):
+    """brute_force_topk is the broadcast exact baseline: it must refuse a
+    query side beyond BRUTE_FORCE_MAX_QUERIES instead of silently building
+    a |corpus|*|queries| nested-loop join."""
+    import pytest
+    from pyspark.sql import functions as F
+    from tika_wrap_spark.operators import similarity as sim
+
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") + i).cast("float") for i in range(4)]).alias("embedding"),
+    )
+    old = sim.BRUTE_FORCE_MAX_QUERIES
+    sim.BRUTE_FORCE_MAX_QUERIES = 5
+    try:
+        with pytest.raises(ValueError, match="BRUTE_FORCE_MAX_QUERIES"):
+            sim.brute_force_topk(emb, emb, k=3)
+        assert sim.brute_force_topk(emb, emb.limit(5), k=3).count() == 15
+    finally:
+        sim.BRUTE_FORCE_MAX_QUERIES = old

@@ -349,3 +349,163 @@ def test_fuzz_builder_roundtrip(pages, flate, xref_stream):
     data = build_pdf(clean, flate=flate, xref_stream=xref_stream)
     got = pages_to_texts(parse_real_pdf_pages(data))
     assert got == pages_to_texts(clean)
+
+
+# ---------------------------------------------------------------------------
+# Type0/CID composite fonts + /ToUnicode CMaps (round 5)
+# ---------------------------------------------------------------------------
+
+CID_PAGES = [
+    [
+        (72.0, 700.0, "日本語のテキスト抽出"),
+        (72.0, 688.0, "кириллица и Ωμέγα"),
+        (90.0, 676.0, "mixed ascii + é ü € — run"),
+    ],
+    [(72.0, 700.0, "한국어 문서 second page")],
+]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"cid": True},
+        {"cid": True, "tj_arrays": True},
+        {"cid": True, "xref_stream": True},
+        {"cid": True, "flate": False},
+        {"cid": True, "cid_tounicode": False},
+    ],
+    ids=["tounicode", "tj", "xrefstm", "plain", "identity-fallback"],
+)
+def test_cid_builder_roundtrip(kw):
+    """Identity-H Type0 fonts: dense-code + ToUnicode CMap variants must
+    reconstruct the exact unicode text; the no-ToUnicode variant rides the
+    raw-codepoint (cid==unicode) fallback."""
+    data = build_pdf(CID_PAGES, **kw)
+    got = pages_to_texts(parse_real_pdf_pages(data))
+    assert got == pages_to_texts(CID_PAGES)
+
+
+def test_cid_tounicode_cmap_has_bfrange_and_bfchar():
+    """The generated CMap must genuinely exercise BOTH mapping forms:
+    sorted contiguous codepoints (ascii runs) become bfrange rows, isolated
+    chars become bfchar rows."""
+    from tika_wrap_spark.core.pdfbin import _build_tounicode_cmap
+
+    code_of = {ch: k + 1 for k, ch in enumerate(sorted("abcdefg日本語€"))}
+    cmap = _build_tounicode_cmap(code_of)
+    assert b"beginbfrange" in cmap and b"beginbfchar" in cmap
+    # and the parser reads its own builder's output back exactly
+    from tika_wrap_spark.core.pdfbin import parse_cmap
+
+    cm = parse_cmap(cmap)
+    for ch, code in code_of.items():
+        assert cm.lookup_bf(code) == ch
+
+
+def test_parse_cmap_bfrange_array_and_multichar_dst():
+    """bfrange with an array destination (one dst per code) and bfchar
+    with a multi-code-unit destination (ligature expansion) both decode."""
+    from tika_wrap_spark.core.pdfbin import parse_cmap
+
+    cmap = b"""
+begincmap
+1 begincodespacerange
+<0000> <ffff>
+endcodespacerange
+1 beginbfchar
+<0010> <00660066006c>
+endbfchar
+1 beginbfrange
+<0020> <0022> [<0041> <0394> <4e2d>]
+endbfrange
+endcmap
+"""
+    cm = parse_cmap(cmap)
+    assert cm.lookup_bf(0x10) == "ffl"
+    assert cm.lookup_bf(0x20) == "A"
+    assert cm.lookup_bf(0x21) == "Δ"
+    assert cm.lookup_bf(0x22) == "中"
+    assert cm.lookup_bf(0x23) is None
+
+
+def test_embedded_encoding_cmap_variable_code_length():
+    """An embedded /Encoding CMap stream with MIXED 1-byte and 2-byte
+    codespaces: the decoder must take code length from the codespace
+    ranges, and map code->CID->chr via cidrange/cidchar when there is no
+    ToUnicode."""
+    from tika_wrap_spark.core.pdfbin import FontDecoder, Name
+
+    enc = b"""
+begincmap
+2 begincodespacerange
+<20> <7e>
+<8140> <9ffc>
+endcodespacerange
+1 begincidrange
+<41> <5a> 913
+endcidrange
+2 begincidchar
+<21> 8364
+<8140> 26085
+endcidchar
+endcmap
+"""
+    fd = FontDecoder({"Subtype": Name("Type0"), "Encoding": ({}, enc)}, lambda x: x)
+    # 'A''B' -> greek via cidrange; '!' -> euro; 0x8140 (2-byte) -> 日
+    assert fd.decode(b"AB!\x81\x40") == "ΑΒ€日"
+
+
+def test_simple_font_tounicode_overrides_encoding():
+    """A simple (single-byte) font whose /ToUnicode remaps codes must use
+    the CMap over the base encoding — subset fonts from office exporters
+    depend on this."""
+    from tika_wrap_spark.core.pdfbin import FontDecoder, Name
+
+    cmap = b"""
+begincmap
+1 begincodespacerange
+<00> <ff>
+endcodespacerange
+2 beginbfchar
+<41> <0394>
+<42> <00e9>
+endbfchar
+1 beginbfrange
+<61> <63> <03b1>
+endbfrange
+endcmap
+"""
+    fd = FontDecoder(
+        {"Subtype": Name("TrueType"), "ToUnicode": ({}, cmap)}, lambda x: x
+    )
+    assert fd.decode(b"AaBbc!") == "Δαéβγ!"
+
+
+def test_cid_extraction_integration():
+    """A CID PDF through the full extract_document path: parse_ok, text
+    carries the non-Latin content, dialect docs unaffected."""
+    text = build_pdf_text(CID_PAGES, cid=True)
+    row = extract_document(
+        [{"kind": "pdf", "text": text, "media_ref": "", "offset": 0}]
+    )
+    assert row["parse_ok"], row.get("error")
+    joined = "\n".join(s["text"] for s in row["spans"])
+    assert "日本語のテキスト抽出" in joined
+    assert "кириллица и Ωμέγα" in joined
+    assert "한국어 문서 second page" in joined
+
+
+def test_cid_malformed_tounicode_falls_back_not_raises():
+    """A corrupt /ToUnicode stream must not fail the document: the decoder
+    drops to the identity fallback (here codes==codepoints would be wrong,
+    but parse_ok must hold and output stays deterministic)."""
+    data = build_pdf(CID_PAGES, cid=True)
+    # corrupt the flate body of the ToUnicode stream object
+    i = data.rindex(b"/FlateDecode")
+    j = data.index(b"stream\n", i) + len(b"stream\n")
+    bad = data[:j] + b"\x00\x00\x00\x00" + data[j + 4 :]
+    # the ToUnicode is the LAST FlateDecode object; content streams come
+    # earlier, so pages still parse
+    pages = parse_real_pdf_pages(bad)
+    assert len(pages) == len(CID_PAGES)
+    assert all(isinstance(t, str) for p in pages for _x, _y, t in p)

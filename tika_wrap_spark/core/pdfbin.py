@@ -36,6 +36,7 @@ Payloads travel through the engine as bytes-as-text (latin-1):
 
 from __future__ import annotations
 
+import bisect
 import re
 import zlib
 
@@ -588,7 +589,176 @@ class RealPdf:
 
 
 # ---------------------------------------------------------------------------
-# font decoding (simple fonts: base encoding + /Differences)
+# CMap parsing — /ToUnicode streams and embedded /Encoding CMaps for
+# Type0 (composite/CID) fonts. Syntax per PDF 32000-1 §9.7.5/§9.10.3 and
+# Adobe CMap/CIDFont spec (TN 5014): begincodespacerange, begincidchar/
+# begincidrange (code -> CID) and beginbfchar/beginbfrange (code ->
+# UTF-16BE unicode). The reference reads these via Tika/PDFBox
+# (/root/reference/src/java-env.cpp:313 routes any PDF Tika supports).
+# ---------------------------------------------------------------------------
+
+_CMAP_TOK = re.compile(
+    rb"<([0-9A-Fa-f \t\r\n]*)>"  # hex string (whitespace legal inside)
+    rb"|(\[)|(\])"
+    rb"|(\d+)"
+    rb"|(begincodespacerange|endcodespacerange|begincidrange|endcidrange"
+    rb"|begincidchar|endcidchar|beginbfchar|endbfchar"
+    rb"|beginbfrange|endbfrange|endcmap)"
+)
+
+
+def _hex_to_unicode(b: bytes) -> str:
+    """A bf destination hex string is UTF-16BE per spec; tolerate odd /
+    single-byte forms from sloppy generators via latin-1."""
+    if len(b) >= 2 and len(b) % 2 == 0:
+        return b.decode("utf-16-be", "replace")
+    return b.decode("latin-1")
+
+
+class CMap:
+    """One parsed CMap: codespace ranges (how many bytes the next code
+    takes) plus code->unicode (bf*) and code->CID (cid*) mappings. Ranges
+    stay UNEXPANDED — an Identity CMap declares <0000> <ffff> and a full
+    expansion would be 64k entries per font — lookups bisect instead."""
+
+    __slots__ = ("codespaces", "bf_single", "bf_ranges", "cid_single", "cid_ranges")
+
+    def __init__(self) -> None:
+        self.codespaces: list[tuple[int, int, int]] = []  # (nbytes, lo, hi)
+        self.bf_single: dict[int, str] = {}
+        self.bf_ranges: list[tuple[int, int, object]] = []  # (lo, hi, base str | list)
+        self.cid_single: dict[int, int] = {}
+        self.cid_ranges: list[tuple[int, int, int]] = []
+
+    def lookup_bf(self, code: int) -> str | None:
+        u = self.bf_single.get(code)
+        if u is not None:
+            return u
+        k = bisect.bisect_right(self.bf_ranges, code, key=lambda r: r[0]) - 1
+        if k >= 0:
+            lo, hi, base = self.bf_ranges[k]
+            if lo <= code <= hi:
+                if isinstance(base, list):
+                    return base[code - lo]
+                # spec: the destination's LAST code unit increments with
+                # the offset into the range
+                if not base:
+                    return None
+                return base[:-1] + chr(ord(base[-1]) + (code - lo))
+        return None
+
+    def lookup_cid(self, code: int) -> int | None:
+        cid = self.cid_single.get(code)
+        if cid is not None:
+            return cid
+        k = bisect.bisect_right(self.cid_ranges, code, key=lambda r: r[0]) - 1
+        if k >= 0:
+            lo, hi, base = self.cid_ranges[k]
+            if lo <= code <= hi:
+                return base + (code - lo)
+        return None
+
+    def next_code(self, data: bytes, i: int) -> tuple[int, int]:
+        """Read one character code at ``data[i:]`` using the codespace
+        ranges (shortest matching byte-length wins, the spec's greedy
+        rule). No match -> consume the shortest declared length (error
+        recovery; a decoder must never stall)."""
+        n = len(data)
+        shortest = 0
+        for nb, lo, hi in self.codespaces:
+            if shortest == 0 or nb < shortest:
+                shortest = nb
+            if i + nb <= n:
+                v = int.from_bytes(data[i : i + nb], "big")
+                if lo <= v <= hi:
+                    return v, nb
+        nb = min(shortest or 1, n - i)
+        return int.from_bytes(data[i : i + nb], "big"), nb
+
+
+_IDENTITY_CMAP = CMap()
+_IDENTITY_CMAP.codespaces.append((2, 0, 0xFFFF))
+
+
+def parse_cmap(data: bytes) -> CMap:
+    """Parse the mapping sections of a CMap program. Tokens outside the
+    begin*/end* sections (the PostScript framing, /CIDSystemInfo, usecmap)
+    are skipped; unknown section contents are tolerated item-wise."""
+    cm = CMap()
+    mode: str | None = None
+    buf: list[object] = []  # pending operands within the current section
+    arr: list[str] | None = None  # open [ ... ] bf destination array
+    for m in _CMAP_TOK.finditer(data):
+        hexs, lbr, rbr, num, kw = m.groups()
+        if kw is not None:
+            word = kw.decode("ascii")
+            if word == "endcmap":
+                break
+            mode = word[5:] if word.startswith("begin") else None
+            buf = []
+            arr = None
+            continue
+        if mode is None:
+            continue
+        if lbr is not None:
+            arr = []
+            continue
+        if rbr is not None:
+            if arr is not None:
+                buf.append(arr)
+                arr = None
+        elif hexs is not None:
+            b = bytes.fromhex(hexs.decode("ascii").replace(" ", "").replace("\t", "").replace("\r", "").replace("\n", ""))
+            if arr is not None:
+                arr.append(_hex_to_unicode(b))
+                continue
+            buf.append(b)
+        elif num is not None:
+            buf.append(int(num))
+        # reduce complete tuples per section
+        if mode == "codespacerange" and len(buf) == 2:
+            lo_b, hi_b = buf
+            if isinstance(lo_b, bytes) and isinstance(hi_b, bytes) and lo_b:
+                cm.codespaces.append(
+                    (len(lo_b), int.from_bytes(lo_b, "big"), int.from_bytes(hi_b, "big"))
+                )
+            buf = []
+        elif mode == "cidchar" and len(buf) == 2:
+            code, cid = buf
+            if isinstance(code, bytes) and isinstance(cid, int):
+                cm.cid_single[int.from_bytes(code, "big")] = cid
+            buf = []
+        elif mode == "cidrange" and len(buf) == 3:
+            lo_b, hi_b, cid = buf
+            if isinstance(lo_b, bytes) and isinstance(hi_b, bytes) and isinstance(cid, int):
+                cm.cid_ranges.append(
+                    (int.from_bytes(lo_b, "big"), int.from_bytes(hi_b, "big"), cid)
+                )
+            buf = []
+        elif mode == "bfchar" and len(buf) == 2:
+            code, dst = buf
+            if isinstance(code, bytes) and isinstance(dst, bytes):
+                cm.bf_single[int.from_bytes(code, "big")] = _hex_to_unicode(dst)
+            buf = []
+        elif mode == "bfrange" and len(buf) == 3:
+            lo_b, hi_b, dst = buf
+            if isinstance(lo_b, bytes) and isinstance(hi_b, bytes):
+                lo = int.from_bytes(lo_b, "big")
+                hi = int.from_bytes(hi_b, "big")
+                if isinstance(dst, bytes):
+                    cm.bf_ranges.append((lo, hi, _hex_to_unicode(dst)))
+                elif isinstance(dst, list) and len(dst) >= hi - lo + 1:
+                    cm.bf_ranges.append((lo, hi, dst))
+            buf = []
+    # key-sort: third elements mix str/list and must never be compared
+    cm.bf_ranges.sort(key=lambda r: (r[0], r[1]))
+    cm.cid_ranges.sort(key=lambda r: (r[0], r[1]))
+    return cm
+
+
+# ---------------------------------------------------------------------------
+# font decoding (simple fonts: base encoding + /Differences;
+# Type0/CID fonts: Identity-H/V or embedded CMap + /ToUnicode)
 # ---------------------------------------------------------------------------
 
 # Adobe Glyph List subset: the names a /Differences array in a text-centric
@@ -635,9 +805,51 @@ _BASE_TABLES: dict[str | None, list[str]] = {}
 
 
 class FontDecoder:
-    """bytes -> str for one simple font (256-entry code table)."""
+    """bytes -> str for one font.
+
+    Simple fonts (Type1/TrueType/Type3): 256-entry code table from the
+    base encoding + /Differences, with /ToUnicode (when present)
+    overriding individual codes — subset fonts from office exporters
+    carry custom encodings whose ONLY truth is the ToUnicode CMap.
+
+    Composite fonts (/Subtype /Type0, PDF 32000-1 §9.7): multi-byte codes
+    iterated via the encoding CMap's codespace ranges (Identity-H/V when
+    the /Encoding is the predefined name; an embedded CMap stream is
+    parsed for codespaces + cidchar/cidrange). Each code maps through
+    /ToUnicode (the authoritative text mapping); absent that, the
+    deterministic fallback is chr(CID) for valid scalar values — exact
+    for the ubiquitous Identity-H + cid==codepoint subset convention,
+    U+FFFD otherwise. The reference gets this via Tika/PDFBox
+    (/root/reference/src/java-env.cpp:313)."""
 
     def __init__(self, fdict: dict, resolve):
+        tou = resolve(fdict.get("ToUnicode"))
+        self._tou: CMap | None = None
+        if isinstance(tou, tuple) and len(tou) == 2:
+            try:
+                self._tou = parse_cmap(decode_stream(tou[0], tou[1], resolve))
+            except ExtractError:
+                self._tou = None
+        subtype = resolve(fdict.get("Subtype"))
+        self._type0 = isinstance(subtype, str) and str(subtype) == "Type0"
+        if self._type0:
+            enc = resolve(fdict.get("Encoding"))
+            self._enc_cmap: CMap | None = None
+            if isinstance(enc, tuple) and len(enc) == 2:
+                try:
+                    self._enc_cmap = parse_cmap(decode_stream(enc[0], enc[1], resolve))
+                except ExtractError:
+                    self._enc_cmap = None
+            # code iteration: embedded CMap codespaces win; the predefined
+            # Identity-H/Identity-V names (and any unknown predefined
+            # name) iterate 2-byte codes
+            if self._enc_cmap is not None and self._enc_cmap.codespaces:
+                self._spaces = self._enc_cmap
+            elif self._tou is not None and self._tou.codespaces:
+                self._spaces = self._tou
+            else:
+                self._spaces = _IDENTITY_CMAP
+            return
         enc = resolve(fdict.get("Encoding"))
         base = None
         differences = None
@@ -658,6 +870,12 @@ class FontDecoder:
                     if 0 <= code < 256:
                         self.table[code] = _AGL.get(str(item), self.table[code])
                     code += 1
+        if self._tou is not None:
+            # ToUnicode is authoritative where it maps: override per code
+            for code in range(256):
+                u = self._tou.lookup_bf(code)
+                if u is not None:
+                    self.table[code] = u
         # decode fast paths: identical-to-latin-1 tables use the C codec
         # directly; any other table decodes latin-1 then str.translate()s
         # only the differing codes (C-speed; the per-byte join dominated
@@ -696,10 +914,35 @@ class FontDecoder:
         return list(cached)
 
     def decode(self, raw: bytes) -> str:
+        if self._type0:
+            return self._decode_cid(raw)
         s = raw.decode("latin-1")
         if self._latin1:
             return s
         return s.translate(self._xlate)
+
+    def _decode_cid(self, raw: bytes) -> str:
+        out: list[str] = []
+        i = 0
+        n = len(raw)
+        spaces = self._spaces
+        tou = self._tou
+        enc = self._enc_cmap
+        while i < n:
+            code, nb = spaces.next_code(raw, i)
+            i += nb
+            u = tou.lookup_bf(code) if tou is not None else None
+            if u is None:
+                cid = enc.lookup_cid(code) if enc is not None else None
+                if cid is None:
+                    cid = code  # Identity encoding: CID == code
+                u = (
+                    chr(cid)
+                    if 0 < cid < 0x110000 and not (0xD800 <= cid <= 0xDFFF)
+                    else "�"
+                )
+            out.append(u)
+        return "".join(out)
 
 
 _DEFAULT_DECODER = FontDecoder({}, lambda x: x)
@@ -1010,6 +1253,62 @@ def _escape_pdf_string(s: str) -> bytes:
     return b
 
 
+def _build_tounicode_cmap(code_of: dict[str, int]) -> bytes:
+    """Deterministic /ToUnicode CMap for the builder's code assignment.
+    Consecutive (code, codepoint) runs become ``bfrange`` rows (split at
+    the 256-code boundary per spec — lo/hi may differ only in the last
+    byte); singletons become ``bfchar``; sections chunk at the spec's
+    100-entry limit."""
+    pairs = sorted((c, ch) for ch, c in code_of.items())
+    ranges: list[tuple[int, int, str]] = []
+    chars: list[tuple[int, str]] = []
+    i = 0
+    while i < len(pairs):
+        j = i
+        while (
+            j + 1 < len(pairs)
+            and pairs[j + 1][0] == pairs[j][0] + 1
+            and ord(pairs[j + 1][1]) == ord(pairs[j][1]) + 1
+            and pairs[j + 1][0] >> 8 == pairs[i][0] >> 8
+        ):
+            j += 1
+        if j > i:
+            ranges.append((pairs[i][0], pairs[j][0], pairs[i][1]))
+        else:
+            chars.append(pairs[i])
+        i = j + 1
+    out = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    def u16(ch: str) -> bytes:
+        return ch.encode("utf-16-be").hex().encode("ascii")
+    for k in range(0, len(chars), 100):
+        chunk = chars[k : k + 100]
+        out.append(b"%d beginbfchar" % len(chunk))
+        out += [b"<%04x> <%s>" % (c, u16(ch)) for c, ch in chunk]
+        out.append(b"endbfchar")
+    for k in range(0, len(ranges), 100):
+        chunk = ranges[k : k + 100]
+        out.append(b"%d beginbfrange" % len(chunk))
+        out += [b"<%04x> <%04x> <%s>" % (lo, hi, u16(ch)) for lo, hi, ch in chunk]
+        out.append(b"endbfrange")
+    out += [
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    return b"\n".join(out)
+
+
 def build_pdf(
     pages: list[list[tuple[float, float, str]]],
     *,
@@ -1017,6 +1316,8 @@ def build_pdf(
     tj_arrays: bool = False,
     use_tm: bool = False,
     xref_stream: bool = False,
+    cid: bool = False,
+    cid_tounicode: bool = True,
 ) -> bytes:
     """Build a real, deterministic, parser-valid PDF from (x, y, text) runs.
 
@@ -1025,19 +1326,73 @@ def build_pdf(
     via ``Tm`` instead of ``Td``; ``xref_stream`` writes a PDF 1.5
     cross-reference stream instead of a classic table. Fonts declare
     ``/WinAnsiEncoding`` so non-ASCII round-trips through cp1252.
+
+    ``cid=True`` emits a composite font instead (/Subtype /Type0,
+    /Encoding /Identity-H, a CIDFontType2 descendant) and shows text as
+    2-byte hex-string codes. With ``cid_tounicode`` the codes are a
+    dense subset assignment (first-seen order of the document's distinct
+    chars) mapped back by a generated /ToUnicode CMap mixing bfchar and
+    bfrange rows — the shape every modern PDF generator emits. Without
+    it, codes are the raw codepoints (the Identity cid==unicode subset
+    convention) exercising the parser's no-ToUnicode fallback.
     """
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
-    # 1=Catalog 2=Pages 3=Font, then per page: page obj, content obj
+    code_of: dict[str, int] = {}
+    if cid:
+        if cid_tounicode:
+            # dense code assignment over the document's sorted distinct
+            # chars: sorted order makes contiguous codepoint runs land on
+            # contiguous codes, so the CMap genuinely exercises bfrange
+            alphabet = sorted({ch for runs in pages for _x, _y, t in runs for ch in t})
+            code_of = {ch: k + 1 for k, ch in enumerate(alphabet)}
+        else:
+            code_of = {
+                ch: ord(ch) for runs in pages for _x, _y, t in runs for ch in t
+            }
+    # 1=Catalog 2=Pages 3=Font, then per page: page obj, content obj;
+    # cid appends descendant-font (+ ToUnicode) objects after the pages
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     kids = " ".join("%d 0 R" % (4 + 2 * i) for i in range(n_pages))
     objects[2] = (
         "<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages)
     ).encode("ascii")
-    objects[3] = (
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-        b" /Encoding /WinAnsiEncoding >>"
-    )
+    if cid:
+        desc_num = 4 + 2 * n_pages
+        tou_num = desc_num + 1
+        font = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /DejaVuSans"
+            b" /Encoding /Identity-H /DescendantFonts [%d 0 R]" % desc_num
+        )
+        if cid_tounicode:
+            font += b" /ToUnicode %d 0 R" % tou_num
+        objects[3] = font + b" >>"
+        objects[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /DejaVuSans"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> /CIDToGIDMap /Identity /DW 1000 >>"
+        )
+        if cid_tounicode:
+            cmap = _build_tounicode_cmap(code_of)
+            comp = zlib.compress(cmap, 6)
+            objects[tou_num] = (
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(comp), comp)
+            )
+    else:
+        objects[3] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        )
+
+    def hexshow(text: str) -> bytes:
+        # astral chars in the raw-codepoint (no-ToUnicode) variant ride
+        # UTF-16 surrogate pairs, the real Identity-H convention
+        return b"".join(
+            b"%04x" % c if c <= 0xFFFF else ch.encode("utf-16-be").hex().encode("ascii")
+            for ch, c in ((ch, code_of[ch]) for ch in text)
+        )
+
     for i, runs in enumerate(pages):
         page_num = 4 + 2 * i
         cont_num = page_num + 1
@@ -1052,14 +1407,24 @@ def build_pdf(
             else:
                 lines.append(b"1 0 0 1 0 0 Tm")
                 lines.append(b"%s %s Td" % (_fmt(x), _fmt(y)))
-            esc = _escape_pdf_string(text)
-            if tj_arrays and len(text) > 4:
-                cut = len(text) // 2
-                a = _escape_pdf_string(text[:cut])
-                b = _escape_pdf_string(text[cut:])
-                lines.append(b"[(%s) -28 (%s)] TJ" % (a, b))
+            if cid:
+                if tj_arrays and len(text) > 4:
+                    cut = len(text) // 2
+                    lines.append(
+                        b"[<%s> -28 <%s>] TJ"
+                        % (hexshow(text[:cut]), hexshow(text[cut:]))
+                    )
+                else:
+                    lines.append(b"<%s> Tj" % hexshow(text))
             else:
-                lines.append(b"(%s) Tj" % esc)
+                esc = _escape_pdf_string(text)
+                if tj_arrays and len(text) > 4:
+                    cut = len(text) // 2
+                    a = _escape_pdf_string(text[:cut])
+                    b = _escape_pdf_string(text[cut:])
+                    lines.append(b"[(%s) -28 (%s)] TJ" % (a, b))
+                else:
+                    lines.append(b"(%s) Tj" % esc)
         lines.append(b"ET")
         body = b"\n".join(lines)
         if flate:

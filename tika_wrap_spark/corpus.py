@@ -49,6 +49,13 @@ _WORDS = (
 
 _STOP_HTML = "home about contact login signup next prev".split()
 
+# non-Latin vocabulary for the CID (Type0/Identity-H) PDF slice: the
+# whole point of composite fonts is text WinAnsi can't carry
+_CID_WORDS = (
+    "日本語 テキスト 抽出 文書 処理 данные документ текст обработка "
+    "Ωμέγα αλφάβητο κείμενο 한국어 문서 中文 文本 提取"
+).split()
+
 
 def _words(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_WORDS) for _ in range(n))
@@ -123,11 +130,13 @@ def _gen_pdf_runs(rng: random.Random, giant: bool = False) -> list[list[tuple]]:
 
 
 def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
-    """A PDF payload drawing a five-way serialization mix: the synthetic
+    """A PDF payload drawing a six-way serialization mix: the synthetic
     fixtures dialect (half the draws — it remains the strict-parser
     regression surface) or a REAL binary PDF (core/pdfbin.py builder) in
-    one of four variants: flate/Td, uncompressed, kerned-TJ arrays, or a
-    PDF 1.5 cross-reference stream."""
+    one of five variants: flate/Td, uncompressed kerned-TJ arrays, Tm
+    positioning, a PDF 1.5 cross-reference stream, or a Type0/Identity-H
+    CID font carrying non-Latin text (ToUnicode CMap on most draws; the
+    raw-codepoint no-ToUnicode fallback on the rest)."""
     pages = _gen_pdf_runs(rng, giant)
     form = rng.random()
     if form < 0.5:  # fixtures dialect
@@ -138,13 +147,29 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
                 lines.append("BT %.1f %.1f Td (%s) Tj ET" % (x, y, _escape_pdf(text)))
         lines.append("%%EOF")
         return "\n".join(lines)
-    if form < 0.65:
+    if form < 0.63:
         return build_pdf_text(pages)
-    if form < 0.775:
+    if form < 0.74:
         return build_pdf_text(pages, flate=False, tj_arrays=True)
-    if form < 0.9:
+    if form < 0.84:
         return build_pdf_text(pages, use_tm=True)
-    return build_pdf_text(pages, xref_stream=True, tj_arrays=True)
+    if form < 0.92:
+        return build_pdf_text(pages, xref_stream=True, tj_arrays=True)
+    # CID slice: splice non-Latin words into the page text so the Type0
+    # path decodes something WinAnsi never could
+    cid_pages = [
+        [
+            (x, y, "%s %s" % (rng.choice(_CID_WORDS), text))
+            for x, y, text in runs
+        ]
+        for runs in pages
+    ]
+    return build_pdf_text(
+        cid_pages,
+        cid=True,
+        cid_tounicode=rng.random() < 0.75,
+        tj_arrays=rng.random() < 0.5,
+    )
 
 
 def _gen_csv_payload(rng: random.Random) -> str:

@@ -46,11 +46,36 @@ def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("eq", q).withColumn("nq", int_dot(F.col("eq"), F.col("eq")))
 
 
+# brute_force_topk is the documented EXACT baseline and is only safe while
+# the query side fits a broadcast: the crossJoin scores every (corpus row,
+# query) combination, so cost is |corpus| * |queries| and the query table
+# must ship to every task. Bound it explicitly so a caller who points the
+# "query" argument at a second corpus gets a loud error, not a 10^12-row
+# nested-loop join. IVF/LSH/PQ are the scale paths for big query sets.
+BRUTE_FORCE_MAX_QUERIES = 10_000
+
+
 def brute_force_topk(
     df: DataFrame, query_df: DataFrame, k: int = 10, vec_col: str = "embedding"
 ) -> DataFrame:
     """Cosine top-k against a (small, broadcast) query set. The corpus side
-    never shuffles; ranking is TakeOrderedAndProject per query."""
+    never shuffles; ranking is TakeOrderedAndProject per query.
+
+    EXACT BASELINE, not a scale path: the query side is broadcast and
+    cross-joined against every corpus row, so it must stay small. Raises
+    ``ValueError`` when ``query_df`` exceeds ``BRUTE_FORCE_MAX_QUERIES``
+    rows (one cheap count on the small side — the corpus is never
+    counted). Use ``ivf_topk`` / ``lsh_topk_multi`` / ``pq_topk`` when the
+    query set itself is corpus-sized."""
+    n_queries = query_df.count()
+    if n_queries > BRUTE_FORCE_MAX_QUERIES:
+        raise ValueError(
+            f"brute_force_topk query side has {n_queries} rows "
+            f"(> BRUTE_FORCE_MAX_QUERIES={BRUTE_FORCE_MAX_QUERIES}); it is "
+            "broadcast + cross-joined against the full corpus, so a large "
+            "query set makes cost |corpus|*|queries|. Use ivf_topk / "
+            "lsh_topk_multi / pq_topk for corpus-sized query sets."
+        )
     corpus = with_quantized(df, vec_col).select(
         F.col("vec_id").alias("cand_id"), "eq", "nq"
     )
