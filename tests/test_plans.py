@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 45  # 30 + 15 adversarial
+    assert read.count() == 47  # 30 + 17 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -205,6 +205,8 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # xz / bz2 wrapper magics incl. the bare-"BZh" empty-slice edge
         # (Python `"" in "123456789"` is True — the rule needs a len guard)
         "\xfd7zXZ\x00", "\xfd7zXZ", "BZh", "BZh9", "BZh0", "BZhX", "BZh91AY&SY",
+        # CFB/OLE2 magic (full 8 bytes, truncated prefix, shifted-off-0)
+        "\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "\xd0\xcf\x11\xe0", "\xd0\xcf",
         # rtf magic (must beat the json '{' rule) and rfc5322 header
         # material: strong openers, weak openers, corroborator lines
         "{\\rtf", "{\\rtf1\\ansi x}", "{\\rt", "Received: by mx1\n",

@@ -15,6 +15,7 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from tika_wrap_spark.core.charset import decode_charset
 from tika_wrap_spark.core.extract import extract_document
 from tika_wrap_spark.core.html import extract_html_blocks
 from tika_wrap_spark.core.sniff import sniff_kind
@@ -57,12 +58,18 @@ def test_never_raises_and_offsets_run(spans_in):
 @given(st.text(alphabet=st.characters(blacklist_characters="<%P"), max_size=300))
 @settings(max_examples=200, deadline=None)
 def test_plain_text_roundtrips(text):
-    """Text that can't sniff as html/pdf passes through verbatim."""
+    """Text that can't sniff as html/pdf extracts as exactly the charset
+    ladder's output (r5: text-family payloads pass through core/charset.py
+    first — codec '' means verbatim, which remains the overwhelming case;
+    a detected codec means the extracted span is the decode, byte-exact)."""
     if sniff_kind(text) != "text":
         return
+    decoded, _codec = decode_charset(text)
+    if sniff_kind(decoded) != "text":
+        return  # decode may reveal a routable payload (html inside utf-16)
     res = extract_document([{"kind": "text", "text": text, "media_ref": "", "offset": 0}])
     assert res["parse_ok"]
-    assert [s["text"] for s in res["spans"]] == [text]
+    assert [s["text"] for s in res["spans"]] == [decoded]
 
 
 @given(st.integers(min_value=0, max_value=5))

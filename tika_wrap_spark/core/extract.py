@@ -18,21 +18,27 @@ from __future__ import annotations
 
 from typing import Any
 
+from tika_wrap_spark.core.charset import decode_charset
 from tika_wrap_spark.core.container import MAX_CONTAINER_DEPTH, parse_container
 from tika_wrap_spark.core.errors import ExtractError
+from tika_wrap_spark.core.exifbin import jpeg_exif_text
 from tika_wrap_spark.core.gzipbin import gunzip_text, unbz2_text, unxz_text
 from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, html_title
 from tika_wrap_spark.core.media import image_dims_text
+from tika_wrap_spark.core.olebin import ole_extract_text
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
 from tika_wrap_spark.core.pdfbin import is_real_pdf_text, parse_real_pdf_pages_text
 from tika_wrap_spark.core.eml import parse_eml
 from tika_wrap_spark.core.rtf import rtf_to_text
 from tika_wrap_spark.core.sniff import (
     KIND_BZ2,
+    KIND_CSV,
     KIND_EML,
+    KIND_JSON,
     KIND_GZIP,
     KIND_HTML,
     KIND_MEDIA,
+    KIND_OLE,
     KIND_PDF,
     KIND_RTF,
     KIND_TAR,
@@ -55,6 +61,11 @@ from tika_wrap_spark.core.tarbin import parse_tar_text
 # container member marking an OOXML-analog archive (real OOXML is zip with
 # exactly this member; QMimeDatabase-style container-format distinction)
 OOXML_MARKER = "[Content_Types].xml"
+
+# sniff kinds eligible for charset detection — text family only; binary
+# magics (PNG/zip/pdf bytes-as-text) are high-byte-dense and must never be
+# transcoded (Tika's AutoDetectReader likewise guards text/* parses only)
+_CHARSET_SNIFF_KINDS = frozenset({KIND_TEXT, KIND_CSV, KIND_JSON})
 
 Span = dict[str, Any]  # {kind, text, media_ref, offset}
 
@@ -105,9 +116,12 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     title = ""  # first non-empty <title> across html payloads
     pdf1_dims: tuple[float, float] | None = None  # first pdf's first page
     media1_dims: tuple[int, int] | None = None  # first parseable image's w,h
+    media1_exif: dict[str, str] = {}  # first image member's EXIF (JPEG APP1)
     container_format = ""  # 'ooxml' if any archive carries the marker member
     eml_subject = ""  # first message's decoded Subject (Tika dc:title analog)
     eml_from = ""
+    charset_first = ""  # first detected non-default payload charset
+    n_transcoded = 0  # payloads that went through a charset transcode
 
     def emit(kind: str, text: str, media_ref: str) -> None:
         nonlocal offset
@@ -123,15 +137,31 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         inputs at example/demo1.cpp:48-49)."""
         nonlocal n_pages, n_blocks, n_media, n_containers, n_entries
         nonlocal depth_max, title, pdf1_dims, media1_dims, container_format
-        nonlocal eml_subject, eml_from
+        nonlocal eml_subject, eml_from, charset_first, n_transcoded
+        if kind in _CHARSET_SNIFF_KINDS:
+            # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
+            # sniffs text-family first (its magic bytes match nothing), the
+            # transcode recovers real characters, and the RE-sniff routes
+            # the decoded form (a BOM'd UTF-16 html file extracts as html)
+            decoded, codec = decode_charset(text)
+            if codec:
+                n_transcoded += 1
+                if not charset_first:
+                    charset_first = codec
+                text = decoded
+                kind = sniff_kind(text, media_ref)
         kinds_seen.add(kind)
         if kind == KIND_MEDIA:
             n_media += 1
             if media1_dims is None and text:
                 # embedded member carries real bytes: PNG IHDR / JPEG SOF
                 # header parse (pure stdlib, core/media.py) — the analog of
-                # Tika's tiff:ImageWidth/Length metadata keys
+                # Tika's tiff:ImageWidth/Length metadata keys; JPEG members
+                # additionally surface APP1/Exif (orientation + timestamp —
+                # the reference's exiftool dep, /root/reference/README.md:19)
                 media1_dims = image_dims_text(text)
+                if media1_dims is not None and not media1_exif:
+                    media1_exif.update(jpeg_exif_text(text))
             if not media_ref and path:
                 # embedded media member: back-pointer into the archive
                 media_ref = "zip://" + "/".join(path)
@@ -189,6 +219,15 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             if not container_format:
                 container_format = kind
             route(sniff_kind(inner, ""), inner, "", path + (tag,), depth + 1)
+        elif kind == KIND_OLE:
+            # legacy binary Office (CFB compound file): .doc piece-table /
+            # .xls BIFF8 record walk (core/olebin.py); Tika's POI analog.
+            # The subkind lands in container_format so doc/xls tallies are
+            # queryable without re-sniffing
+            subkind, ole_text = ole_extract_text(text)
+            if not container_format:
+                container_format = "ole-" + subkind
+            emit(KIND_TEXT, ole_text, "")
         elif kind == KIND_RTF:
             # native RTF control-word parse (core/rtf.py); Tika's RTFParser
             # analog — document text only, destination groups skipped
@@ -245,8 +284,12 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "pdf_page1_h": "" if pdf1_dims is None else "%.1f" % pdf1_dims[1],
         "media1_w": "" if media1_dims is None else _stringify(media1_dims[0]),
         "media1_h": "" if media1_dims is None else _stringify(media1_dims[1]),
+        "media1_exif_orientation": media1_exif.get("orientation", ""),
+        "media1_exif_datetime": media1_exif.get("datetime", ""),
         "eml_subject": eml_subject,
         "eml_from": eml_from,
+        "charset": charset_first,
+        "n_transcoded": _stringify(n_transcoded),
         "kinds": ",".join(sorted(kinds_seen)),
         "parser": "tika_wrap_spark-0.1",
     }

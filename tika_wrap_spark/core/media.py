@@ -21,6 +21,12 @@ from __future__ import annotations
 import struct
 import zlib
 
+# top-level import (NOT lazy): build_jpeg runs inside executor-side UDFs
+# (corpus generation), where a function-local import would defeat
+# make_portable's pickle-by-value shipping and raise ModuleNotFoundError
+# on any worker without the package on its path
+from tika_wrap_spark.core.exifbin import build_exif_app1
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8"
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
@@ -312,16 +318,22 @@ def build_wav(
     )
 
 
-def build_jpeg(width: int, height: int, progressive: bool = False) -> bytes:
-    """Minimal JPEG head: SOI + APP0(JFIF) + SOF0 (or SOF2) + EOI."""
+def build_jpeg(
+    width: int, height: int, progressive: bool = False, exif: dict | None = None
+) -> bytes:
+    """Minimal JPEG head: SOI + APP0(JFIF) [+ APP1/Exif] + SOF0 (or SOF2)
+    + EOI. ``exif`` kwargs pass through to ``exifbin.build_exif_app1``."""
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
         ">HH", 1, 1
     ) + b"\x00\x00"
+    app1 = b""
+    if exif:
+        app1 = build_exif_app1(**exif)
     sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
     sof = sof_marker + struct.pack(">HBHHB", 8 + 3 * 1, 8, height, width, 1) + bytes(
         [1, 0x11, 0]
     )
-    return JPEG_MAGIC + app0 + sof + b"\xff\xd9"
+    return JPEG_MAGIC + app0 + app1 + sof + b"\xff\xd9"
 
 
 # ---------------------------------------------------------------------------

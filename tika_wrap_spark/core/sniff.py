@@ -28,6 +28,10 @@ KIND_JSON = "json"
 KIND_CSV = "csv"
 KIND_RTF = "rtf"
 KIND_EML = "eml"
+KIND_OLE = "ole"  # OLE2/CFB compound file (.doc/.xls), magic at offset 0
+
+# CFB header magic ([MS-CFB] 2.2) as bytes-as-text
+OLE_MAGIC_TEXT = "\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
 # ustar magic position (bytes-as-text offset); checked against the FULL
 # payload, not the head window
@@ -75,6 +79,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       4. head starts with '\\x1f\\x8b'            -> 'gzip' (RFC 1952 wrapper)
       4b. head starts with '\\xfd7zXZ\\x00'       -> 'xz'
       4c. head starts with 'BZh' + level 1-9      -> 'bz2'
+      4d. head starts with the 8-byte CFB magic   -> 'ole' (legacy Office
+         compound file: .doc/.xls route to core/olebin.py)
       5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
@@ -117,6 +123,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
     # the JVM substring comparison has no such quirk, keep them identical
     if head.startswith("BZh") and len(head) > 3 and head[3] in "123456789":
         return KIND_BZ2
+    if head.startswith(OLE_MAGIC_TEXT):
+        return KIND_OLE
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
         return KIND_TAR
     for magic in _MEDIA_MAGICS:

@@ -27,11 +27,13 @@ import functools
 import random
 from typing import Any
 
+from tika_wrap_spark.core.charset import encode_charset
 from tika_wrap_spark.core.container import build_container
 from tika_wrap_spark.core.eml import build_eml
 from tika_wrap_spark.core.extract import extract_document
 from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text
 from tika_wrap_spark.core.media import build_jpeg, build_png
+from tika_wrap_spark.core.olebin import build_doc, build_xls
 from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.rtf import build_rtf
 from tika_wrap_spark.core.tarbin import build_tar_text
@@ -55,6 +57,50 @@ _CID_WORDS = (
     "日本語 テキスト 抽出 文書 処理 данные документ текст обработка "
     "Ωμέγα αλφάβητο κείμενο 한국어 문서 中文 文本 提取"
 ).split()
+
+
+# CJK sentence pools for the charset-detection slice (core/charset.py):
+# Japanese carries kana (the Shift-JIS discriminator), Chinese is pure
+# CJK-unified (the GBK discriminator) — both stay inside their codec's
+# repertoire so encode() is lossless
+_JA_SENTENCES = (
+    "これは日本語のテスト文書です。",
+    "大規模なデータ処理パイプラインを検証する。",
+    "文字コードの自動判定はアーカイブ抽出の前提となる。",
+    "かな漢字混じりのログ行をそのまま取り込む。",
+)
+_ZH_SENTENCES = (
+    "这是一个中文测试文档。",
+    "大规模数据处理管道需要字符集检测。",
+    "文本抽取流水线按内容路由每个文档。",
+    "压缩包中的成员递归解析后再分类。",
+)
+
+
+def _gen_cjk_text(rng: random.Random, lang: str) -> str:
+    pool = _JA_SENTENCES if lang == "ja" else _ZH_SENTENCES
+    return "\n".join(rng.choice(pool) for _ in range(rng.randint(2, 6)))
+
+
+def _charset_wrap(rng: random.Random, body: str) -> str:
+    """Re-encode a text-family payload on the wire the way a real mixed
+    corpus would carry it: BOM'd UTF-16/32, BOM'd UTF-8, BOM-less UTF-16
+    (NUL-pattern heuristic path), or a CJK page in Shift-JIS / GBK. The
+    extractor's charset ladder must recover the exact characters."""
+    c = rng.random()
+    if c < 0.30:
+        return encode_charset(body, "utf-16le")
+    if c < 0.45:
+        return encode_charset(body, "utf-16be")
+    if c < 0.55:
+        return encode_charset(body, "utf-16le", bom=False)
+    if c < 0.65:
+        return encode_charset(body, "utf-32le")
+    if c < 0.75:
+        return encode_charset(body, "utf-8")
+    if c < 0.88:
+        return encode_charset(_gen_cjk_text(rng, "ja"), "shift_jis", bom=False)
+    return encode_charset(_gen_cjk_text(rng, "zh"), "gbk", bom=False)
 
 
 def _words(rng: random.Random, n: int) -> str:
@@ -246,7 +292,26 @@ def _gen_png_payload(rng: random.Random) -> str:
     libraries, so extraction records true media dimensions."""
     w, h = rng.randint(16, 1920), rng.randint(16, 1080)
     if rng.random() < 0.25:
-        return build_jpeg(w, h).decode("latin-1")
+        exif = None
+        if rng.random() < 0.5:  # half the JPEG members carry real APP1/Exif
+            exif = {
+                "make": "TwcCam",
+                "model": "M%d" % rng.randint(0, 9),
+                "orientation": rng.randint(1, 8),
+                "datetime": "2025:%02d:%02d %02d:%02d:%02d"
+                % (
+                    rng.randint(1, 12),
+                    rng.randint(1, 28),
+                    rng.randint(0, 23),
+                    rng.randint(0, 59),
+                    rng.randint(0, 59),
+                ),
+                "gps": (
+                    round(rng.uniform(-90, 90), 2),
+                    round(rng.uniform(-180, 180), 2),
+                ),
+            }
+        return build_jpeg(w, h, exif=exif).decode("latin-1")
     filler = "".join(rng.choice("0123456789abcdef") for _ in range(rng.randint(32, 96)))
     return build_png(w, h, filler.encode("ascii")).decode("latin-1")
 
@@ -309,9 +374,35 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
             entries.append(("member_%d.rtf" % i, _gen_rtf_payload(rng)))
         elif k < 0.9:
             entries.append(("member_%d.eml" % i, _gen_eml_payload(rng, depth + 1)))
+        elif k < 0.95:
+            entries.append(("member_%d.doc" % i, _gen_ole_payload(rng)))
         else:
             entries.append(("member_%d.png" % i, _gen_png_payload(rng)))
     return _encode_archive(rng, entries)
+
+
+def _gen_ole_payload(rng: random.Random) -> str:
+    """Legacy binary Office payload: 2/3 Word 97 .doc (piece-table text,
+    ~1-in-4 forced utf-16 pieces via CJK words), 1/3 Excel BIFF8 .xls
+    (LABELSST strings + NUMBER cells)."""
+    if rng.random() < 0.67:
+        paras = [_sentence(rng) for _ in range(rng.randint(2, 8))]
+        if rng.random() < 0.25:  # utf-16 piece path
+            paras.append("Unicode para: " + " ".join(rng.sample(_CID_WORDS, 3)))
+        return build_doc("\n".join(paras)).decode("latin-1")
+    header = [rng.choice(_WORDS) for _ in range(rng.randint(2, 5))]
+    rows: list[list] = [header]
+    for r in range(rng.randint(2, 10)):
+        row: list = []
+        for _c in range(len(header)):
+            if rng.random() < 0.5:
+                row.append(rng.choice(_WORDS))
+            elif rng.random() < 0.5:
+                row.append(rng.randint(0, 100000))
+            else:
+                row.append(round(rng.uniform(-1000, 1000), 3))
+        rows.append(row)
+    return build_xls("Sheet_%d" % rng.randint(1, 9), rows).decode("latin-1")
 
 
 def _make_spans(payloads: list[tuple[str, str, str]]) -> list[dict[str, Any]]:
@@ -345,6 +436,12 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             payloads = [("text", _gen_json_payload(rng), "")]
         else:
             payloads = [("text", _gen_xml_payload(rng), "")]
+        # charset slice: ~18% of text-family docs arrive re-encoded (BOM'd
+        # UTF-16/32/8, heuristic BOM-less UTF-16, Shift-JIS/GBK CJK pages);
+        # the wrap draw comes AFTER payload generation so unwrapped docs
+        # keep their pre-r5 content byte-identically
+        if rng.random() < 0.18:
+            payloads = [("text", _charset_wrap(rng, payloads[0][1]), "")]
     elif r < 0.63:
         payloads = [("html", _gen_html_payload(rng), "")]
     elif r < 0.66:  # rfc822/MIME message (message-as-container path)
@@ -368,11 +465,15 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
                 payloads.append(("media", "", "blob://%s/%d" % (doc_id, media_n)))
                 media_n += 1
     else:  # RAW container doc (TWC1 archive; recursive extraction path)
-        payloads = [("zip", _gen_container_payload(rng), "")]
+        # ~1-in-4 of this slice is a legacy binary Office doc instead
+        if rng.random() < 0.25:
+            payloads = [("ole", _gen_ole_payload(rng), "")]
+        else:
+            payloads = [("zip", _gen_container_payload(rng), "")]
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 15
+N_ADVERSARIAL = 17
 
 
 @functools.lru_cache(maxsize=1)
@@ -480,6 +581,23 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
     ).rsplit("--=_twc_boundary_001--", 1)[0]
     rows.append(
         {"doc_id": "doc_%07d" % (base + 14), "spans": _make_spans([("eml", cut_eml, "")])}
+    )
+    # truncated CFB: header intact, sectors cut (olebin sector-bounds path)
+    cut_ole = build_doc("doomed legacy document body")[:700].decode("latin-1")
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 15), "spans": _make_spans([("ole", cut_ole, "")])}
+    )
+    # .doc with an out-of-bounds Clx pointer (olebin FIB-validation path)
+    bad_doc = bytearray(build_doc("clx pointer goes nowhere"))
+    # WordDocument stream rides the mini-stream; corrupt fcClx via the raw
+    # bytes: find the FIB ident and overwrite fcClx at +0x01A2
+    ident = bad_doc.find(b"\xec\xa5")
+    bad_doc[ident + 0x01A2 : ident + 0x01A6] = b"\xff\xff\xff\x0f"
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 16),
+            "spans": _make_spans([("ole", bytes(bad_doc).decode("latin-1"), "")]),
+        }
     )
     return rows
 

@@ -53,6 +53,7 @@ from tika_wrap_spark.core.media import (
     resize_nearest,
     wav_info,
 )
+from tika_wrap_spark.core.exifbin import jpeg_exif
 from tika_wrap_spark.portability import make_portable
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -63,6 +64,11 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), False),
         T.StructField("n_frames", T.IntegerType(), False),
         T.StructField("feature", T.StringType(), False),
+        # EXIF surface (JPEG APP1 walk, core/exifbin.py — the exiftool
+        # runtime dep the reference declares, /root/reference/README.md:19);
+        # 0/'' for formats/payloads without EXIF
+        T.StructField("exif_orientation", T.IntegerType(), False),
+        T.StructField("exif_datetime", T.StringType(), False),
     ]
 )
 
@@ -88,6 +94,8 @@ def _decode_fake(ref: str, payload: bytes) -> dict:
         "height": 64 + ((v >> 8) % 1080),
         "n_frames": 1 + ((v >> 16) % 300),
         "feature": h[:16],
+        "exif_orientation": 0,
+        "exif_datetime": "",
     }
 
 
@@ -100,12 +108,15 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
     declared stub."""
     dims = image_dims(payload)
     if dims is not None:
+        exif = jpeg_exif(payload)  # {} for non-JPEG images / no APP1
         return {
             "media_kind": "image",
             "width": dims[0],
             "height": dims[1],
             "n_frames": 1,
             "feature": hashlib.md5(payload).hexdigest()[:16],
+            "exif_orientation": int(exif.get("orientation") or 0),
+            "exif_datetime": exif.get("datetime", ""),
         }
     wav = wav_info(payload)
     if wav is not None:
@@ -116,6 +127,8 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
             "height": sample_rate,
             "n_frames": n_frames,
             "feature": hashlib.md5(payload).hexdigest()[:16],
+            "exif_orientation": 0,
+            "exif_datetime": "",
         }
     avi = avi_info(payload)
     if avi is not None:
@@ -126,6 +139,8 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
             "height": h,
             "n_frames": n_frames,
             "feature": hashlib.md5(payload).hexdigest()[:16],
+            "exif_orientation": 0,
+            "exif_datetime": "",
         }
     mp3 = mp3_info(payload)
     if mp3 is not None:
@@ -136,6 +151,8 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
             "height": sample_rate,
             "n_frames": n_frames,
             "feature": hashlib.md5(payload).hexdigest()[:16],
+            "exif_orientation": 0,
+            "exif_datetime": "",
         }
     return _decode_fake(ref, payload)
 
@@ -193,7 +210,22 @@ def _fetch_fake(ref: str) -> bytes:
         # DCT kernels), half header-only (incl. progressive -> stub)
         if v & 128:
             return build_jpeg_pixels(pw, ph, _gradient_rgb(pw, ph, h[7]))
-        return build_jpeg(w, hgt, progressive=bool(v & 8))
+        # half the header-only JPEGs carry a real APP1/Exif segment
+        # (orientation + timestamp + GPS) so the EXIF walk stays pinned
+        exif = None
+        if v & 64:
+            exif = {
+                "make": "TwcCam",
+                "model": "M%d" % (v % 10),
+                "orientation": 1 + v % 8,
+                "datetime": "2025:0%d:%02d 0%d:%02d:%02d"
+                % (1 + v % 9, 1 + (v >> 3) % 28, v % 10, (v >> 5) % 60, (v >> 11) % 60),
+                "gps": (
+                    -90.0 + (v % 18000) / 100.0,
+                    -180.0 + ((v >> 9) % 36000) / 100.0,
+                ),
+            }
+        return build_jpeg(w, hgt, progressive=bool(v & 8), exif=exif)
     if kind == 2:
         # half pixel-carrying (real LZW image data -> the real resize/embed
         # kernels), half header-only (the header-parse-only path)

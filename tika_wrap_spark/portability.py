@@ -20,6 +20,22 @@ from pyspark import cloudpickle
 
 
 def make_portable() -> None:
+    # import EVERY package submodule first: a module first imported after
+    # an earlier make_portable() call would otherwise be pickled by
+    # reference (ModuleNotFoundError on workers without the package) —
+    # the full walk makes registration independent of import order
+    import importlib  # noqa: PLC0415
+    import pkgutil  # noqa: PLC0415
+
+    import tika_wrap_spark  # noqa: PLC0415
+
+    for info in pkgutil.walk_packages(
+        tika_wrap_spark.__path__, prefix="tika_wrap_spark."
+    ):
+        try:
+            importlib.import_module(info.name)
+        except Exception:
+            pass
     for name, mod in list(sys.modules.items()):
         if name.startswith("tika_wrap_spark") and mod is not None:
             try:

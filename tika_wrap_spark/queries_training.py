@@ -2401,7 +2401,7 @@ def q_container_extract(spark, d):
 
 def q_error_taxonomy(spark, d):
     """Operational error observability: parse failures tallied by CLASS
-    (timeout / bomb / container / archive / pdf / rtf / eml / html /
+    (timeout / bomb / container / archive / pdf / rtf / eml / ole / html /
     internal / other)
     — the monitoring view a 10^12-doc run pages on. Pure when-chain over
     the error string + partial-agg count; the reference exposes only a
@@ -2446,6 +2446,12 @@ def _error_class_col():
         )
         .when(F.col("error").startswith("rtf:"), F.lit("rtf"))
         .when(F.col("error").startswith("eml:"), F.lit("eml"))
+        .when(
+            F.col("error").startswith("ole:")
+            | F.col("error").startswith("doc:")
+            | F.col("error").startswith("xls:"),
+            F.lit("ole"),
+        )
         .when(
             F.col("error").contains("tag") | F.col("error").contains("comment")
             | F.col("error").contains("declaration"),
@@ -2529,3 +2535,84 @@ def q_media_frames(spark, d):
 
     ext = extract_in_memory(spark, _corpus_df(spark, d))
     return frame_sample(media_payloads(ext))
+
+
+def q_charset_stats(spark, d):
+    """Charset-detection observability (r5): the AutoDetectReader analog —
+    per detected codec, how many docs transcoded and how many went through
+    a post-decode re-route (a BOM'd UTF-16 html file sniffs text-family on
+    the wire, then routes html once decoded; core/charset.py ladder:
+    BOM > NUL-interleave UTF-16 > strict multibyte UTF-8 > confidence-gated
+    Shift-JIS/GBK). The reference inherits this from Tika's text parse path
+    (/root/reference/src/java-env.cpp:313)."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(meta_at("charset") != "")
+        .select(
+            meta_at("charset").alias("charset"),
+            meta_at("n_transcoded").cast("int").alias("n_transcoded"),
+            # re-route evidence: the decoded payload sniffed non-text
+            (~F.split(meta_at("kinds"), ",").getItem(0).isin("text", "csv", "json"))
+            .cast("int")
+            .alias("rerouted"),
+        )
+        .groupBy("charset")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_transcoded").alias("n_transcoded"),
+            F.sum("rerouted").alias("n_rerouted"),
+        )
+    )
+
+
+def q_ole_route(spark, d):
+    """Legacy binary Office (CFB/OLE2) extraction tallies (r5): .doc
+    piece-table and .xls BIFF8 docs route via the CFB magic
+    (core/olebin.py — Tika's POI analog), land their subkind in
+    container_format ('ole-doc'/'ole-xls'), and malformed CFB becomes an
+    'ole' error-taxonomy row, never a task failure."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            meta_at("container_format").startswith("ole-")
+            | F.col("error").startswith("ole:")
+            | F.col("error").startswith("doc:")
+            | F.col("error").startswith("xls:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            meta_at("container_format").alias("ole_kind"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_exif_meta(spark, d):
+    """EXIF metadata surface (r5): JPEG APP1/TIFF-IFD walk
+    (core/exifbin.py — the exiftool runtime dep the reference declares,
+    /root/reference/README.md:19) riding the multimodal decode; per-
+    orientation tallies + timestamped-media counts."""
+    from tika_wrap_spark.operators.multimodal import decode_media  # noqa: PLC0415
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    dec = decode_media(media_payloads(ext), num_partitions=8)
+    return (
+        dec.filter(F.col("media_kind") == "image")
+        .groupBy("exif_orientation")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum((F.col("exif_datetime") != "").cast("int")).alias("n_dated"),
+            F.min("media_ref").alias("first_ref"),
+        )
+    )

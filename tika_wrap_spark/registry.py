@@ -23,6 +23,9 @@ from tika_wrap_spark import queries_training as qt
 
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
+    "charset_stats": (qt.q_charset_stats, None),
+    "ole_route": (qt.q_ole_route, None),
+    "exif_meta": (qt.q_exif_meta, None),
     "dedup_star_edges": (qt.q_dedup_star_edges, qt.SQL_DEDUP_STAR_EDGES),
     "dedup_minhash_lsh": (qt.q_dedup_minhash_lsh, qt.SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash_pairs": (qt.q_dedup_simhash_pairs, qt.SQL_DEDUP_SIMHASH_PAIRS),
