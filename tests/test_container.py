@@ -320,6 +320,52 @@ class TestRealZip:
         assert "Total for Q3" in all_text
         assert "1234.5" in all_text  # inline numeric cell value
 
+    def test_ooxml_pptx_slide_text(self):
+        """A pptx-shaped zip: PresentationML slide XML with namespaced
+        p:sp/p:txBody/a:p/a:r/a:t runs. Slide text must surface through the
+        generic OOXML xml-member path, run-concatenated with entities
+        decoded — pins presentations alongside docx/xlsx (VERDICT r4 #5)."""
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        slide1 = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+            '<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/'
+            '2006/main" xmlns:p="http://schemas.openxmlformats.org/'
+            'presentationml/2006/main"><p:cSld><p:spTree>'
+            "<p:sp><p:txBody>"
+            '<a:p><a:r><a:rPr lang="en-US" b="1"/><a:t>Roadmap 2026</a:t>'
+            "</a:r></a:p>"
+            "<a:p><a:r><a:t>Ship &amp; iterate</a:t></a:r>"
+            '<a:r><a:t xml:space="preserve"> every quarter.</a:t></a:r></a:p>'
+            "</p:txBody></p:sp>"
+            "<p:sp><p:txBody><a:p><a:r><a:t>Speaker: R&#38;D team</a:t>"
+            "</a:r></a:p></p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>"
+        )
+        slide2 = (
+            '<?xml version="1.0"?><p:sld xmlns:a="urn:a" xmlns:p="urn:p">'
+            "<p:cSld><p:spTree><p:sp><p:txBody>"
+            "<a:p><a:r><a:t>Second slide bullet</a:t></a:r></a:p>"
+            "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+        )
+        zt = build_zip_text(
+            [
+                ("[Content_Types].xml", '<?xml version="1.0"?><Types/>'),
+                ("_rels/.rels", '<?xml version="1.0"?><Relationships/>'),
+                ("ppt/slides/slide1.xml", slide1),
+                ("ppt/slides/slide2.xml", slide2),
+            ],
+            deflate=True,
+        )
+        res = extract_document(_doc(zt))
+        assert res["parse_ok"]
+        assert res["meta"]["container_format"] == "ooxml"
+        texts = [s["text"] for s in res["spans"] if s["kind"] == "text"]
+        s1 = next(t for t in texts if "Roadmap" in t)
+        assert s1 == "Roadmap 2026 Ship & iterate every quarter. Speaker: R&D team"
+        assert any(t == "Second slide bullet" for t in texts)  # slide order kept
+        assert texts.index(s1) < texts.index("Second slide bullet")
+
     def test_malformed_shapes_raise(self):
         import struct
 

@@ -242,6 +242,77 @@ def _gen_xml_payload(rng: random.Random) -> str:
     return '<?xml version="1.0" encoding="UTF-8"?>\n<doc>%s</doc>' % items
 
 
+def _gen_docx_xml(rng: random.Random) -> str:
+    """WordprocessingML body: w:p paragraphs of 1-3 w:t runs (the OOXML
+    shape Tika's XWPF path reads; text surfaces via the generic xml-member
+    strip, run-concatenated)."""
+    paras = []
+    for _ in range(rng.randint(2, 5)):
+        runs = "".join(
+            "<w:r><w:t>%s</w:t></w:r>" % _sentence(rng)
+            for _ in range(rng.randint(1, 3))
+        )
+        paras.append("<w:p>%s</w:p>" % runs)
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>%s</w:body></w:document>'
+        % "".join(paras)
+    )
+
+
+def _gen_pptx_slide_xml(rng: random.Random) -> str:
+    """PresentationML slide: p:sp text bodies of a:p paragraphs with a:r/a:t
+    runs (Tika's XSLF path; same generic xml-member strip as docx/xlsx)."""
+    shapes = []
+    for _ in range(rng.randint(1, 3)):
+        paras = "".join(
+            "<a:p><a:r><a:rPr lang=\"en-US\"/><a:t>%s</a:t></a:r></a:p>"
+            % _sentence(rng)
+            for _ in range(rng.randint(1, 4))
+        )
+        shapes.append("<p:sp><p:txBody>%s</p:txBody></p:sp>" % paras)
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/'
+        '2006/main" xmlns:p="http://schemas.openxmlformats.org/'
+        'presentationml/2006/main"><p:cSld><p:spTree>%s</p:spTree>'
+        "</p:cSld></p:sld>" % "".join(shapes)
+    )
+
+
+def _gen_xlsx_xml(rng: random.Random) -> tuple[str, str]:
+    """SpreadsheetML pair: sharedStrings.xml si/t entries + a sheet whose
+    cells reference them (t="s") mixed with inline numerics."""
+    strings = [_sentence(rng) for _ in range(rng.randint(2, 6))]
+    shared = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/'
+        'main" count="%d" uniqueCount="%d">%s</sst>'
+        % (len(strings), len(strings), "".join("<si><t>%s</t></si>" % s for s in strings))
+    )
+    rows = []
+    for r in range(1, rng.randint(2, 5) + 1):
+        cells = []
+        for c in range(len(strings)):
+            if rng.random() < 0.5:
+                cells.append(
+                    '<c r="%s%d" t="s"><v>%d</v></c>'
+                    % (chr(65 + c), r, rng.randrange(len(strings)))
+                )
+            else:
+                cells.append(
+                    '<c r="%s%d"><v>%s</v></c>'
+                    % (chr(65 + c), r, round(rng.uniform(-1000, 1000), 3))
+                )
+        rows.append('<row r="%d">%s</row>' % (r, "".join(cells)))
+    sheet = (
+        '<?xml version="1.0"?><worksheet><sheetData>%s</sheetData></worksheet>'
+        % "".join(rows)
+    )
+    return shared, sheet
+
+
 def _gen_rtf_payload(rng: random.Random) -> str:
     """RTF payload: 2-6 paragraphs, ~half carrying cp1252 accents (the
     ``\\'hh`` escape path), an \\info title destination the extractor must
@@ -354,9 +425,20 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
     entries: list[tuple[str, str]] = []
     if depth == 0 and rng.random() < 0.2:  # OOXML-analog archive
         entries.append(("[Content_Types].xml", _gen_xml_payload(rng)))
-        entries.append(("word/document.xml", _gen_xml_payload(rng)))
-        if rng.random() < 0.5:
-            entries.append(("word/media/image1.png", _gen_png_payload(rng)))
+        shape = rng.random()
+        if shape < 0.55:  # docx: WordprocessingML w:t runs
+            entries.append(("word/document.xml", _gen_docx_xml(rng)))
+            if rng.random() < 0.5:
+                entries.append(("word/media/image1.png", _gen_png_payload(rng)))
+        elif shape < 0.8:  # pptx: DrawingML a:t runs across 1-3 slides
+            for s in range(rng.randint(1, 3)):
+                entries.append(
+                    ("ppt/slides/slide%d.xml" % (s + 1), _gen_pptx_slide_xml(rng))
+                )
+        else:  # xlsx: sharedStrings + one sheet
+            shared, sheet = _gen_xlsx_xml(rng)
+            entries.append(("xl/sharedStrings.xml", shared))
+            entries.append(("xl/worksheets/sheet1.xml", sheet))
         return _encode_archive(rng, entries)
     nested_budget = 1 if (depth == 0 and rng.random() < 0.45) else 0
     for i in range(rng.randint(2, 6)):
