@@ -7,10 +7,15 @@ reference's Tika reads image metadata via its parsers; this engine now
 DECODES baseline JPEG pixels too, so the multimodal resize/embed kernels
 run real pixel work on every image format the corpus carries.
 
-Scope (declared): baseline sequential DCT, 8-bit, 1 or 3 components,
-4:4:4 or 2x1/1x2/2x2 chroma subsampling, restart markers. Progressive
-(SOF2), arithmetic coding, and 12-bit streams return None — the caller's
-stub path, same contract as the other pixel codecs in core/media.py.
+Scope (declared): baseline sequential DCT (SOF0/1) AND progressive DCT
+(SOF2: spectral selection + successive approximation, DC/AC first and
+refinement scans, EOB runs), 8-bit, 1 or 3 components, 4:4:4 or
+2x1/1x2/2x2 chroma subsampling, restart intervals. Arithmetic coding,
+hierarchical, and 12-bit streams return None — the caller's stub path,
+same contract as the other pixel codecs in core/media.py. The encoder
+emits baseline or (``progressive=True``) a 10-scan successive-
+approximation script over the SAME quantized coefficients, so
+decode(progressive) == decode(baseline) pixel-exact for any input.
 
 Everything is deterministic: the DCT/IDCT are fixed IEEE-double float
 paths with explicit rounding, so decode(encode(rgb)) is stable across
@@ -249,10 +254,9 @@ def _encode_block(
     return dc
 
 
-def build_jpeg_pixels(width: int, height: int, rgb: bytes) -> bytes:
-    """Encode top-down RGB as a real baseline JPEG: JFIF APP0, Annex-K
-    quant + Huffman tables, 4:4:4 YCbCr, one interleaved scan."""
-    # plane extraction with edge replication to 8-multiple
+def _quantized_blocks(width: int, height: int, rgb: bytes) -> list[list[list[int]]]:
+    """RGB -> per-component quantized coefficient blocks (natural order),
+    4:4:4 YCbCr, raster block order, edge-replicated to 8-multiples."""
     bw = (width + 7) // 8 * 8
     bh = (height + 7) // 8 * 8
     planes: list[list[float]] = [[0.0] * (bw * bh) for _ in range(3)]
@@ -266,13 +270,7 @@ def build_jpeg_pixels(width: int, height: int, rgb: bytes) -> bytes:
             planes[0][i] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
             planes[1][i] = -0.168736 * r - 0.331264 * g + 0.5 * b
             planes[2][i] = 0.5 * r - 0.418688 * g - 0.081312 * b
-
-    dc_l = _build_huff_encode(*HT_DC_LUMA)
-    ac_l = _build_huff_encode(*HT_AC_LUMA)
-    dc_c = _build_huff_encode(*HT_DC_CHROMA)
-    ac_c = _build_huff_encode(*HT_AC_CHROMA)
-    w = _BitWriter()
-    pred = [0, 0, 0]
+    out: list[list[list[int]]] = [[], [], []]
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
             for comp in range(3):
@@ -283,32 +281,26 @@ def build_jpeg_pixels(width: int, height: int, rgb: bytes) -> bytes:
                     for xx in range(8)
                 ]
                 coefs = _fdct(block)
-                quant = [
-                    int(round(coefs[i] / qt[i])) for i in range(64)
-                ]
-                pred[comp] = _encode_block(
-                    w,
-                    quant,
-                    pred[comp],
-                    dc_l if comp == 0 else dc_c,
-                    ac_l if comp == 0 else ac_c,
-                )
-    w.flush()
+                out[comp].append([int(round(coefs[i] / qt[i])) for i in range(64)])
+    return out
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
 
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    dqt = seg(0xFFDB, b"\x00" + bytes(QT_LUMA[ZIGZAG[i]] for i in range(64)))
-    dqt += seg(0xFFDB, b"\x01" + bytes(QT_CHROMA[ZIGZAG[i]] for i in range(64)))
-    sof = seg(
-        0xFFC0,
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_headers(width: int, height: int, progressive: bool) -> bytes:
+    app0 = _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = _seg(0xFFDB, b"\x00" + bytes(QT_LUMA[ZIGZAG[i]] for i in range(64)))
+    dqt += _seg(0xFFDB, b"\x01" + bytes(QT_CHROMA[ZIGZAG[i]] for i in range(64)))
+    sof = _seg(
+        0xFFC2 if progressive else 0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
         + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
 
     def dht(cls: int, tid: int, bits: list[int], values: list[int]) -> bytes:
-        return seg(
+        return _seg(
             0xFFC4,
             bytes([(cls << 4) | tid]) + bytes(bits[1:]) + bytes(values),
         )
@@ -319,13 +311,199 @@ def build_jpeg_pixels(width: int, height: int, rgb: bytes) -> bytes:
         + dht(0, 1, *HT_DC_CHROMA)
         + dht(1, 1, *HT_AC_CHROMA)
     )
-    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return (
-        b"\xff\xd8" + app0 + dqt + sof + dhts + sos + bytes(w.out) + b"\xff\xd9"
-    )
+    return b"\xff\xd8" + app0 + dqt + sof + dhts
+
+
+# libjpeg's standard 10-scan progressive script for 3 components:
+# (component indices, Ss, Se, Ah, Al) — DC first w/ point transform, AC
+# bands by spectral selection, then successive-approximation refinements
+_PROG_SCRIPT: tuple[tuple[tuple[int, ...], int, int, int, int], ...] = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _enc_ac_first(
+    w: _BitWriter,
+    blk: list[int],
+    ss: int,
+    se: int,
+    al: int,
+    ac_tab: dict[int, tuple[int, int]],
+) -> None:
+    """AC first scan, one block (G.1.2.2). EOB runs are not accumulated
+    across blocks (every EOB is a run of 1, symbol 0x00) so the Annex-K
+    baseline tables — which carry no EOBn symbols — stay sufficient."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = blk[ZIGZAG[k]]
+        mag = abs(v) >> al
+        if mag == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_tab[0xF0]
+            w.put(c, ln)
+            run -= 16
+        size, bits = _magnitude(mag if v >= 0 else -mag)
+        c, ln = ac_tab[(run << 4) | size]
+        w.put(c, ln)
+        w.put(bits, size)
+        run = 0
+    if run:
+        c, ln = ac_tab[0x00]
+        w.put(c, ln)
+
+
+def _enc_ac_refine(
+    w: _BitWriter,
+    blk: list[int],
+    ss: int,
+    se: int,
+    al: int,
+    ac_tab: dict[int, tuple[int, int]],
+) -> None:
+    """AC refinement scan, one block (G.1.2.3 / libjpeg
+    encode_mcu_AC_refine with per-block EOB): newly-significant coefs emit
+    (run<<4)|1 + sign, already-significant coefs buffer a correction bit
+    that rides behind the NEXT emitted symbol (or the closing EOB)."""
+    absv = [0] * (se + 1)
+    eob = ss - 1  # position of the last newly-significant coefficient
+    for k in range(ss, se + 1):
+        t = abs(blk[ZIGZAG[k]]) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    run = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            c, ln = ac_tab[0xF0]
+            w.put(c, ln)
+            run -= 16
+            for b in pending:
+                w.put(b, 1)
+            pending = []
+        if t > 1:  # significant before this scan: one correction bit
+            pending.append(t & 1)
+            continue
+        c, ln = ac_tab[(run << 4) | 1]
+        w.put(c, ln)
+        w.put(1 if blk[ZIGZAG[k]] >= 0 else 0, 1)
+        for b in pending:
+            w.put(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        c, ln = ac_tab[0x00]  # EOB (run of 1)
+        w.put(c, ln)
+        for b in pending:
+            w.put(b, 1)
+
+
+def build_jpeg_pixels(
+    width: int,
+    height: int,
+    rgb: bytes,
+    progressive: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode top-down RGB as a real JPEG: JFIF APP0, Annex-K quant +
+    Huffman tables, 4:4:4 YCbCr. ``progressive=False`` -> SOF0, one
+    interleaved scan; ``progressive=True`` -> SOF2 + the 10-scan
+    successive-approximation script (same coefficients, so both forms
+    decode to identical pixels). ``restart_interval`` (baseline only)
+    emits a DRI segment and RSTn markers every N MCUs with DC-predictor
+    resets, per spec B.2.4.4/E.2.4."""
+    comps_blocks = _quantized_blocks(width, height, rgb)
+    dc_tabs = [_build_huff_encode(*HT_DC_LUMA), _build_huff_encode(*HT_DC_CHROMA)]
+    ac_tabs = [_build_huff_encode(*HT_AC_LUMA), _build_huff_encode(*HT_AC_CHROMA)]
+    if not progressive:
+        w = _BitWriter()
+        pred = [0, 0, 0]
+        rst = 0
+        for bi in range(len(comps_blocks[0])):
+            if restart_interval and bi and bi % restart_interval == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = [0, 0, 0]
+            for comp in range(3):
+                tid = 0 if comp == 0 else 1
+                pred[comp] = _encode_block(
+                    w,
+                    comps_blocks[comp][bi],
+                    pred[comp],
+                    dc_tabs[tid],
+                    ac_tabs[tid],
+                )
+        w.flush()
+        dri = (
+            _seg(0xFFDD, struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
+        sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        return (
+            _jpeg_headers(width, height, False) + dri + sos + bytes(w.out) + b"\xff\xd9"
+        )
+    out = bytearray(_jpeg_headers(width, height, True))
+    for comp_ids, ss, se, ah, al in _PROG_SCRIPT:
+        hdr = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tid = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (tid << 4) | tid])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, hdr)
+        w = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first, interleaved
+            pred = [0, 0, 0]
+            for bi in range(len(comps_blocks[0])):
+                for ci in comp_ids:
+                    tid = 0 if ci == 0 else 1
+                    v = comps_blocks[ci][bi][0] >> al
+                    size, bits = _magnitude(v - pred[ci])
+                    c, ln = dc_tabs[tid][size]
+                    w.put(c, ln)
+                    if size:
+                        w.put(bits, size)
+                    pred[ci] = v
+        elif ss == 0:  # DC refine, interleaved
+            for bi in range(len(comps_blocks[0])):
+                for ci in comp_ids:
+                    w.put((comps_blocks[ci][bi][0] >> al) & 1, 1)
+        else:  # AC scans: single component by spec
+            (ci,) = comp_ids
+            tid = 0 if ci == 0 else 1
+            for blk in comps_blocks[ci]:
+                if ah == 0:
+                    _enc_ac_first(w, blk, ss, se, al, ac_tabs[tid])
+                else:
+                    _enc_ac_refine(w, blk, ss, se, al, ac_tabs[tid])
+        w.flush()
+        out += bytes(w.out)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 class _BitReader:
+    """MSB-first entropy reader. 0xFF00 unstuffs to 0xFF; ANY other
+    marker — including RSTn — stops the bit stream: scan loops resync
+    restart intervals explicitly via ``restart()`` (which also resets the
+    DC predictors / EOB run at the caller)."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
@@ -333,19 +511,13 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> bool:
-        while self.pos < len(self.data):
+        if self.pos < len(self.data):
             b = self.data[self.pos]
             if b == 0xFF:
                 nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # restart marker: byte-align, skip
-                    self.pos += 2
-                    self.acc = 0
-                    self.n = 0
-                    continue
-                else:
-                    return False  # EOI or another marker
+                if nxt != 0x00:
+                    return False  # RST / EOI / another marker
+                self.pos += 2
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
@@ -368,6 +540,16 @@ class _BitReader:
             v = (v << 1) | b
         return v
 
+    def restart(self) -> bool:
+        """Byte-align and consume the expected RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return True
+        return False
+
 
 def _decode_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
     code = 0
@@ -388,10 +570,27 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def jpeg_pixels(data: bytes) -> tuple[int, int, bytes] | None:  # noqa: PLR0912, PLR0915
-    """Decode a baseline-sequential JPEG to (w, h, top-down rgb). Supports
-    1/3 components, 4:4:4 and 2x-subsampled chroma, restart markers. None
-    for progressive/arithmetic/12-bit or malformed streams."""
+def _entropy_end(data: bytes, start: int) -> int:
+    """First offset at/after ``start`` holding a non-RST, non-stuffing
+    marker (where a scan's entropy data ends)."""
+    i = start
+    n = len(data)
+    while i < n:
+        if data[i] == 0xFF and i + 1 < n:
+            m = data[i + 1]
+            if m != 0x00 and not (0xD0 <= m <= 0xD7):
+                return i
+            i += 2
+        else:
+            i += 1
+    return n
+
+
+def _parse_jpeg(data: bytes) -> dict | None:  # noqa: PLR0912
+    """Marker walk -> frame header + table state + the full SCAN LIST
+    (progressive streams carry many). Each scan snapshots the Huffman
+    table dicts in force at its SOS (tables may be redefined between
+    scans, spec B.2.4)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -400,9 +599,10 @@ def jpeg_pixels(data: bytes) -> tuple[int, int, bytes] | None:  # noqa: PLR0912,
     acs: dict[int, dict[tuple[int, int], int]] = {}
     comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, qt)
     width = height = 0
-    scan: bytes | None = None
-    scomp: list[tuple[int, int, int]] = []  # (comp idx, dc tab, ac tab)
-    while pos + 4 <= len(data):
+    progressive = False
+    dri = 0
+    scans: list[dict] = []
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             return None
         marker = data[pos + 1]
@@ -427,17 +627,18 @@ def jpeg_pixels(data: bytes) -> tuple[int, int, bytes] | None:  # noqa: PLR0912,
                 for i in range(64):
                     qts[tid][ZIGZAG[i]] = raw[i]
                 b += 65
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             if body[0] != 8:
                 return None
+            progressive = marker == 0xC2
             height, width = struct.unpack_from(">HH", body, 1)
             n = body[5]
             comps = []
             for c in range(n):
                 cid, hv, qt = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, qt))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xC4:
             b = 0
             while b < len(body):
@@ -449,6 +650,10 @@ def jpeg_pixels(data: bytes) -> tuple[int, int, bytes] | None:  # noqa: PLR0912,
                 tab = _build_huff_decode(bits, values)
                 (dcs if cls == 0 else acs)[tid] = tab
                 b += 17 + nval
+        elif marker == 0xDD:
+            if len(body) < 2:
+                return None
+            dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
             n = body[0]
             scomp = []
@@ -458,70 +663,345 @@ def jpeg_pixels(data: bytes) -> tuple[int, int, bytes] | None:  # noqa: PLR0912,
                 if idx is None:
                     return None
                 scomp.append((idx, tabs >> 4, tabs & 0x0F))
-            scan = data[pos + 2 + ln :]
-            break
+            if len(body) < 4 + 2 * n:
+                return None
+            ss, se, ahal = body[1 + 2 * n], body[2 + 2 * n], body[3 + 2 * n]
+            start = pos + 2 + ln
+            end = _entropy_end(data, start)
+            scans.append(
+                {
+                    "scomp": scomp,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0x0F,
+                    "dcs": dict(dcs),
+                    "acs": dict(acs),
+                    "data": data[start:end],
+                    "dri": dri,
+                }
+            )
+            pos = end
+            continue
         pos += 2 + ln
-    if scan is None or not comps or width == 0 or height == 0:
+    if not scans or not comps or width == 0 or height == 0:
         return None
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:
         return None
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    # per-component pixel planes at full MCU-padded resolution
-    pw = [mcux * 8 * c[1] for c in comps]
-    ph = [mcuy * 8 * c[2] for c in comps]
-    planes = [bytearray(pw[i] * ph[i]) for i in range(len(comps))]
-    r = _BitReader(scan)
-    pred = [0] * len(comps)
+    return {
+        "qts": qts,
+        "comps": comps,
+        "width": width,
+        "height": height,
+        "progressive": progressive,
+        "scans": scans,
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcux": (width + 8 * hmax - 1) // (8 * hmax),
+        "mcuy": (height + 8 * vmax - 1) // (8 * vmax),
+    }
+
+
+def _decode_block_seq(
+    r: _BitReader,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    blk: list[int],
+    pred: int,
+) -> int | None:
+    """Sequential full-block decode (DC diff + AC run-lengths) into a
+    quantized-coefficient block; returns the updated DC predictor."""
+    sym = _decode_huff(r, dc_tab)
+    if sym is None:
+        return None
+    bits = r.bits(sym)
+    if bits is None:
+        return None
+    pred += _extend(bits, sym)
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        sym = _decode_huff(r, ac_tab)
+        if sym is None:
+            return None
+        if sym == 0x00:
+            break
+        if sym == 0xF0:
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0x0F
+        if k > 63:
+            return None
+        bits = r.bits(size)
+        if bits is None:
+            return None
+        blk[ZIGZAG[k]] = _extend(bits, size)
+        k += 1
+    return pred
+
+
+def _prog_ac_first(
+    r: _BitReader,
+    blk: list[int],
+    ss: int,
+    se: int,
+    al: int,
+    ac_tab: dict[tuple[int, int], int],
+    state: dict,
+) -> bool:
+    """Progressive AC first scan, one block (spec G.1.2.2): band
+    coefficients at successive-approximation level Al, EOB-run aware."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return True
+    k = ss
+    while k <= se:
+        sym = _decode_huff(r, ac_tab)
+        if sym is None:
+            return False
+        run = sym >> 4
+        size = sym & 0x0F
+        if size == 0:
+            if run != 15:
+                eob = (1 << run) - 1
+                if run:
+                    bits = r.bits(run)
+                    if bits is None:
+                        return False
+                    eob += bits
+                state["eobrun"] = eob
+                break
+            k += 16
+            continue
+        k += run
+        if k > se:
+            return False
+        bits = r.bits(size)
+        if bits is None:
+            return False
+        blk[ZIGZAG[k]] = _extend(bits, size) << al
+        k += 1
+    return True
+
+
+def _prog_ac_refine(
+    r: _BitReader,
+    blk: list[int],
+    ss: int,
+    se: int,
+    al: int,
+    ac_tab: dict[tuple[int, int], int],
+    state: dict,
+) -> bool:
+    """Progressive AC refinement scan, one block (spec G.1.2.3): one new
+    magnitude bit for already-significant coefficients (correction bits),
+    newly-significant coefficients arrive as ±(1<<Al). Python's bitwise
+    ops on negative ints are two's-complement, so the C idiom
+    ``(coef & p1) == 0`` carries over verbatim."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            sym = _decode_huff(r, ac_tab)
+            if sym is None:
+                return False
+            run = sym >> 4
+            size = sym & 0x0F
+            val = 0
+            if size == 0:
+                if run != 15:
+                    eob = 1 << run
+                    if run:
+                        bits = r.bits(run)
+                        if bits is None:
+                            return False
+                        eob += bits
+                    state["eobrun"] = eob
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    return False
+                b = r.bit()
+                if b is None:
+                    return False
+                val = p1 if b else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z] != 0:
+                    b = r.bit()
+                    if b is None:
+                        return False
+                    if b and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[ZIGZAG[k]] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                b = r.bit()
+                if b is None:
+                    return False
+                if b and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+    return True
+
+
+def _decode_one_scan(  # noqa: PLR0912, PLR0915
+    scan: dict, parsed: dict, coef: list[list[list[int]]]
+) -> bool:
+    """Run one scan's entropy data into the coefficient store. Handles
+    interleaved MCU order (multi-component scans) and the component's own
+    block raster (single-component scans, spec A.2.2), restart intervals,
+    and all four progressive scan kinds."""
+    comps = parsed["comps"]
+    progressive = parsed["progressive"]
+    hmax, vmax = parsed["hmax"], parsed["vmax"]
+    mcux, mcuy = parsed["mcux"], parsed["mcuy"]
+    width, height = parsed["width"], parsed["height"]
+    scomp = scan["scomp"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    r = _BitReader(scan["data"])
+    dri = scan["dri"]
+    pred = {ci: 0 for ci, _, _ in scomp}
+    state = {"eobrun": 0}
+    if progressive and ss > 0 and len(scomp) != 1:
+        return False  # AC scans are single-component by spec (G.1.1.1.1)
+
+    def tables(ci: int, dct: int, act: int):
+        dc_tab = scan["dcs"].get(dct)
+        ac_tab = scan["acs"].get(act)
+        return dc_tab, ac_tab
+
+    def do_block(ci: int, dct: int, act: int, blk: list[int]) -> bool:
+        dc_tab, ac_tab = tables(ci, dct, act)
+        if progressive:
+            if ss == 0:
+                if ah == 0:  # DC first
+                    if dc_tab is None:
+                        return False
+                    sym = _decode_huff(r, dc_tab)
+                    if sym is None:
+                        return False
+                    bits = r.bits(sym)
+                    if bits is None:
+                        return False
+                    pred[ci] += _extend(bits, sym)
+                    blk[0] = pred[ci] << al
+                    return True
+                b = r.bit()  # DC refine
+                if b is None:
+                    return False
+                if b:
+                    blk[0] |= 1 << al
+                return True
+            if ac_tab is None:
+                return False
+            if ah == 0:
+                return _prog_ac_first(r, blk, ss, se, al, ac_tab, state)
+            return _prog_ac_refine(r, blk, ss, se, al, ac_tab, state)
+        if dc_tab is None or ac_tab is None:
+            return False
+        p = _decode_block_seq(r, dc_tab, ac_tab, blk, pred[ci])
+        if p is None:
+            return False
+        pred[ci] = p
+        return True
+
+    def resync() -> bool:
+        if not r.restart():
+            return False
+        for ci in pred:
+            pred[ci] = 0
+        state["eobrun"] = 0
+        return True
+
+    if len(scomp) == 1:
+        ci, dct, act = scomp[0]
+        _, hs, vs, _ = comps[ci]
+        bw = mcux * hs  # padded store row width (blocks)
+        nbw = (-(-(width * hs) // hmax) + 7) // 8  # ceil(comp_w / 8)
+        nbh = (-(-(height * vs) // vmax) + 7) // 8
+        n = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if dri and n and n % dri == 0 and not resync():
+                    return False
+                if not do_block(ci, dct, act, coef[ci][by * bw + bx]):
+                    return False
+                n += 1
+        return True
+    n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if dri and n and n % dri == 0 and not resync():
+                return False
             for ci, dct, act in scomp:
-                _, hs, vs, qtid = comps[ci]
-                qt = qts.get(qtid)
-                dc_tab = dcs.get(dct)
-                ac_tab = acs.get(act)
-                if qt is None or dc_tab is None or ac_tab is None:
-                    return None
+                _, hs, vs, _ = comps[ci]
+                bw = mcux * hs
                 for by in range(vs):
                     for bx in range(hs):
-                        sym = _decode_huff(r, dc_tab)
-                        if sym is None:
-                            return None
-                        bits = r.bits(sym)
-                        if bits is None:
-                            return None
-                        pred[ci] += _extend(bits, sym)
-                        coefs = [0.0] * 64
-                        coefs[0] = pred[ci] * qt[0]
-                        k = 1
-                        while k < 64:
-                            sym = _decode_huff(r, ac_tab)
-                            if sym is None:
-                                return None
-                            if sym == 0x00:
-                                break
-                            if sym == 0xF0:
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            size = sym & 0x0F
-                            bits = r.bits(size)
-                            if bits is None or k > 63:
-                                return None
-                            coefs[ZIGZAG[k]] = _extend(bits, size) * qt[ZIGZAG[k]]
-                            k += 1
-                        pix = _idct(coefs)
-                        px0 = (mx * hs + bx) * 8
-                        py0 = (my * vs + by) * 8
-                        plane = planes[ci]
-                        rowlen = pw[ci]
-                        for yy in range(8):
-                            base = (py0 + yy) * rowlen + px0
-                            for xx in range(8):
-                                v = int(round(pix[yy * 8 + xx])) + 128
-                                plane[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
+                        idx = (my * vs + by) * bw + mx * hs + bx
+                        if not do_block(ci, dct, act, coef[ci][idx]):
+                            return False
+            n += 1
+    return True
+
+
+def jpeg_pixels(data: bytes) -> tuple[int, int, bytes] | None:  # noqa: PLR0912
+    """Decode a baseline-sequential OR progressive JPEG to (w, h,
+    top-down rgb). Supports 1/3 components, 4:4:4 and 2x-subsampled
+    chroma, restart intervals, multi-scan progressive streams (spectral
+    selection + successive approximation). None for arithmetic/
+    hierarchical/12-bit or malformed streams."""
+    parsed = _parse_jpeg(data)
+    if parsed is None:
+        return None
+    comps = parsed["comps"]
+    qts = parsed["qts"]
+    width, height = parsed["width"], parsed["height"]
+    hmax, vmax = parsed["hmax"], parsed["vmax"]
+    mcux, mcuy = parsed["mcux"], parsed["mcuy"]
+    # per-component quantized-coefficient stores at MCU-padded block size
+    coef: list[list[list[int]]] = []
+    for _, hs, vs, _ in comps:
+        coef.append([[0] * 64 for _ in range(mcux * hs * mcuy * vs)])
+    for scan in parsed["scans"]:
+        if not _decode_one_scan(scan, parsed, coef):
+            return None
+    # dequantize + IDCT into per-component pixel planes
+    pw = [mcux * 8 * c[1] for c in comps]
+    planes: list[bytearray] = []
+    for i, (_, hs, vs, qtid) in enumerate(comps):
+        qt = qts.get(qtid)
+        if qt is None:
+            return None
+        plane = bytearray(pw[i] * mcuy * 8 * vs)
+        rowlen = pw[i]
+        bw = mcux * hs
+        for bidx, blk in enumerate(coef[i]):
+            pix = _idct([blk[j] * qt[j] for j in range(64)])
+            px0 = (bidx % bw) * 8
+            py0 = (bidx // bw) * 8
+            for yy in range(8):
+                base = (py0 + yy) * rowlen + px0
+                for xx in range(8):
+                    v = int(round(pix[yy * 8 + xx])) + 128
+                    plane[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
+        planes.append(plane)
     # upsample + color convert
     out = bytearray(width * height * 3)
     if len(comps) == 1:

@@ -206,10 +206,13 @@ def _fetch_fake(ref: str) -> bytes:
     if kind == 0:
         return build_png_pixels(pw, ph, _gradient_rgb(pw, ph, h[4]))
     if kind == 1:
-        # half pixel-carrying baseline JPEG (real scan data -> the real
-        # DCT kernels), half header-only (incl. progressive -> stub)
+        # half pixel-carrying JPEG (real scan data -> the real DCT
+        # kernels; half of THOSE progressive SOF2, decoded for real since
+        # r5), half header-only (no SOS -> stub)
         if v & 128:
-            return build_jpeg_pixels(pw, ph, _gradient_rgb(pw, ph, h[7]))
+            return build_jpeg_pixels(
+                pw, ph, _gradient_rgb(pw, ph, h[7]), progressive=bool(v & 32)
+            )
         # half the header-only JPEGs carry a real APP1/Exif segment
         # (orientation + timestamp + GPS) so the EXIF walk stays pinned
         exif = None
@@ -293,9 +296,9 @@ RESIZED_SCHEMA = T.StructType(
 
 def _resize_fake(payload: bytes, w: int, h: int) -> bytes:
     """Deterministic stand-in for formats outside the real codecs
-    (progressive/arithmetic JPEG, unrecognized bytes; baseline JPEG and
-    GIF decode for REAL since late r4): digest of
-    (payload, target dims) — stable across runs/partitionings."""
+    (arithmetic/hierarchical JPEG, unrecognized bytes; baseline JPEG and
+    GIF decode for real since late r4, progressive JPEG since r5): digest
+    of (payload, target dims) — stable across runs/partitionings."""
     return hashlib.md5(payload + b"|%dx%d" % (w, h)).digest()
 
 
