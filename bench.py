@@ -29,6 +29,9 @@ HEADLINE = [
     "extract_pipeline",
     "container_extract",
     "sniff_route",
+    "charset_stats",
+    "ole_route",
+    "dedup_star_edges",
     "span_assembly",
     "offset_rescan",
     "hash_verify",

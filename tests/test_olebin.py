@@ -15,6 +15,7 @@ from tika_wrap_spark.core.olebin import (
     OLE_MAGIC,
     build_cfb,
     build_doc,
+    build_ppt,
     build_xls,
     doc_text,
     ole_extract,
@@ -152,6 +153,55 @@ class TestXls:
     def test_no_workbook_stream(self):
         with pytest.raises(ExtractError):
             xls_text({"Other": b""})
+
+
+class TestPpt:
+    def test_multi_slide_roundtrip(self):
+        slides = [["Roadmap 2026", "Ship & iterate"], ["Second slide bullet"]]
+        kind, text = ole_extract(build_ppt(slides))
+        assert kind == "ppt"
+        lines = text.split("\n")
+        assert lines == ["Roadmap 2026", "Ship & iterate", "Second slide bullet"]
+
+    def test_textchars_atom_unicode(self):
+        kind, text = ole_extract(build_ppt([["日本語スライド", "ascii line"]]))
+        assert kind == "ppt" and "日本語スライド" in text and "ascii line" in text
+
+    def test_cr_paragraphs_normalize(self):
+        _, text = ole_extract(build_ppt([["para one\npara two"]]))
+        assert "para one\npara two" in text
+
+    def test_truncated_record_raises(self):
+        data = bytearray(build_ppt([["doomed slide text"]]))
+        # inflate the Document container's recLen past the stream end:
+        # locate the container header (verInst=0x000F, type=0x03E8)
+        needle = struct.pack("<HH", 0x000F, 0x03E8)
+        idx = data.find(needle)
+        assert idx > 0
+        struct.pack_into("<I", data, idx + 4, 0x0FFFFFFF)
+        with pytest.raises(ExtractError):
+            ole_extract(bytes(data))
+
+    def test_deep_nesting_guarded(self):
+        body = struct.pack("<HHI", 0, 0x0FA8, 4) + b"deep"
+        for _ in range(20):
+            body = struct.pack("<HHI", 0x000F, 0x03E8, len(body)) + body
+        with pytest.raises(ExtractError):
+            ole_extract(build_cfb([("PowerPoint Document", body)]))
+
+    def test_missing_stream_unrecognized(self):
+        with pytest.raises(ExtractError):
+            ole_extract(build_cfb([("Current User", b"\x00" * 8)]))
+
+    def test_ppt_through_extraction_policy(self):
+        wire = build_ppt([["Quarterly numbers", "All hands"]]).decode("latin-1")
+        assert sniff_kind(wire) == "ole"
+        res = extract_document(
+            [{"kind": "ole", "text": wire, "media_ref": "", "offset": 0}]
+        )
+        assert res["parse_ok"]
+        assert res["meta"]["container_format"] == "ole-ppt"
+        assert "Quarterly numbers" in res["spans"][0]["text"]
 
 
 class TestExtractIntegration:

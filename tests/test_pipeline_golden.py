@@ -156,8 +156,7 @@ def test_corpus_mix_composition_pinned():
         "json": 24,
         "eml": 12,
         "rtf": 15,
-        "zip": 16,
+        "zip": 17,
         "ole": 7,
         "tar": 6,
-        "bz2": 1,
     }, dict(kinds)

@@ -15,13 +15,17 @@ real formats natively, pure stdlib:
     (XLUnicodeRichExtendedString, incl. rich-run/ext skips), LABELSST,
     NUMBER, RK, MULRK, BOUNDSHEET — emitted as tab-joined rows in
     (sheet, row, col) order.
+  * PowerPoint 97 (.ppt, [MS-PPT]): "PowerPoint Document" stream record
+    walk (8-byte headers, recVer 0xF containers recurse) collecting
+    TextCharsAtom (utf-16le) / TextBytesAtom (cp1252) / CString payloads
+    in record order.
 
 Malformed input raises :class:`ExtractError` (the extraction core converts
 it to a ``parse_ok=false`` row, never a task failure); structural walks are
 cycle-guarded (a corrupt FAT chain terminates, never loops).
 
-Builders (``build_cfb`` / ``build_doc`` / ``build_xls``) produce real
-byte-level CFB/DOC/XLS documents for the synthetic corpus and goldens.
+Builders (``build_cfb`` / ``build_doc`` / ``build_xls`` / ``build_ppt``)
+produce real byte-level CFB/Office documents for the corpus and goldens.
 """
 
 from __future__ import annotations
@@ -396,15 +400,67 @@ def xls_text(streams: dict[str, bytes]) -> str:
     return "\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# PowerPoint 97 (.ppt): "PowerPoint Document" stream record walk
+# ---------------------------------------------------------------------------
+
+# [MS-PPT] record types carrying presentation text
+_PPT_TEXT_CHARS = 0x0FA0  # TextCharsAtom: utf-16le
+_PPT_TEXT_BYTES = 0x0FA8  # TextBytesAtom: one byte per char (cp1252)
+_PPT_CSTRING = 0x0FBA  # CString: utf-16le (named text, e.g. slide titles)
+_PPT_DOCUMENT = 0x03E8  # Document container (builder root)
+
+
+def _ppt_walk(data: bytes, off: int, end: int, out: list[str], depth: int) -> None:
+    """Recursive [MS-PPT] record walk: 8-byte headers (verAndInstance u16,
+    recType u16, recLen u32, all LE); recVer 0xF marks a container whose
+    payload is nested records. Text atoms append in stream order (the
+    document's slide/shape order). Depth/cycle-guarded; truncated record
+    bodies raise."""
+    if depth > 16:
+        raise ExtractError("ppt: record nesting too deep")
+    while off + 8 <= end:
+        ver_inst = _u16(data, off)
+        rtype = _u16(data, off + 2)
+        rlen = _u32(data, off + 4)
+        body_start = off + 8
+        body_end = body_start + rlen
+        if body_end > end:
+            raise ExtractError(
+                "ppt: record 0x%04x at %d overruns stream" % (rtype, off)
+            )
+        if ver_inst & 0x0F == 0x0F:  # container: recurse
+            _ppt_walk(data, body_start, body_end, out, depth + 1)
+        elif rtype in (_PPT_TEXT_CHARS, _PPT_CSTRING):
+            out.append(data[body_start:body_end].decode("utf-16-le", "replace"))
+        elif rtype == _PPT_TEXT_BYTES:
+            out.append(data[body_start:body_end].decode("cp1252", "replace"))
+        off = body_end
+
+
+def ppt_text(streams: dict[str, bytes]) -> str:
+    """Extract presentation text from the PowerPoint Document stream:
+    TextCharsAtom/TextBytesAtom/CString payloads in record order. PPT uses
+    CR as the paragraph separator — normalized to newline like .doc."""
+    doc = streams.get("PowerPoint Document")
+    if doc is None:
+        raise ExtractError("ppt: missing PowerPoint Document stream")
+    out: list[str] = []
+    _ppt_walk(doc, 0, len(doc), out, 0)
+    return "\n".join(t.replace("\r", "\n").strip("\x00") for t in out if t)
+
+
 def ole_extract(data: bytes) -> tuple[str, str]:
     """Route a CFB container to its Office text: returns (subkind, text)
-    where subkind is 'doc' or 'xls'. Raises ExtractError for containers
-    carrying neither Word nor Excel streams."""
+    where subkind is 'doc', 'xls', or 'ppt'. Raises ExtractError for
+    containers carrying none of the recognized content streams."""
     streams = parse_cfb(data)
     if "WordDocument" in streams:
         return "doc", doc_text(streams)
     if "Workbook" in streams or "Book" in streams:
         return "xls", xls_text(streams)
+    if "PowerPoint Document" in streams:
+        return "ppt", ppt_text(streams)
     raise ExtractError(
         "ole: no recognized content stream (have: %s)"
         % ",".join(sorted(streams)[:5])
@@ -615,3 +671,30 @@ def build_xls(sheet_name: str, rows: list[list]) -> bytes:
         + rec(_R_EOF, b"")
     )
     return build_cfb([("Workbook", book)])
+
+
+def build_ppt(slides: list[list[str]]) -> bytes:
+    """Real PowerPoint 97 .ppt: a Document container (recVer 0xF) holding
+    one SlideListWithText container per slide, each carrying one text atom
+    per paragraph (TextBytesAtom when cp1252 suffices, TextCharsAtom for
+    real unicode) — the record shapes ``ppt_text`` walks. A token
+    "Current User" stream rides along for container realism."""
+
+    def rec(ver_inst: int, rtype: int, body: bytes) -> bytes:
+        return struct.pack("<HHI", ver_inst, rtype, len(body)) + body
+
+    slide_recs = []
+    for paras in slides:
+        atoms = b""
+        for p in paras:
+            wire = p.replace("\n", "\r")
+            try:
+                atoms += rec(0, _PPT_TEXT_BYTES, wire.encode("cp1252"))
+            except UnicodeEncodeError:
+                atoms += rec(0, _PPT_TEXT_CHARS, wire.encode("utf-16-le"))
+        slide_recs.append(rec(0x000F, 0x0FF0, atoms))  # SlideListWithText
+    doc = rec(0x000F, _PPT_DOCUMENT, b"".join(slide_recs))
+    current_user = struct.pack("<I", 20) + b"\x00" * 16
+    return build_cfb(
+        [("PowerPoint Document", doc), ("Current User", current_user)]
+    )

@@ -33,7 +33,7 @@ from tika_wrap_spark.core.eml import build_eml
 from tika_wrap_spark.core.extract import extract_document
 from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text
 from tika_wrap_spark.core.media import build_jpeg, build_png
-from tika_wrap_spark.core.olebin import build_doc, build_xls
+from tika_wrap_spark.core.olebin import build_doc, build_ppt, build_xls
 from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.rtf import build_rtf
 from tika_wrap_spark.core.tarbin import build_tar_text
@@ -464,14 +464,24 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
 
 
 def _gen_ole_payload(rng: random.Random) -> str:
-    """Legacy binary Office payload: 2/3 Word 97 .doc (piece-table text,
-    ~1-in-4 forced utf-16 pieces via CJK words), 1/3 Excel BIFF8 .xls
-    (LABELSST strings + NUMBER cells)."""
-    if rng.random() < 0.67:
+    """Legacy binary Office payload: half Word 97 .doc (piece-table text,
+    ~1-in-4 forced utf-16 pieces via CJK words), quarter PowerPoint 97
+    .ppt (1-4 slides of TextBytes/TextChars atoms), quarter Excel BIFF8
+    .xls (LABELSST strings + NUMBER cells)."""
+    k = rng.random()
+    if k < 0.5:
         paras = [_sentence(rng) for _ in range(rng.randint(2, 8))]
         if rng.random() < 0.25:  # utf-16 piece path
             paras.append("Unicode para: " + " ".join(rng.sample(_CID_WORDS, 3)))
         return build_doc("\n".join(paras)).decode("latin-1")
+    if k < 0.75:
+        slides = []
+        for _s in range(rng.randint(1, 4)):
+            paras = [_sentence(rng) for _ in range(rng.randint(1, 4))]
+            if rng.random() < 0.2:  # TextCharsAtom (utf-16) path
+                paras.append("スライド " + " ".join(rng.sample(_CID_WORDS, 2)))
+            slides.append(paras)
+        return build_ppt(slides).decode("latin-1")
     header = [rng.choice(_WORDS) for _ in range(rng.randint(2, 5))]
     rows: list[list] = [header]
     for r in range(rng.randint(2, 10)):
