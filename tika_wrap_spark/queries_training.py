@@ -376,6 +376,129 @@ FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id
 SQL_DEDUP_STAR_EDGES = _sql_star_edges()
 
 
+# edit-distance verification window: norms are clipped to this many chars
+# before levenshtein so per-pair cost is a fixed O(EDIT_CLIP^2) at ANY
+# corpus scale (the pair count itself is star/LSH-bounded)
+EDIT_CLIP = 120
+
+
+def q_dedup_edit_distance(spark, d):
+    """Edit-distance verification of LSH candidates (r5) — the standard
+    alternative to Jaccard verify when near-dups differ by small in-place
+    edits rather than token swaps: STAR candidate edges (O(m) per bucket)
+    join both docs' normalized texts clipped to EDIT_CLIP chars, and
+    levenshtein (integer-exact, identical in Spark and DuckDB) scores each
+    pair; ed_sim_q = floor(1000*(maxlen-lev)/maxlen). One extra broadcast-
+    size join over the candidate set — no new shuffle shape."""
+    docs = _t(spark, d, "documents").filter(F.col("doc_id") < 60)
+    snorm = dd.normalized(docs).select(
+        "doc_id", F.substring("norm", 1, EDIT_CLIP).alias("snorm")
+    )
+    toks, sigs = _lsh_toks_sigs(spark, d)
+    edges = dd.lsh_star_edges(sigs, N_MINHASH, BAND_ROWS)
+    a = snorm.select(F.col("doc_id").alias("doc_a"), F.col("snorm").alias("na"))
+    b = snorm.select(F.col("doc_id").alias("doc_b"), F.col("snorm").alias("nb"))
+    ed = (
+        edges.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.levenshtein("na", "nb").cast("long").alias("lev"),
+            F.greatest(F.length("na"), F.length("nb")).alias("maxlen"),
+        )
+    )
+    return ed.select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        "lev",
+        F.when(F.col("maxlen") == 0, F.lit(1000))
+        .otherwise(
+            F.floor(1000.0 * (F.col("maxlen") - F.col("lev")) / F.col("maxlen"))
+        )
+        .cast("long")
+        .alias("ed_sim_q"),
+    )
+
+
+SQL_DEDUP_EDIT_DISTANCE = f"""
+WITH {_minhash_star_ctes()}, ntext AS (
+  SELECT doc_id, substr({_NORM_DUCK}, 1, {EDIT_CLIP}) AS snorm
+  FROM documents WHERE doc_id < 60
+), ed AS (
+  SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+         CAST(levenshtein(na.snorm, nb.snorm) AS BIGINT) AS lev,
+         greatest(length(na.snorm), length(nb.snorm)) AS maxlen
+  FROM pairs p
+  JOIN ntext na ON p.doc_a = na.doc_id
+  JOIN ntext nb ON p.doc_b = nb.doc_id
+)
+SELECT doc_a, doc_b, n_shared_bands, lev,
+       CAST(CASE WHEN maxlen = 0 THEN 1000
+            ELSE floor(1000.0 * (maxlen - lev) / maxlen) END AS BIGINT) AS ed_sim_q
+FROM ed
+"""
+
+
+def q_vocab_growth(spark, d):
+    """Corpus vocabulary audit (r5, Heaps/Zipf observability): per source,
+    token volume vs distinct-type count vs hapax legomena — the numbers a
+    training-data curator watches to spot template spam (TTR collapses)
+    and OCR noise (hapax share explodes). Two partial-aggregable shuffles
+    (per-(source,tok) counts, then per-source rollup); linear in token
+    volume at any corpus size, no joins or windows."""
+    docs = _t(spark, d, "documents")
+    toks = (
+        dd.normalized(docs)
+        .select("source", F.explode(F.split("norm", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    per_tok = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    return (
+        per_tok.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.floor(1000.0 * F.col("n_types") / F.col("n_tokens"))
+            .cast("long")
+            .alias("ttr_q"),
+            F.floor(1000.0 * F.col("n_hapax") / F.col("n_types"))
+            .cast("long")
+            .alias("hapax_share_q"),
+        )
+    )
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH toks AS (
+  SELECT source, tok
+  FROM (SELECT source, unnest(str_split({_NORM_DUCK}, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), per_tok AS (
+  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+), per_source AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         count(*) AS n_types,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM per_tok GROUP BY 1
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       CAST(floor(1000.0 * n_types / n_tokens) AS BIGINT) AS ttr_q,
+       CAST(floor(1000.0 * n_hapax / n_types) AS BIGINT) AS hapax_share_q
+FROM per_source
+"""
+
+
 SPLIT_TEST_4096 = 410  # ~10% held-out test split
 CLUSTER_JQ_MIN = 500  # verified-pair threshold shared by clusters/keep-best/leakage
 

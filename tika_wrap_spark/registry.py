@@ -26,6 +26,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "charset_stats": (qt.q_charset_stats, None),
     "ole_route": (qt.q_ole_route, None),
     "exif_meta": (qt.q_exif_meta, None),
+    "dedup_edit_distance": (qt.q_dedup_edit_distance, qt.SQL_DEDUP_EDIT_DISTANCE),
+    "vocab_growth": (qt.q_vocab_growth, qt.SQL_VOCAB_GROWTH),
     "dedup_star_edges": (qt.q_dedup_star_edges, qt.SQL_DEDUP_STAR_EDGES),
     "dedup_minhash_lsh": (qt.q_dedup_minhash_lsh, qt.SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash_pairs": (qt.q_dedup_simhash_pairs, qt.SQL_DEDUP_SIMHASH_PAIRS),
