@@ -220,7 +220,10 @@ def _fetch_fake(ref: str) -> bytes:
             exif = {
                 "make": "TwcCam",
                 "model": "M%d" % (v % 10),
-                "orientation": 1 + v % 8,
+                # NOT v % 8: this branch is already gated on kind == v % 8,
+                # so low-bit-derived values are constant here — draw the
+                # orientation from unconstrained high bits
+                "orientation": 1 + (v >> 16) % 8,
                 "datetime": "2025:0%d:%02d 0%d:%02d:%02d"
                 % (1 + v % 9, 1 + (v >> 3) % 28, v % 10, (v >> 5) % 60, (v >> 11) % 60),
                 "gps": (
