@@ -509,3 +509,70 @@ def test_cid_malformed_tounicode_falls_back_not_raises():
     pages = parse_real_pdf_pages(bad)
     assert len(pages) == len(CID_PAGES)
     assert all(isinstance(t, str) for p in pages for _x, _y, t in p)
+
+
+# ---------------------------------------------------------------------------
+# encryption (standard security handler, RC4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("enc", ["rc4-40", "rc4-128"], ids=["v1r2-40", "v2r3-128"])
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"flate": False},
+        {"xref_stream": True, "tj_arrays": True},
+        {"cid": True},
+        {"cid": True, "cid_tounicode": False},
+    ],
+    ids=["flate", "plain", "xrefstm-tj", "cid", "cid-raw"],
+)
+def test_encrypted_roundtrip(enc, kw):
+    """Empty-user-password RC4 documents open transparently and extract
+    the identical runs as their plaintext twins (per-object keys, stream
+    + string decryption through every serialization variant)."""
+    pages = CID_PAGES if kw.get("cid") else PAGES
+    got = parse_real_pdf_pages(build_pdf(pages, encrypt=enc, **kw))
+    assert got == parse_real_pdf_pages(build_pdf(pages, **kw))
+
+
+def test_encrypted_ciphertext_is_opaque():
+    """The uncompressed encrypted build must not leak plaintext content."""
+    data = build_pdf(PAGES, encrypt="rc4-40", flate=False)
+    assert b"Hello world" not in data
+    assert b"(Hello" not in data
+    # but the plaintext twin does carry it (sanity of the probe itself)
+    assert b"Hello world" in build_pdf(PAGES, flate=False)
+
+
+def test_encrypted_password_required_raises():
+    data = build_pdf(PAGES, encrypt="rc4-128", encrypt_user_pw=b"secret")
+    with pytest.raises(ExtractError, match=r"pdf: encrypted \(password required\)"):
+        parse_real_pdf_pages(data)
+
+
+def test_encrypted_aes_is_declared_stub():
+    """/V 4 (AESV2 family) is the declared unsupported seam — same-length
+    byte patch keeps every xref offset valid."""
+    data = build_pdf(PAGES, encrypt="rc4-128")
+    with pytest.raises(ExtractError, match="pdf: encrypted .unsupported /V 4"):
+        parse_real_pdf_pages(data.replace(b"/V 2", b"/V 4"))
+
+
+def test_encrypted_through_extraction_policy():
+    """Both encrypted outcomes ride the error policy: transparent-open
+    docs extract parse_ok=true with text intact; password-required docs
+    become parse_ok=false rows, never raises."""
+    ok = extract_document(
+        [{"kind": "pdf", "text": build_pdf_text(PAGES, encrypt="rc4-128"),
+          "media_ref": "", "offset": 0}]
+    )
+    assert ok["parse_ok"] and any("Hello world" in s["text"] for s in ok["spans"])
+    locked = extract_document(
+        [{"kind": "pdf",
+          "text": build_pdf_text(PAGES, encrypt="rc4-40", encrypt_user_pw=b"pw"),
+          "media_ref": "", "offset": 0}]
+    )
+    assert not locked["parse_ok"]
+    assert locked["error"].startswith("pdf: encrypted")

@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 117  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 118  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -55,8 +55,9 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     _, result = golden_pair
     bad = [r for r in result if not r["parse_ok"]]
     # bad html, cut pdf, cut twc1, depth bomb, cut zip, zip crc, cut tar,
-    # bad gzip, dangling-xref real pdf, gzip/xz/bz2 decompression bombs
-    assert len(bad) == 16
+    # bad gzip, dangling-xref real pdf, gzip/xz/bz2 decompression bombs,
+    # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked pdf
+    assert len(bad) == 17
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 

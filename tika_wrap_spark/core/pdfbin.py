@@ -18,7 +18,14 @@ parses the binary format natively:
     positions tracked through the text-line matrix;
   * simple-font decoding: ``/WinAnsiEncoding`` (cp1252),
     ``/MacRomanEncoding``, and ``/Differences`` glyph-name overrides via
-    an Adobe-Glyph-List subset.
+    an Adobe-Glyph-List subset;
+  * encryption: the standard security handler with RC4 (V1/R2 40-bit and
+    V2/R3 up-to-128-bit, PDF 32000-1 §7.6.2-7.6.3) opens transparently
+    when the user password is empty (the common owner-password-only
+    protection; Tika does the same) — per-object keys, stream + string
+    decryption, XRef streams exempt per spec. A non-empty user password
+    raises ``pdf: encrypted (password required)``; AES (/V 4+) and
+    non-Standard handlers are the declared stub path and raise.
 
 Extraction emits the SAME page-runs shape as the synthetic-dialect parser
 (``core/pdf.py``): ``list[list[(x, y, text)]]`` — one run per assembled
@@ -37,6 +44,7 @@ Payloads travel through the engine as bytes-as-text (latin-1):
 from __future__ import annotations
 
 import bisect
+import hashlib
 import re
 import zlib
 
@@ -301,6 +309,93 @@ def decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# encryption: standard security handler, RC4 (PDF 32000-1 §7.6.2-7.6.3)
+# ---------------------------------------------------------------------------
+
+# the spec's 32-byte password pad (PDF 32000-1 §7.6.3.3, Algorithm 2 step a)
+_ENC_PAD = bytes(
+    (
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    )
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (public algorithm; symmetric, length-preserving)."""
+    s = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % kl]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    password: bytes, o_entry: bytes, p: int, id0: bytes, r: int, keylen: int
+) -> bytes:
+    """Algorithm 2: file encryption key from a (user) password."""
+    h = hashlib.md5(
+        (password + _ENC_PAD)[:32]
+        + (o_entry or b"")[:32]
+        + (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:keylen]).digest()
+    return h[:keylen]
+
+
+def _std_owner_rc4_key(owner_pw: bytes, r: int, keylen: int) -> bytes:
+    """Algorithm 3 steps a-c: the RC4 key that produces/undoes /O."""
+    h = hashlib.md5((owner_pw + _ENC_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    return h[:keylen]
+
+
+def _std_o_entry(owner_pw: bytes, user_pw: bytes, r: int, keylen: int) -> bytes:
+    """Algorithm 3: the /O dictionary entry."""
+    rc4key = _std_owner_rc4_key(owner_pw, r, keylen)
+    o = _rc4(rc4key, (user_pw + _ENC_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in rc4key), o)
+    return o
+
+
+def _std_u_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / Algorithm 5 (R3): the /U dictionary entry."""
+    if r == 2:
+        return _rc4(file_key, _ENC_PAD)
+    u = _rc4(file_key, hashlib.md5(_ENC_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16  # 16 bytes of padding, arbitrary per spec
+
+
+def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1 (RC4 flavor): per-object key — MD5 over the file key
+    plus 3 low-order object-number bytes and 2 generation bytes."""
+    h = hashlib.md5(
+        file_key + (num & 0xFFFFFF).to_bytes(3, "little") + (gen & 0xFFFF).to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+# ---------------------------------------------------------------------------
 # document: xref chain, object store, page tree
 # ---------------------------------------------------------------------------
 
@@ -321,7 +416,10 @@ class RealPdf:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list[tuple[int, object]]] = {}
         self._font_cache: dict[int, "FontDecoder"] = {}
+        self._enc_key: bytes | None = None
+        self._enc_obj_num: int | None = None
         self._read_xref_chain()
+        self._setup_encryption()
 
     # -- xref ----------------------------------------------------------
 
@@ -353,6 +451,59 @@ class RealPdf:
                     todo.append(int(v))
         if "Root" not in self.trailer:
             raise ExtractError("pdf: trailer has no /Root")
+
+    def _setup_encryption(self) -> None:
+        """Standard security handler, RC4 V1/V2 (R2/R3), empty user
+        password — the common owner-password-only protection Tika opens
+        transparently. AES (/V 4+) and non-Standard handlers raise (the
+        declared stub path); a non-empty user password raises
+        ``pdf: encrypted (password required)``."""
+        enc = self.trailer.get("Encrypt")
+        if enc is None:
+            return
+        if isinstance(enc, Ref):
+            self._enc_obj_num = enc[0]
+        enc = self.resolve(enc)
+        if not isinstance(enc, dict):
+            raise ExtractError("pdf: /Encrypt is not a dictionary")
+        if enc.get("Filter") != "Standard":
+            raise ExtractError(
+                "pdf: encrypted (unsupported handler /%s)" % enc.get("Filter")
+            )
+        v = int(self.resolve(enc.get("V", 0)) or 0)
+        r = int(self.resolve(enc.get("R", 2)) or 2)
+        if v not in (1, 2) or r not in (2, 3):
+            raise ExtractError("pdf: encrypted (unsupported /V %d /R %d)" % (v, r))
+        keylen = int(self.resolve(enc.get("Length", 40)) or 40) // 8
+        if r == 2:
+            keylen = 5
+        if not 5 <= keylen <= 16:
+            raise ExtractError("pdf: encrypted (bad key length)")
+        o_entry = enc.get("O")
+        u_entry = enc.get("U")
+        if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
+            raise ExtractError("pdf: encrypted (missing /O or /U)")
+        p = int(self.resolve(enc.get("P", 0)) or 0)
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0] if isinstance(ids, list) and ids else b""
+        if not isinstance(id0, bytes):
+            id0 = b""
+        key = _std_file_key(b"", o_entry, p, id0, r, keylen)
+        if _std_u_entry(key, id0, r)[:16] != u_entry[:16]:
+            raise ExtractError("pdf: encrypted (password required)")
+        self._enc_key = key
+
+    def _decrypt_strings(self, obj: object, okey: bytes) -> object:
+        """Strings in a directly-stored object are RC4'd with the object
+        key (strings inside ObjStm members are covered by the container's
+        encryption and must NOT be decrypted twice)."""
+        if isinstance(obj, bytes):
+            return _rc4(okey, obj)
+        if isinstance(obj, list):
+            return [self._decrypt_strings(v, okey) for v in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_strings(v, okey) for k, v in obj.items()}
+        return obj
 
     def _read_xref_table(self, i: int) -> dict:
         data = self.data
@@ -475,6 +626,15 @@ class RealPdf:
             )
             if isinstance(obj, dict) and not raw:
                 obj = sdict
+            if self._enc_key is not None and num != self._enc_obj_num:
+                okey = _obj_key(self._enc_key, num, int(m.group(2)))
+                if isinstance(obj, tuple):
+                    sd, rw = obj
+                    # cross-reference streams are never encrypted (spec)
+                    if sd.get("Type") != "XRef":
+                        obj = (self._decrypt_strings(sd, okey), _rc4(okey, rw))
+                else:
+                    obj = self._decrypt_strings(obj, okey)
         self._cache[num] = obj
         return obj
 
@@ -1318,6 +1478,8 @@ def build_pdf(
     xref_stream: bool = False,
     cid: bool = False,
     cid_tounicode: bool = True,
+    encrypt: str | None = None,
+    encrypt_user_pw: bytes = b"",
 ) -> bytes:
     """Build a real, deterministic, parser-valid PDF from (x, y, text) runs.
 
@@ -1335,7 +1497,35 @@ def build_pdf(
     bfrange rows — the shape every modern PDF generator emits. Without
     it, codes are the raw codepoints (the Identity cid==unicode subset
     convention) exercising the parser's no-ToUnicode fallback.
+
+    ``encrypt`` ("rc4-40" -> V1/R2, "rc4-128" -> V2/R3) applies the
+    standard security handler: streams and out-of-stream strings are
+    RC4'd with per-object keys, /O//U computed per Algorithms 2-5
+    (owner password fixed, user password ``encrypt_user_pw`` — empty by
+    default so the parser's transparent-open path succeeds; non-empty
+    plants a password-required document).
     """
+    enc_key = None
+    if encrypt:
+        enc_v, enc_r, enc_bits = (1, 2, 40) if encrypt == "rc4-40" else (2, 3, 128)
+        enc_p = -44  # print/extract allowed, modify denied — typical mask
+        enc_id0 = hashlib.md5(
+            repr((pages, encrypt, encrypt_user_pw)).encode("utf-8", "replace")
+        ).digest()
+        enc_o = _std_o_entry(b"owner-secret", encrypt_user_pw, enc_r, enc_bits // 8)
+        enc_key = _std_file_key(
+            encrypt_user_pw, enc_o, enc_p, enc_id0, enc_r, enc_bits // 8
+        )
+        enc_u = _std_u_entry(enc_key, enc_id0, enc_r)
+
+    def enc_stream(num: int, body: bytes) -> bytes:
+        return _rc4(_obj_key(enc_key, num, 0), body) if enc_key else body
+
+    def enc_str(num: int, s: bytes) -> bytes:
+        if enc_key is None:
+            return b"(" + s + b")"
+        return b"<" + _rc4(_obj_key(enc_key, num, 0), s).hex().encode("ascii") + b">"
+
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
     code_of: dict[str, int] = {}
@@ -1369,12 +1559,13 @@ def build_pdf(
         objects[3] = font + b" >>"
         objects[desc_num] = (
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /DejaVuSans"
-            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /CIDSystemInfo << /Registry %s /Ordering %s"
             b" /Supplement 0 >> /CIDToGIDMap /Identity /DW 1000 >>"
+            % (enc_str(desc_num, b"Adobe"), enc_str(desc_num, b"Identity"))
         )
         if cid_tounicode:
             cmap = _build_tounicode_cmap(code_of)
-            comp = zlib.compress(cmap, 6)
+            comp = enc_stream(tou_num, zlib.compress(cmap, 6))
             objects[tou_num] = (
                 b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
                 % (len(comp), comp)
@@ -1428,15 +1619,31 @@ def build_pdf(
         lines.append(b"ET")
         body = b"\n".join(lines)
         if flate:
-            comp = zlib.compress(body, 6)
+            comp = enc_stream(cont_num, zlib.compress(body, 6))
             objects[cont_num] = (
                 b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
                 % (len(comp), comp)
             )
         else:
+            body = enc_stream(cont_num, body)
             objects[cont_num] = (
                 b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body)
             )
+
+    trailer_extra = b""
+    if enc_key is not None:
+        enc_num = max(objects) + 1
+        body = b"<< /Filter /Standard /V %d /R %d" % (enc_v, enc_r)
+        if enc_v >= 2:
+            body += b" /Length %d" % enc_bits
+        body += b" /P %d /O <%s> /U <%s> >>" % (
+            enc_p,
+            enc_o.hex().encode("ascii"),
+            enc_u.hex().encode("ascii"),
+        )
+        objects[enc_num] = body
+        idhex = enc_id0.hex().encode("ascii")
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, idhex, idhex)
 
     out = bytearray(b"%PDF-1.5\n%\xc2\xa5\xc2\xb1\n" if xref_stream else b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
@@ -1453,8 +1660,8 @@ def build_pdf(
         for num in range(1, max_num + 1):
             out += b"%010d 00000 n \n" % offsets.get(num, 0)
         out += (
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (max_num + 1, xref_off)
+            b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_num + 1, trailer_extra, xref_off)
         )
     else:
         xr_num = max_num + 1
@@ -1467,9 +1674,9 @@ def build_pdf(
         comp = zlib.compress(bytes(rows), 6)
         out += b"%d 0 obj\n" % xr_num
         out += (
-            b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R"
+            b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R%s"
             b" /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
-            % (xr_num + 1, len(comp), comp)
+            % (xr_num + 1, trailer_extra, len(comp), comp)
         )
         out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)

@@ -23,7 +23,6 @@ UDFs call (``core.extract_document``) — the north_star byte-equality bar.
 
 from __future__ import annotations
 
-import functools
 import random
 from typing import Any
 
@@ -182,7 +181,11 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
     one of five variants: flate/Td, uncompressed kerned-TJ arrays, Tm
     positioning, a PDF 1.5 cross-reference stream, or a Type0/Identity-H
     CID font carrying non-Latin text (ToUnicode CMap on most draws; the
-    raw-codepoint no-ToUnicode fallback on the rest)."""
+    raw-codepoint no-ToUnicode fallback on the rest). A slice of the
+    flate/Td and Tm draws is RC4-encrypted (empty user password — the
+    owner-password-only protection the parser opens transparently);
+    the decision reuses sub-ranges of the already-drawn ``form`` so the
+    rng sequence (and every other doc's bytes) is unchanged."""
     pages = _gen_pdf_runs(rng, giant)
     form = rng.random()
     if form < 0.5:  # fixtures dialect
@@ -194,11 +197,11 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
         lines.append("%%EOF")
         return "\n".join(lines)
     if form < 0.63:
-        return build_pdf_text(pages)
+        return build_pdf_text(pages, encrypt="rc4-128" if form < 0.54 else None)
     if form < 0.74:
         return build_pdf_text(pages, flate=False, tj_arrays=True)
     if form < 0.84:
-        return build_pdf_text(pages, use_tm=True)
+        return build_pdf_text(pages, use_tm=True, encrypt="rc4-40" if form < 0.77 else None)
     if form < 0.92:
         return build_pdf_text(pages, xref_stream=True, tj_arrays=True)
     # CID slice: splice non-Latin words into the page text so the Type0
@@ -565,17 +568,24 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 17
+N_ADVERSARIAL = 18
 
 
-@functools.lru_cache(maxsize=1)
-def _wrapper_bombs() -> tuple[str, str, str]:
+def _wrapper_bombs(_memo: dict = {}) -> tuple[str, str, str]:  # noqa: B006
     """One decode bomb per compression wrapper: a payload that inflates past
     ``gzipbin.MAX_INFLATED`` (64 MiB), pinning the bomb cap as corpus data —
     the cap must register in the error taxonomy at soak scale, never fail a
-    task. Cached: the 65 MiB compress costs ~1 s once per worker."""
-    big = "\x00" * (65 * 1024 * 1024)
-    return (gzip_text(big), xz_text(big), bz2_text(big))
+    task. Memoized via the mutable-default idiom ON PURPOSE: a
+    ``functools.lru_cache`` wrapper is not a plain function, so cloudpickle
+    ships it BY REFERENCE even when its module is registered by value —
+    workers without the package importable then raise ModuleNotFoundError
+    (the round-2 live-object invariant, rediscovered r5). A plain function
+    with a defaults-carried dict pickles by value; the memo holds only the
+    ~100 KB compressed texts, and each worker fills it once (~1 s)."""
+    if "v" not in _memo:
+        big = "\x00" * (65 * 1024 * 1024)
+        _memo["v"] = (gzip_text(big), xz_text(big), bz2_text(big))
+    return _memo["v"]
 
 
 def adversarial_rows(base: int) -> list[dict[str, Any]]:
@@ -690,6 +700,14 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
             "doc_id": "doc_%07d" % (base + 16),
             "spans": _make_spans([("ole", bytes(bad_doc).decode("latin-1"), "")]),
         }
+    )
+    # RC4-encrypted pdf with a NON-empty user password: the transparent
+    # empty-password open fails -> "pdf: encrypted (password required)"
+    locked_pdf = build_pdf_text(
+        [[(72.0, 700.0, "locked away")]], encrypt="rc4-128", encrypt_user_pw=b"secret"
+    )
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 17), "spans": _make_spans([("pdf", locked_pdf, "")])}
     )
     return rows
 
