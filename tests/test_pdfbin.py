@@ -576,3 +576,55 @@ def test_encrypted_through_extraction_policy():
     )
     assert not locked["parse_ok"]
     assert locked["error"].startswith("pdf: encrypted")
+
+
+# ---------------------------------------------------------------------------
+# stream filters: LZWDecode / RunLengthDecode / ASCII85Decode
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cf", ["lzw", "rle", "a85"], ids=str)
+def test_filter_variants_roundtrip(cf):
+    """Content streams through each additional filter (and the
+    [/ASCII85Decode /FlateDecode] chain) parse identically to flate."""
+    ref = parse_real_pdf_pages(build_pdf(PAGES))
+    assert parse_real_pdf_pages(build_pdf(PAGES, content_filter=cf)) == ref
+    # filters compose with encryption (decrypt first, then unfilter)
+    assert (
+        parse_real_pdf_pages(build_pdf(PAGES, content_filter=cf, encrypt="rc4-40"))
+        == ref
+    )
+
+
+@given(st.binary(max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_lzw_rle_codec_roundtrip(data):
+    from tika_wrap_spark.core.pdfbin import (
+        _lzw_decode,
+        _lzw_encode,
+        _rle_decode,
+        _rle_encode,
+    )
+
+    assert _lzw_decode(_lzw_encode(data)) == data
+    assert _rle_decode(_rle_encode(data)) == data
+
+
+def test_lzw_table_full_clear_and_earlychange0():
+    from tika_wrap_spark.core.pdfbin import _lzw_decode, _lzw_encode
+
+    # incompressible-ish input long enough to fill the 12-bit table and
+    # force a mid-stream CLEAR restart
+    big = bytes((i * 7 + (i >> 3)) % 256 for i in range(120000))
+    assert _lzw_decode(_lzw_encode(big)) == big
+    assert _lzw_decode(_lzw_encode(big, early=0), early=0) == big
+
+
+def test_rle_truncated_raises():
+    from tika_wrap_spark.core.pdfbin import _rle_decode
+
+    with pytest.raises(ExtractError, match="RunLength"):
+        _rle_decode(b"\x7f" + b"ab")  # literal run of 128 with 2 bytes
+
+    with pytest.raises(ExtractError, match="RunLength"):
+        _rle_decode(b"\x81")  # repeat record missing its byte

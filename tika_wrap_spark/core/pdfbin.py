@@ -11,7 +11,9 @@ parses the binary format natively:
     (``/Type /XRef``, ``/W`` field widths, PNG Up/Sub/Paeth predictors);
   * compressed objects: ``/Type /ObjStm`` object streams;
   * stream filters: ``FlateDecode`` (stdlib zlib; with ``/DecodeParms``
-    predictors) and ``ASCIIHexDecode``;
+    predictors), ``ASCIIHexDecode``, ``ASCII85Decode`` (incl. filter
+    chains), ``LZWDecode`` (PDF/TIFF variant: 9-12-bit codes,
+    ``EarlyChange``, table-full CLEAR restart), ``RunLengthDecode``;
   * page tree: ``/Root -> /Pages -> /Kids`` recursive walk with cycle
     guard and inheritable ``/Resources``;
   * content streams: ``BT/ET Td TD Tm TL T* Tj TJ ' "`` text operators,
@@ -43,6 +45,7 @@ Payloads travel through the engine as bytes-as-text (latin-1):
 
 from __future__ import annotations
 
+import base64
 import bisect
 import hashlib
 import re
@@ -265,6 +268,161 @@ def _apply_png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> by
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF/TIFF-variant LZW (PDF 32000-1 §7.4.4): 9->12-bit codes, CLEAR=256,
+    EOD=257, ``EarlyChange`` widens one code early (the default)."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # CLEAR
+                table = {i: bytes([i]) for i in range(256)}
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code not in table:
+                    raise ExtractError("pdf: LZW first code out of table")
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                if next_code < 4096:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+            elif code == next_code and next_code < 4096:  # KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ExtractError("pdf: LZW code out of sequence")
+            out += entry
+            if len(out) > MAX_INFLATED:
+                raise ExtractError("pdf: inflated stream exceeds cap")
+            prev = entry
+            # the decoder's table lags the encoder's by one entry (the
+            # KwKwK asymmetry), so it must widen one code EARLIER than
+            # the encoder's next_code-based condition
+            if width < 12 and next_code + 1 >= (1 << width) - early:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Deterministic PDF-variant LZW encoder (builder/tests twin of
+    ``_lzw_decode``): leading CLEAR, greedy longest-match, EOD."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code >= 4096 - early:  # table full: restart with CLEAR
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        else:
+            table[wc] = next_code
+            next_code += 1
+            if width < 12 and next_code >= (1 << width) - early:
+                width += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 32000-1 §7.4.5): length byte 0-127 copies L+1
+    literals, 129-255 repeats the next byte 257-L times, 128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            if i + length + 1 > n:
+                raise ExtractError("pdf: RunLength literal run truncated")
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            if i >= n:
+                raise ExtractError("pdf: RunLength repeat run truncated")
+            out += data[i : i + 1] * (257 - length)
+            i += 1
+        if len(out) > MAX_INFLATED:
+            raise ExtractError("pdf: inflated stream exceeds cap")
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Deterministic RunLengthDecode encoder: repeat runs >=3 become
+    repeat records, everything else literal records (<=128 each)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    lit_start = 0
+
+    def flush_literals(end: int) -> None:
+        j = lit_start
+        while j < end:
+            chunk = data[j : min(j + 128, end)]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            j += len(chunk)
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    out.append(128)  # EOD
+    return bytes(out)
+
+
 def decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
     """Apply the stream's /Filter chain. Flate + ASCIIHex supported."""
     filters = resolve(sdict.get("Filter"))
@@ -303,6 +461,27 @@ def decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
             if len(hx) % 2:
                 hx += b"0"
             data = bytes.fromhex(hx.decode("ascii"))
+        elif flt == "ASCII85Decode":
+            body = data.split(b"~>", 1)[0]
+            body = re.sub(rb"\s", b"", body)
+            try:
+                data = base64.a85decode(b"<~" + body + b"~>", adobe=True)
+            except ValueError as exc:
+                raise ExtractError("pdf: ASCII85Decode failed: %s" % exc)
+        elif flt == "LZWDecode":
+            data = _lzw_decode(data, int(resolve(pm.get("EarlyChange", 1)) or 0))
+            pred = resolve(pm.get("Predictor", 1)) or 1
+            if pred >= 10:
+                data = _apply_png_predictor(
+                    data,
+                    int(resolve(pm.get("Colors", 1)) or 1),
+                    int(resolve(pm.get("BitsPerComponent", 8)) or 8),
+                    int(resolve(pm.get("Columns", 1)) or 1),
+                )
+            elif pred != 1:
+                raise ExtractError("pdf: unsupported predictor %d" % pred)
+        elif flt == "RunLengthDecode":
+            data = _rle_decode(data)
         else:
             raise ExtractError("pdf: unsupported stream filter %s" % flt)
     return data
@@ -1480,6 +1659,7 @@ def build_pdf(
     cid_tounicode: bool = True,
     encrypt: str | None = None,
     encrypt_user_pw: bytes = b"",
+    content_filter: str | None = None,
 ) -> bytes:
     """Build a real, deterministic, parser-valid PDF from (x, y, text) runs.
 
@@ -1618,7 +1798,30 @@ def build_pdf(
                     lines.append(b"(%s) Tj" % esc)
         lines.append(b"ET")
         body = b"\n".join(lines)
-        if flate:
+        if content_filter == "lzw":
+            comp = enc_stream(cont_num, _lzw_encode(body))
+            objects[cont_num] = (
+                b"<< /Length %d /Filter /LZWDecode >>\nstream\n%s\nendstream"
+                % (len(comp), comp)
+            )
+        elif content_filter == "rle":
+            comp = enc_stream(cont_num, _rle_encode(body))
+            objects[cont_num] = (
+                b"<< /Length %d /Filter /RunLengthDecode >>\nstream\n%s\nendstream"
+                % (len(comp), comp)
+            )
+        elif content_filter == "a85":
+            # chain: Flate then ASCII85 armor (filters apply last-to-first
+            # on read: A85 strips the armor, Flate inflates)
+            comp = enc_stream(
+                cont_num,
+                base64.a85encode(zlib.compress(body, 6), adobe=True)[2:] + b"\n",
+            )
+            objects[cont_num] = (
+                b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>"
+                b"\nstream\n%s\nendstream" % (len(comp), comp)
+            )
+        elif flate:
             comp = enc_stream(cont_num, zlib.compress(body, 6))
             objects[cont_num] = (
                 b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"

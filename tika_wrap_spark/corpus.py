@@ -183,9 +183,11 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
     CID font carrying non-Latin text (ToUnicode CMap on most draws; the
     raw-codepoint no-ToUnicode fallback on the rest). A slice of the
     flate/Td and Tm draws is RC4-encrypted (empty user password — the
-    owner-password-only protection the parser opens transparently);
-    the decision reuses sub-ranges of the already-drawn ``form`` so the
-    rng sequence (and every other doc's bytes) is unchanged."""
+    owner-password-only protection the parser opens transparently), and
+    a slice of the uncompressed-TJ draws carries LZW / RunLength /
+    ASCII85+Flate-chain content filters; every such decision reuses
+    sub-ranges of the already-drawn ``form`` so the rng sequence (and
+    every other doc's bytes) is unchanged."""
     pages = _gen_pdf_runs(rng, giant)
     form = rng.random()
     if form < 0.5:  # fixtures dialect
@@ -199,7 +201,15 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
     if form < 0.63:
         return build_pdf_text(pages, encrypt="rc4-128" if form < 0.54 else None)
     if form < 0.74:
-        return build_pdf_text(pages, flate=False, tj_arrays=True)
+        # sub-ranges of form (again no extra rng draws): LZW / RunLength /
+        # ASCII85+Flate-chain content filters, else plain uncompressed
+        cf = (
+            "lzw" if form < 0.66
+            else "rle" if form < 0.68
+            else "a85" if form < 0.70
+            else None
+        )
+        return build_pdf_text(pages, flate=False, tj_arrays=True, content_filter=cf)
     if form < 0.84:
         return build_pdf_text(pages, use_tm=True, encrypt="rc4-40" if form < 0.77 else None)
     if form < 0.92:
