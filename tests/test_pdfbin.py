@@ -516,7 +516,11 @@ def test_cid_malformed_tounicode_falls_back_not_raises():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("enc", ["rc4-40", "rc4-128"], ids=["v1r2-40", "v2r3-128"])
+@pytest.mark.parametrize(
+    "enc",
+    ["rc4-40", "rc4-128", "aes-128", "aes-256"],
+    ids=["v1r2-40", "v2r3-128", "v4r4-aesv2", "v5r6-aes256"],
+)
 @pytest.mark.parametrize(
     "kw",
     [
@@ -552,12 +556,16 @@ def test_encrypted_password_required_raises():
         parse_real_pdf_pages(data)
 
 
-def test_encrypted_aes_is_declared_stub():
-    """/V 4 (AESV2 family) is the declared unsupported seam — same-length
-    byte patch keeps every xref offset valid."""
+def test_encrypted_unknown_v_raises():
+    """An unknown /V value is the declared unsupported seam — same-length
+    byte patch keeps every xref offset valid. (/V 4 itself is SUPPORTED
+    now via crypt filters; a bare /V 4 with R 3 and no /CF is malformed
+    and also raises.)"""
     data = build_pdf(PAGES, encrypt="rc4-128")
-    with pytest.raises(ExtractError, match="pdf: encrypted .unsupported /V 4"):
-        parse_real_pdf_pages(data.replace(b"/V 2", b"/V 4"))
+    with pytest.raises(ExtractError, match="pdf: encrypted .unsupported"):
+        parse_real_pdf_pages(data.replace(b"/V 2", b"/V 7"))
+    with pytest.raises(ExtractError, match="pdf: encrypted .unsupported"):
+        parse_real_pdf_pages(data.replace(b"/V 2", b"/V 4"))  # R3, no /CF
 
 
 def test_encrypted_through_extraction_policy():

@@ -21,13 +21,17 @@ parses the binary format natively:
   * simple-font decoding: ``/WinAnsiEncoding`` (cp1252),
     ``/MacRomanEncoding``, and ``/Differences`` glyph-name overrides via
     an Adobe-Glyph-List subset;
-  * encryption: the standard security handler with RC4 (V1/R2 40-bit and
-    V2/R3 up-to-128-bit, PDF 32000-1 §7.6.2-7.6.3) opens transparently
-    when the user password is empty (the common owner-password-only
-    protection; Tika does the same) — per-object keys, stream + string
-    decryption, XRef streams exempt per spec. A non-empty user password
-    raises ``pdf: encrypted (password required)``; AES (/V 4+) and
-    non-Standard handlers are the declared stub path and raise.
+  * encryption: the standard security handler opens transparently when
+    the user password is empty (the common owner-password-only
+    protection; Tika does the same) across RC4 V1/R2 + V2/R3
+    (PDF 32000-1 §7.6.2-7.6.3), /V 4 R 4 crypt filters (/CFM /V2 RC4 and
+    /AESV2 — IV-prefixed AES-128-CBC, 'sAlT'-extended object keys), and
+    /V 5 R 6 AES-256 (ISO 32000-2 Algorithm 2.A/2.B hardened KDF, /UE
+    file-key unwrap; ``core/aes.py`` is a pure-stdlib FIPS-197 AES
+    validated against the C.1/C.3 and SP 800-38A vectors). Per-object
+    keys, stream + string decryption, XRef streams exempt per spec. A
+    non-empty user password raises ``pdf: encrypted (password
+    required)``; non-Standard handlers and unknown /V raise.
 
 Extraction emits the SAME page-runs shape as the synthetic-dialect parser
 (``core/pdf.py``): ``list[list[(x, y, text)]]`` — one run per assembled
@@ -51,6 +55,7 @@ import hashlib
 import re
 import zlib
 
+from tika_wrap_spark.core.aes import cbc_decrypt, cbc_encrypt
 from tika_wrap_spark.core.errors import ExtractError
 
 MAX_INFLATED = 64 * 1024 * 1024  # per-stream decompression bomb cap
@@ -521,19 +526,58 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _std_file_key(
-    password: bytes, o_entry: bytes, p: int, id0: bytes, r: int, keylen: int
+    password: bytes,
+    o_entry: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    keylen: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: file encryption key from a (user) password."""
+    tail = b""
+    if r >= 4 and not encrypt_metadata:
+        tail = b"\xff\xff\xff\xff"
     h = hashlib.md5(
         (password + _ENC_PAD)[:32]
         + (o_entry or b"")[:32]
         + (p & 0xFFFFFFFF).to_bytes(4, "little")
         + id0
+        + tail
     ).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:keylen]).digest()
     return h[:keylen]
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes, _memo: dict = {}) -> bytes:  # noqa: B006
+    """ISO 32000-2 Algorithm 2.B — the hardened R6 KDF: SHA-256 seed, then
+    rounds of AES-128-CBC over 64 repetitions of (password+K+udata) with
+    the digest width (256/384/512) chosen by the ciphertext mod 3, until
+    >=64 rounds AND the last byte says stop. Memoized via the
+    mutable-default idiom (finding 25: plain function, defaults pickle by
+    value) — the corpus builder uses fixed salts, so every worker pays the
+    ~0.2 s KDF once, not per document."""
+    mk = (password, salt, udata)
+    hit = _memo.get(mk)
+    if hit is not None:
+        return hit
+    k = hashlib.sha256(password + salt + udata).digest()
+    rounds = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1)
+        # first 16 bytes as a big-endian integer mod 3 == byte-sum mod 3
+        # (256 ≡ 1 mod 3)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            break
+    if len(_memo) < 64:
+        _memo[mk] = k[:32]
+    return k[:32]
 
 
 def _std_owner_rc4_key(owner_pw: bytes, r: int, keylen: int) -> bytes:
@@ -565,13 +609,29 @@ def _std_u_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\x00" * 16  # 16 bytes of padding, arbitrary per spec
 
 
-def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1 (RC4 flavor): per-object key — MD5 over the file key
-    plus 3 low-order object-number bytes and 2 generation bytes."""
+# builder-side R6 salts — FIXED across documents on purpose: the parser's
+# _hash_2b memo then pays the ~0.2 s KDF once per worker, not per document
+_B_VSALT = b"twcUvsl8"
+_B_KSALT = b"twcUksl8"
+_B_OVSALT = b"twcOvsl8"
+_B_OKSALT = b"twcOksl8"
+
+
+def _obj_key_salted(file_key: bytes, num: int, gen: int, salt: bytes = b"") -> bytes:
+    """Algorithm 1: per-object key — MD5 over the file key plus 3 low-order
+    object-number bytes and 2 generation bytes (+ the 'sAlT' constant for
+    AESV2)."""
     h = hashlib.md5(
-        file_key + (num & 0xFFFFFF).to_bytes(3, "little") + (gen & 0xFFFF).to_bytes(2, "little")
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+        + salt
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
+
+
+def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
+    return _obj_key_salted(file_key, num, gen)
 
 
 # ---------------------------------------------------------------------------
@@ -597,6 +657,7 @@ class RealPdf:
         self._font_cache: dict[int, "FontDecoder"] = {}
         self._enc_key: bytes | None = None
         self._enc_obj_num: int | None = None
+        self._enc_cfm: str | None = None
         self._read_xref_chain()
         self._setup_encryption()
 
@@ -632,10 +693,12 @@ class RealPdf:
             raise ExtractError("pdf: trailer has no /Root")
 
     def _setup_encryption(self) -> None:
-        """Standard security handler, RC4 V1/V2 (R2/R3), empty user
-        password — the common owner-password-only protection Tika opens
-        transparently. AES (/V 4+) and non-Standard handlers raise (the
-        declared stub path); a non-empty user password raises
+        """Standard security handler, empty user password — the common
+        owner-password-only protection Tika opens transparently. Supported
+        crypt methods: RC4 V1/V2 (R2/R3), RC4-in-CF and AESV2 under
+        /V 4 R 4, and AES-256 under /V 5 R 6 (ISO 32000-2 Algorithm
+        2.A/2.B). Non-Standard handlers and unknown /V raise (declared
+        stub path); a non-empty user password raises
         ``pdf: encrypted (password required)``."""
         enc = self.trailer.get("Encrypt")
         if enc is None:
@@ -651,13 +714,6 @@ class RealPdf:
             )
         v = int(self.resolve(enc.get("V", 0)) or 0)
         r = int(self.resolve(enc.get("R", 2)) or 2)
-        if v not in (1, 2) or r not in (2, 3):
-            raise ExtractError("pdf: encrypted (unsupported /V %d /R %d)" % (v, r))
-        keylen = int(self.resolve(enc.get("Length", 40)) or 40) // 8
-        if r == 2:
-            keylen = 5
-        if not 5 <= keylen <= 16:
-            raise ExtractError("pdf: encrypted (bad key length)")
         o_entry = enc.get("O")
         u_entry = enc.get("U")
         if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
@@ -667,17 +723,81 @@ class RealPdf:
         id0 = ids[0] if isinstance(ids, list) and ids else b""
         if not isinstance(id0, bytes):
             id0 = b""
-        key = _std_file_key(b"", o_entry, p, id0, r, keylen)
-        if _std_u_entry(key, id0, r)[:16] != u_entry[:16]:
-            raise ExtractError("pdf: encrypted (password required)")
-        self._enc_key = key
+        if v in (1, 2) and r in (2, 3):
+            keylen = int(self.resolve(enc.get("Length", 40)) or 40) // 8
+            if r == 2:
+                keylen = 5
+            if not 5 <= keylen <= 16:
+                raise ExtractError("pdf: encrypted (bad key length)")
+            key = _std_file_key(b"", o_entry, p, id0, r, keylen)
+            if _std_u_entry(key, id0, r)[:16] != u_entry[:16]:
+                raise ExtractError("pdf: encrypted (password required)")
+            self._enc_cfm = "rc4"
+            self._enc_key = key
+        elif v == 4 and r == 4:
+            cf = self.resolve(enc.get("CF")) or {}
+            stdcf = self.resolve(cf.get("StdCF")) if isinstance(cf, dict) else {}
+            cfm = (stdcf or {}).get("CFM")
+            if cfm == "AESV2":
+                self._enc_cfm = "aesv2"
+            elif cfm == "V2":
+                self._enc_cfm = "rc4"
+            else:
+                raise ExtractError("pdf: encrypted (unsupported /CFM /%s)" % cfm)
+            keylen = int(self.resolve(enc.get("Length", 128)) or 128) // 8
+            if not 5 <= keylen <= 16:
+                raise ExtractError("pdf: encrypted (bad key length)")
+            meta = self.resolve(enc.get("EncryptMetadata", True))
+            key = _std_file_key(
+                b"", o_entry, p, id0, r, keylen, encrypt_metadata=bool(meta)
+            )
+            if _std_u_entry(key, id0, 3)[:16] != u_entry[:16]:
+                raise ExtractError("pdf: encrypted (password required)")
+            self._enc_key = key
+        elif v == 5 and r == 6:
+            if len(u_entry) < 48:
+                raise ExtractError("pdf: encrypted (/U too short for R6)")
+            vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+            if _hash_2b(b"", vsalt, b"") != u_entry[:32]:
+                raise ExtractError("pdf: encrypted (password required)")
+            ue = enc.get("UE")
+            if not isinstance(ue, bytes) or len(ue) < 32:
+                raise ExtractError("pdf: encrypted (missing /UE)")
+            ik = _hash_2b(b"", ksalt, b"")
+            self._enc_key = cbc_decrypt(ik, b"\x00" * 16, ue[:32])
+            self._enc_cfm = "aesv3"
+        else:
+            raise ExtractError("pdf: encrypted (unsupported /V %d /R %d)" % (v, r))
+
+    def _object_key(self, num: int, gen: int) -> bytes:
+        """Per-object key: Algorithm 1 MD5 salt for RC4/AESV2 (AES appends
+        the spec's 'sAlT'); AES-256 uses the file key directly."""
+        if self._enc_cfm == "aesv3":
+            return self._enc_key
+        salt = b"sAlT" if self._enc_cfm == "aesv2" else b""
+        return _obj_key_salted(self._enc_key, num, gen, salt)
+
+    def _decrypt_payload(self, okey: bytes, data: bytes) -> bytes:
+        """Decrypt one string/stream payload per the crypt method: raw RC4,
+        or IV-prefixed AES-CBC with lenient PKCS#7 strip."""
+        if self._enc_cfm == "rc4":
+            return _rc4(okey, data)
+        if not data:
+            return data
+        if len(data) < 16 or len(data) % 16:
+            raise ExtractError("pdf: AES payload not block-aligned")
+        pt = cbc_decrypt(okey, data[:16], data[16:])
+        pad = pt[-1] if pt else 0
+        if 1 <= pad <= 16 and len(pt) >= pad:
+            pt = pt[:-pad]
+        return pt
 
     def _decrypt_strings(self, obj: object, okey: bytes) -> object:
         """Strings in a directly-stored object are RC4'd with the object
         key (strings inside ObjStm members are covered by the container's
         encryption and must NOT be decrypted twice)."""
         if isinstance(obj, bytes):
-            return _rc4(okey, obj)
+            return self._decrypt_payload(okey, obj)
         if isinstance(obj, list):
             return [self._decrypt_strings(v, okey) for v in obj]
         if isinstance(obj, dict):
@@ -806,12 +926,15 @@ class RealPdf:
             if isinstance(obj, dict) and not raw:
                 obj = sdict
             if self._enc_key is not None and num != self._enc_obj_num:
-                okey = _obj_key(self._enc_key, num, int(m.group(2)))
+                okey = self._object_key(num, int(m.group(2)))
                 if isinstance(obj, tuple):
                     sd, rw = obj
                     # cross-reference streams are never encrypted (spec)
                     if sd.get("Type") != "XRef":
-                        obj = (self._decrypt_strings(sd, okey), _rc4(okey, rw))
+                        obj = (
+                            self._decrypt_strings(sd, okey),
+                            self._decrypt_payload(okey, rw),
+                        )
                 else:
                     obj = self._decrypt_strings(obj, okey)
         self._cache[num] = obj
@@ -1686,25 +1809,56 @@ def build_pdf(
     plants a password-required document).
     """
     enc_key = None
-    if encrypt:
-        enc_v, enc_r, enc_bits = (1, 2, 40) if encrypt == "rc4-40" else (2, 3, 128)
-        enc_p = -44  # print/extract allowed, modify denied — typical mask
-        enc_id0 = hashlib.md5(
-            repr((pages, encrypt, encrypt_user_pw)).encode("utf-8", "replace")
-        ).digest()
+    enc_p = -44  # print/extract allowed, modify denied — typical mask
+    enc_id0 = hashlib.md5(
+        repr((pages, encrypt, encrypt_user_pw)).encode("utf-8", "replace")
+    ).digest()
+    if encrypt in ("rc4-40", "rc4-128", "aes-128"):
+        enc_v, enc_r, enc_bits = {
+            "rc4-40": (1, 2, 40),
+            "rc4-128": (2, 3, 128),
+            "aes-128": (4, 4, 128),
+        }[encrypt]
         enc_o = _std_o_entry(b"owner-secret", encrypt_user_pw, enc_r, enc_bits // 8)
         enc_key = _std_file_key(
             encrypt_user_pw, enc_o, enc_p, enc_id0, enc_r, enc_bits // 8
         )
-        enc_u = _std_u_entry(enc_key, enc_id0, enc_r)
+        enc_u = _std_u_entry(enc_key, enc_id0, min(enc_r, 3))  # R4 -> Algorithm 5
+    elif encrypt == "aes-256":  # /V 5 R 6 (ISO 32000-2)
+        enc_key = hashlib.sha256(
+            repr((pages, encrypt_user_pw)).encode("utf-8", "replace")
+        ).digest()
+        zero_iv = b"\x00" * 16
+        enc_u = _hash_2b(encrypt_user_pw, _B_VSALT, b"") + _B_VSALT + _B_KSALT
+        enc_ue = cbc_encrypt(_hash_2b(encrypt_user_pw, _B_KSALT, b""), zero_iv, enc_key)
+        enc_o = _hash_2b(b"owner-secret", _B_OVSALT, enc_u) + _B_OVSALT + _B_OKSALT
+        enc_oe = cbc_encrypt(_hash_2b(b"owner-secret", _B_OKSALT, enc_u), zero_iv, enc_key)
+        perms_block = (
+            (enc_p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff" + b"Tadb" + b"twc!"
+        )
+        enc_perms = cbc_encrypt(enc_key, zero_iv, perms_block)
+    elif encrypt is not None:
+        raise ValueError("unknown encrypt mode %r" % encrypt)
+
+    def _obj_crypt(num: int, body: bytes) -> bytes:
+        if encrypt.startswith("rc4"):
+            return _rc4(_obj_key(enc_key, num, 0), body)
+        if encrypt == "aes-128":
+            k = _obj_key_salted(enc_key, num, 0, b"sAlT")
+        else:  # aes-256: file key directly
+            k = enc_key
+        iv = hashlib.md5(b"twc-iv-%d" % num).digest()[:16]
+        padlen = 16 - len(body) % 16
+        return iv + cbc_encrypt(k, iv, body + bytes([padlen]) * padlen)
 
     def enc_stream(num: int, body: bytes) -> bytes:
-        return _rc4(_obj_key(enc_key, num, 0), body) if enc_key else body
+        return _obj_crypt(num, body) if enc_key else body
 
     def enc_str(num: int, s: bytes) -> bytes:
         if enc_key is None:
             return b"(" + s + b")"
-        return b"<" + _rc4(_obj_key(enc_key, num, 0), s).hex().encode("ascii") + b">"
+        return b"<" + _obj_crypt(num, s).hex().encode("ascii") + b">"
 
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
@@ -1836,14 +1990,35 @@ def build_pdf(
     trailer_extra = b""
     if enc_key is not None:
         enc_num = max(objects) + 1
-        body = b"<< /Filter /Standard /V %d /R %d" % (enc_v, enc_r)
-        if enc_v >= 2:
-            body += b" /Length %d" % enc_bits
-        body += b" /P %d /O <%s> /U <%s> >>" % (
-            enc_p,
-            enc_o.hex().encode("ascii"),
-            enc_u.hex().encode("ascii"),
-        )
+        if encrypt == "aes-256":
+            body = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                b" /P %d /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+                % (
+                    enc_p,
+                    enc_o.hex().encode("ascii"),
+                    enc_u.hex().encode("ascii"),
+                    enc_oe.hex().encode("ascii"),
+                    enc_ue.hex().encode("ascii"),
+                    enc_perms.hex().encode("ascii"),
+                )
+            )
+        else:
+            body = b"<< /Filter /Standard /V %d /R %d" % (enc_v, enc_r)
+            if enc_v >= 2:
+                body += b" /Length %d" % enc_bits
+            if encrypt == "aes-128":
+                body += (
+                    b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                    b" /StmF /StdCF /StrF /StdCF"
+                )
+            body += b" /P %d /O <%s> /U <%s> >>" % (
+                enc_p,
+                enc_o.hex().encode("ascii"),
+                enc_u.hex().encode("ascii"),
+            )
         objects[enc_num] = body
         idhex = enc_id0.hex().encode("ascii")
         trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, idhex, idhex)

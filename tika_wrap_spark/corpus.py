@@ -199,7 +199,13 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
         lines.append("%%EOF")
         return "\n".join(lines)
     if form < 0.63:
-        return build_pdf_text(pages, encrypt="rc4-128" if form < 0.54 else None)
+        enc = (
+            "aes-256" if form < 0.51
+            else "aes-128" if form < 0.52
+            else "rc4-128" if form < 0.54
+            else None
+        )
+        return build_pdf_text(pages, encrypt=enc)
     if form < 0.74:
         # sub-ranges of form (again no extra rng draws): LZW / RunLength /
         # ASCII85+Flate-chain content filters, else plain uncompressed
