@@ -636,3 +636,21 @@ def test_rle_truncated_raises():
 
     with pytest.raises(ExtractError, match="RunLength"):
         _rle_decode(b"\x81")  # repeat record missing its byte
+
+
+def test_pdf_crypt_meta_key():
+    """The crypt method that protected a document surfaces as meta
+    'pdf_crypt' ('' plain, rc4, aesv2, aesv3) — the pdf_security_stats
+    observability surface."""
+    for enc, want in (
+        (None, ""),
+        ("rc4-40", "rc4"),
+        ("rc4-128", "rc4"),
+        ("aes-128", "aesv2"),
+        ("aes-256", "aesv3"),
+    ):
+        r = extract_document(
+            [{"kind": "pdf", "text": build_pdf_text(PAGES, encrypt=enc),
+              "media_ref": "", "offset": 0}]
+        )
+        assert r["parse_ok"] and r["meta"]["pdf_crypt"] == want, (enc, r)

@@ -27,7 +27,7 @@ from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, htm
 from tika_wrap_spark.core.media import image_dims_text
 from tika_wrap_spark.core.olebin import ole_extract_text
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
-from tika_wrap_spark.core.pdfbin import is_real_pdf_text, parse_real_pdf_pages_text
+from tika_wrap_spark.core.pdfbin import is_real_pdf_text, parse_real_pdf_pages_text_crypt
 from tika_wrap_spark.core.eml import parse_eml
 from tika_wrap_spark.core.rtf import rtf_to_text
 from tika_wrap_spark.core.sniff import (
@@ -115,6 +115,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     depth_max = 0  # deepest container nesting level seen
     title = ""  # first non-empty <title> across html payloads
     pdf1_dims: tuple[float, float] | None = None  # first pdf's first page
+    pdf_crypt = ""  # first encrypted pdf's crypt method (rc4/aesv2/aesv3)
     media1_dims: tuple[int, int] | None = None  # first parseable image's w,h
     media1_exif: dict[str, str] = {}  # first image member's EXIF (JPEG APP1)
     container_format = ""  # 'ooxml' if any archive carries the marker member
@@ -136,7 +137,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         parse embedded content", /root/reference/README.md:25; zip smoke
         inputs at example/demo1.cpp:48-49)."""
         nonlocal n_pages, n_blocks, n_media, n_containers, n_entries
-        nonlocal depth_max, title, pdf1_dims, media1_dims, container_format
+        nonlocal depth_max, title, pdf1_dims, pdf_crypt, media1_dims, container_format
         nonlocal eml_subject, eml_from, charset_first, n_transcoded
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
@@ -178,7 +179,9 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             # operators); the synthetic fixtures dialect has no startxref
             # and keeps its strict line parser
             if is_real_pdf_text(text):
-                pages = parse_real_pdf_pages_text(text)
+                pages, crypt = parse_real_pdf_pages_text_crypt(text)
+                if crypt and not pdf_crypt:
+                    pdf_crypt = crypt
             else:
                 pages = parse_pdf_pages(text)
             if pdf1_dims is None:
@@ -280,6 +283,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "container_depth": _stringify(depth_max),
         "container_format": container_format,
         "html_title": title,
+        "pdf_crypt": pdf_crypt,
         "pdf_page1_w": "" if pdf1_dims is None else "%.1f" % pdf1_dims[0],
         "pdf_page1_h": "" if pdf1_dims is None else "%.1f" % pdf1_dims[1],
         "media1_w": "" if media1_dims is None else _stringify(media1_dims[0]),

@@ -1666,17 +1666,25 @@ def _assemble_lines(
     return out
 
 
-def parse_real_pdf_pages(data: bytes) -> list[list[tuple[float, float, str]]]:
+def parse_real_pdf_pages_crypt(
+    data: bytes,
+) -> tuple[list[list[tuple[float, float, str]]], str]:
     """Parse a real binary PDF into pages of (x, y, text) line runs in
     appearance order — the same shape ``core.pdf.parse_pdf_pages`` emits
-    for the synthetic dialect, feeding the shared layout reorder."""
+    for the synthetic dialect, feeding the shared layout reorder. Second
+    element is the crypt method that protected the document ('' /
+    'rc4' / 'aesv2' / 'aesv3') — the security-observability surface."""
     doc = RealPdf(data)
     pages: list[list[tuple[float, float, str]]] = []
     for page in doc.pages():
         fonts = doc.page_fonts(page)
         content = doc.page_content(page)
         pages.append(_assemble_lines(_content_runs(content, fonts)))
-    return pages
+    return pages, doc._enc_cfm or ""
+
+
+def parse_real_pdf_pages(data: bytes) -> list[list[tuple[float, float, str]]]:
+    return parse_real_pdf_pages_crypt(data)[0]
 
 
 def is_real_pdf_text(text: str) -> bool:
@@ -1687,11 +1695,18 @@ def is_real_pdf_text(text: str) -> bool:
 
 def parse_real_pdf_pages_text(text: str) -> list[list[tuple[float, float, str]]]:
     """Bytes-as-text bridge (latin-1), mirroring ``zipbin.parse_zip_text``."""
+    return parse_real_pdf_pages_text_crypt(text)[0]
+
+
+def parse_real_pdf_pages_text_crypt(
+    text: str,
+) -> tuple[list[list[tuple[float, float, str]]], str]:
+    """Bytes-as-text bridge returning (pages, crypt_method)."""
     try:
         data = text.encode("latin-1")
     except UnicodeEncodeError:
         raise ExtractError("pdf: payload is not a byte stream (non-latin-1 chars)")
-    return parse_real_pdf_pages(data)
+    return parse_real_pdf_pages_crypt(data)
 
 
 # ---------------------------------------------------------------------------

@@ -2722,6 +2722,30 @@ def q_ole_route(spark, d):
     )
 
 
+def q_pdf_security_stats(spark, d):
+    """Encrypted-PDF observability (late r5): per crypt method — rc4
+    (V1/V2 40-128 bit), aesv2 (/V 4 crypt filter), aesv3 (/V 5 R 6
+    AES-256) — how many docs opened transparently with the empty user
+    password, plus the password-locked rejects ('locked'). The reference
+    inherits every one of these from Tika's PDFBox security handlers
+    (/root/reference/src/java-env.cpp:313); core/pdfbin.py implements
+    them natively (core/aes.py FIPS-197 AES underneath)."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    crypt = (
+        F.when(F.col("error").startswith("pdf: encrypted"), F.lit("locked"))
+        .otherwise(meta_at("pdf_crypt"))
+    )
+    return (
+        ext.select(crypt.alias("crypt"), F.col("parse_ok").cast("int").alias("ok"))
+        .filter(F.col("crypt") != "")
+        .groupBy("crypt")
+        .agg(F.count("*").alias("n_docs"), F.sum("ok").alias("n_opened"))
+    )
+
+
 def q_exif_meta(spark, d):
     """EXIF metadata surface (r5): JPEG APP1/TIFF-IFD walk
     (core/exifbin.py — the exiftool runtime dep the reference declares,

@@ -23,6 +23,7 @@ from tika_wrap_spark import queries_training as qt
 
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
+    "pdf_security_stats": (qt.q_pdf_security_stats, None),
     "charset_stats": (qt.q_charset_stats, None),
     "ole_route": (qt.q_ole_route, None),
     "exif_meta": (qt.q_exif_meta, None),
