@@ -654,3 +654,20 @@ def test_pdf_crypt_meta_key():
               "media_ref": "", "offset": 0}]
         )
         assert r["parse_ok"] and r["meta"]["pdf_crypt"] == want, (enc, r)
+
+
+@pytest.mark.parametrize("enc", ["rc4-128", "aes-128", "aes-256"], ids=str)
+def test_encrypted_bitflips_ride_the_policy(enc):
+    """Corrupt bytes anywhere in an encrypted document produce either a
+    (garbled) parse or an ExtractError — never a foreign exception
+    escaping the extraction policy."""
+    data = bytearray(build_pdf(PAGES, encrypt=enc))
+    step = max(1, len(data) // 40)
+    for pos in range(0, len(data), step):
+        mut = bytes(data[:pos]) + bytes([data[pos] ^ 0x5A]) + bytes(data[pos + 1 :])
+        r = extract_document(
+            [{"kind": "pdf", "text": mut.decode("latin-1"), "media_ref": "", "offset": 0}]
+        )
+        assert isinstance(r["parse_ok"], bool)
+        if not r["parse_ok"]:
+            assert r["error"]
