@@ -671,3 +671,20 @@ def test_encrypted_bitflips_ride_the_policy(enc):
         assert isinstance(r["parse_ok"], bool)
         if not r["parse_ok"]:
             assert r["error"]
+
+
+def test_lzw_tail_boundary():
+    """A stream whose LAST table add lands exactly one below a width
+    boundary (decoder's catch-up add then widens before reading EOD) —
+    the 1-in-~1700 case the 1M soak caught: the encoder must pre-widen
+    before writing EOD."""
+    import random
+
+    from tika_wrap_spark.core.pdfbin import _lzw_decode, _lzw_encode
+
+    rng = random.Random(2)
+    for base in (510, 1022, 2046):
+        for n in range(base - 4, base + 5):
+            for t in range(8):
+                d = bytes(rng.randrange(256) for _ in range(n))
+                assert _lzw_decode(_lzw_encode(d)) == d, (base, n, t)

@@ -363,6 +363,15 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w])
+        # tail sync: the decoder ADDS an entry for this flushed code (the
+        # encoder does not), catching its table up to ours — and then runs
+        # its widen check before reading EOD. Mirror that check here or a
+        # stream whose last add lands exactly one below the width boundary
+        # (next_code == 2^w - early - 1) writes EOD one bit narrower than
+        # the decoder reads it (caught at 1-in-~1700 LZW docs in the 1M
+        # soak; tests/test_pdfbin.py::test_lzw_tail_boundary).
+        if width < 12 and next_code + 1 >= (1 << width) - early:
+            width += 1
     emit(257)
     if nbits:
         out.append((bitbuf << (8 - nbits)) & 0xFF)
