@@ -688,3 +688,43 @@ def test_lzw_tail_boundary():
             for t in range(8):
                 d = bytes(rng.randrange(256) for _ in range(n))
                 assert _lzw_decode(_lzw_encode(d)) == d, (base, n, t)
+
+
+def test_r6_kdf_constants():
+    """The precomputed fixed-salt KDF literals (finding 26: module DATA is
+    the only per-task-free cache under pyspark 4's no-reuse workers) must
+    equal a fresh Algorithm 2.B derivation."""
+    from tika_wrap_spark.core.pdfbin import (
+        _B_KSALT,
+        _B_OKSALT,
+        _B_OVSALT,
+        _B_VSALT,
+        _KDF_PRECOMPUTED,
+        _hash_2b,
+    )
+
+    def derive(pw, salt, udata):
+        import hashlib
+
+        from tika_wrap_spark.core.aes import cbc_encrypt
+
+        k = hashlib.sha256(pw + salt + udata).digest()
+        rounds = 0
+        while True:
+            k1 = (pw + k + udata) * 64
+            e = cbc_encrypt(k[:16], k[16:32], k1)
+            k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+                e
+            ).digest()
+            rounds += 1
+            if rounds >= 64 and e[-1] <= rounds - 32:
+                break
+        return k[:32]
+
+    for (pw, salt, udata), want in _KDF_PRECOMPUTED.items():
+        assert derive(pw, salt, udata) == want
+        assert _hash_2b(pw, salt, udata) == want
+    # the four corpus keys are present
+    u = _KDF_PRECOMPUTED[(b"", _B_VSALT, b"")] + _B_VSALT + _B_KSALT
+    assert (b"owner-secret", _B_OVSALT, u) in _KDF_PRECOMPUTED
+    assert (b"owner-secret", _B_OKSALT, u) in _KDF_PRECOMPUTED

@@ -57,6 +57,7 @@ import zlib
 
 from tika_wrap_spark.core.aes import cbc_decrypt, cbc_encrypt
 from tika_wrap_spark.core.errors import ExtractError
+from tika_wrap_spark.core.procmemo import proc_memo
 
 MAX_INFLATED = 64 * 1024 * 1024  # per-stream decompression bomb cap
 MAX_PAGES = 50_000
@@ -560,15 +561,20 @@ def _std_file_key(
     return h[:keylen]
 
 
-def _hash_2b(password: bytes, salt: bytes, udata: bytes, _memo: dict = {}) -> bytes:  # noqa: B006
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     """ISO 32000-2 Algorithm 2.B — the hardened R6 KDF: SHA-256 seed, then
     rounds of AES-128-CBC over 64 repetitions of (password+K+udata) with
     the digest width (256/384/512) chosen by the ciphertext mod 3, until
-    >=64 rounds AND the last byte says stop. Memoized via the
-    mutable-default idiom (finding 25: plain function, defaults pickle by
-    value) — the corpus builder uses fixed salts, so every worker pays the
-    ~0.2 s KDF once, not per document."""
+    >=64 rounds AND the last byte says stop. Memoized in the PROCESS-global
+    store (finding 26: a module-level memo resets on every task's by-value
+    module reconstruction — re-paying the ~0.5 s KDF per task serialized
+    whole generation stages) — the corpus builder uses fixed salts, so
+    every worker process pays the KDF once, not per task or document."""
     mk = (password, salt, udata)
+    hit = _KDF_PRECOMPUTED.get(mk)
+    if hit is not None:
+        return hit
+    _memo = proc_memo("pdf_hash_2b")
     hit = _memo.get(mk)
     if hit is not None:
         return hit
@@ -618,12 +624,42 @@ def _std_u_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\x00" * 16  # 16 bytes of padding, arbitrary per spec
 
 
-# builder-side R6 salts — FIXED across documents on purpose: the parser's
-# _hash_2b memo then pays the ~0.2 s KDF once per worker, not per document
+# builder-side R6 salts — FIXED across documents on purpose, and the four
+# KDF outputs they pin PRECOMPUTED as literals below: pyspark 4's local
+# runtime never reuses python workers (finding 26 — every task is a fresh
+# process; builtins-level and module-level memos all reset), so the only
+# zero-cost-per-task cache is module DATA, which by-value pickling ships
+# with every closure. tests/test_pdfbin.py::test_r6_kdf_constants
+# re-derives each literal from _hash_2b. Documents with OTHER salts
+# (third-party R6 files) still pay the honest per-task KDF.
 _B_VSALT = b"twcUvsl8"
 _B_KSALT = b"twcUksl8"
 _B_OVSALT = b"twcOvsl8"
 _B_OKSALT = b"twcOksl8"
+_KDF_PRECOMPUTED: dict[tuple[bytes, bytes, bytes], bytes] = {}
+
+
+def _seed_kdf_precomputed() -> None:
+    h1 = bytes.fromhex(
+        "388fff36853e233dad8fb63588529b813d9fa66f33857aef53b47d33b4278534"
+    )
+    h2 = bytes.fromhex(
+        "566fcaa07005a26bc9265b3dc3b800feec3c819e3b40f9bdb5ba414f6dbd3abd"
+    )
+    u = h1 + _B_VSALT + _B_KSALT
+    h3 = bytes.fromhex(
+        "c9aa9bb374c0e0e2ce2a242fe54583da2413726c33bc015848ecbddb860abf81"
+    )
+    h4 = bytes.fromhex(
+        "e96d213a93a40df4b81d58258e3cf7ea34583f6ee1144450528a218f07bd2e49"
+    )
+    _KDF_PRECOMPUTED[(b"", _B_VSALT, b"")] = h1
+    _KDF_PRECOMPUTED[(b"", _B_KSALT, b"")] = h2
+    _KDF_PRECOMPUTED[(b"owner-secret", _B_OVSALT, u)] = h3
+    _KDF_PRECOMPUTED[(b"owner-secret", _B_OKSALT, u)] = h4
+
+
+_seed_kdf_precomputed()
 
 
 def _obj_key_salted(file_key: bytes, num: int, gen: int, salt: bytes = b"") -> bytes:

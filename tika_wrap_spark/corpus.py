@@ -34,6 +34,7 @@ from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text
 from tika_wrap_spark.core.media import build_jpeg, build_png
 from tika_wrap_spark.core.olebin import build_doc, build_ppt, build_xls
 from tika_wrap_spark.core.pdfbin import build_pdf_text
+from tika_wrap_spark.core.procmemo import proc_memo
 from tika_wrap_spark.core.rtf import build_rtf
 from tika_wrap_spark.core.tarbin import build_tar_text
 from tika_wrap_spark.core.zipbin import build_zip_text
@@ -587,21 +588,24 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
 N_ADVERSARIAL = 18
 
 
-def _wrapper_bombs(_memo: dict = {}) -> tuple[str, str, str]:  # noqa: B006
+def _wrapper_bombs() -> tuple[str, str, str]:
     """One decode bomb per compression wrapper: a payload that inflates past
     ``gzipbin.MAX_INFLATED`` (64 MiB), pinning the bomb cap as corpus data —
     the cap must register in the error taxonomy at soak scale, never fail a
-    task. Memoized via the mutable-default idiom ON PURPOSE: a
-    ``functools.lru_cache`` wrapper is not a plain function, so cloudpickle
-    ships it BY REFERENCE even when its module is registered by value —
-    workers without the package importable then raise ModuleNotFoundError
-    (the round-2 live-object invariant, rediscovered r5). A plain function
-    with a defaults-carried dict pickles by value; the memo holds only the
-    ~100 KB compressed texts, and each worker fills it once (~1 s)."""
-    if "v" not in _memo:
+    task. Memoized in the PROCESS-global store, for two stacked reasons:
+    (1) an ``functools.lru_cache`` wrapper is not a plain function, so
+    cloudpickle ships it BY REFERENCE even when its module is registered by
+    value — workers without the package importable then raise
+    ModuleNotFoundError (the round-2 live-object invariant, rediscovered
+    r5); (2) a module-level dict (mutable default included) resets on every
+    task's by-value module reconstruction, re-paying the ~1-3 s 65-MiB
+    compress per task (finding 26). ``proc_memo`` lives on ``builtins`` and
+    survives both."""
+    memo = proc_memo("corpus_wrapper_bombs")
+    if "v" not in memo:
         big = "\x00" * (65 * 1024 * 1024)
-        _memo["v"] = (gzip_text(big), xz_text(big), bz2_text(big))
-    return _memo["v"]
+        memo["v"] = (gzip_text(big), xz_text(big), bz2_text(big))
+    return memo["v"]
 
 
 def adversarial_rows(base: int) -> list[dict[str, Any]]:
