@@ -728,3 +728,21 @@ def test_r6_kdf_constants():
     u = _KDF_PRECOMPUTED[(b"", _B_VSALT, b"")] + _B_VSALT + _B_KSALT
     assert (b"owner-secret", _B_OVSALT, u) in _KDF_PRECOMPUTED
     assert (b"owner-secret", _B_OKSALT, u) in _KDF_PRECOMPUTED
+
+
+@pytest.mark.parametrize("enc", ["aes-128", "aes-256"], ids=str)
+def test_stmf_identity_selector(enc):
+    """/StmF /Identity leaves streams plaintext while strings stay
+    encrypted through /StrF /StdCF — the per-class crypt-filter selector
+    corner of /V 4-5 (spec default for both selectors is Identity)."""
+    data = build_pdf(PAGES, encrypt=enc, encrypt_stmf_identity=True)
+    assert b"/StmF /Identity" in data
+    assert parse_real_pdf_pages(data) == parse_real_pdf_pages(build_pdf(PAGES))
+
+
+def test_unknown_named_crypt_filter_raises():
+    data = build_pdf(PAGES, encrypt="aes-128")
+    # same-length patch: /StmF /StdCF -> /StmF /Bogus (5 chars -> pad)
+    bad = data.replace(b"/StmF /StdCF", b"/StmF /Bogul")
+    with pytest.raises(ExtractError, match="unsupported /StmF"):
+        parse_real_pdf_pages(bad)

@@ -703,6 +703,8 @@ class RealPdf:
         self._enc_key: bytes | None = None
         self._enc_obj_num: int | None = None
         self._enc_cfm: str | None = None
+        self._enc_streams = True  # /StmF: decrypt stream payloads
+        self._enc_strings = True  # /StrF: decrypt string payloads
         self._read_xref_chain()
         self._setup_encryption()
 
@@ -799,6 +801,7 @@ class RealPdf:
             if _std_u_entry(key, id0, 3)[:16] != u_entry[:16]:
                 raise ExtractError("pdf: encrypted (password required)")
             self._enc_key = key
+            self._read_cf_selectors(enc)
         elif v == 5 and r == 6:
             if len(u_entry) < 48:
                 raise ExtractError("pdf: encrypted (/U too short for R6)")
@@ -811,8 +814,25 @@ class RealPdf:
             ik = _hash_2b(b"", ksalt, b"")
             self._enc_key = cbc_decrypt(ik, b"\x00" * 16, ue[:32])
             self._enc_cfm = "aesv3"
+            self._read_cf_selectors(enc)
         else:
             raise ExtractError("pdf: encrypted (unsupported /V %d /R %d)" % (v, r))
+
+    def _read_cf_selectors(self, enc: dict) -> None:
+        """/StmF and /StrF name the crypt filter for streams/strings under
+        /V 4-5. The spec DEFAULT is /Identity (not encrypted); only
+        /StdCF routes through the standard filter. Anything else is an
+        unsupported named filter."""
+        for key, attr in (("StmF", "_enc_streams"), ("StrF", "_enc_strings")):
+            name = enc.get(key, "Identity")
+            if name == "StdCF":
+                setattr(self, attr, True)
+            elif name == "Identity":
+                setattr(self, attr, False)
+            else:
+                raise ExtractError(
+                    "pdf: encrypted (unsupported /%s /%s)" % (key, name)
+                )
 
     def _object_key(self, num: int, gen: int) -> bytes:
         """Per-object key: Algorithm 1 MD5 salt for RC4/AESV2 (AES appends
@@ -976,11 +996,12 @@ class RealPdf:
                     sd, rw = obj
                     # cross-reference streams are never encrypted (spec)
                     if sd.get("Type") != "XRef":
-                        obj = (
-                            self._decrypt_strings(sd, okey),
-                            self._decrypt_payload(okey, rw),
-                        )
-                else:
+                        if self._enc_strings:
+                            sd = self._decrypt_strings(sd, okey)
+                        if self._enc_streams:
+                            rw = self._decrypt_payload(okey, rw)
+                        obj = (sd, rw)
+                elif self._enc_strings:
                     obj = self._decrypt_strings(obj, okey)
         self._cache[num] = obj
         return obj
@@ -1842,6 +1863,7 @@ def build_pdf(
     cid_tounicode: bool = True,
     encrypt: str | None = None,
     encrypt_user_pw: bytes = b"",
+    encrypt_stmf_identity: bool = False,
     content_filter: str | None = None,
 ) -> bytes:
     """Build a real, deterministic, parser-valid PDF from (x, y, text) runs.
@@ -1913,7 +1935,10 @@ def build_pdf(
         return iv + cbc_encrypt(k, iv, body + bytes([padlen]) * padlen)
 
     def enc_stream(num: int, body: bytes) -> bytes:
-        return _obj_crypt(num, body) if enc_key else body
+        # /StmF /Identity: streams stay plaintext while strings encrypt
+        if enc_key is None or encrypt_stmf_identity:
+            return body
+        return _obj_crypt(num, body)
 
     def enc_str(num: int, s: bytes) -> bytes:
         if enc_key is None:
@@ -2054,8 +2079,12 @@ def build_pdf(
             body = (
                 b"<< /Filter /Standard /V 5 /R 6 /Length 256"
                 b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
-                b" /StmF /StdCF /StrF /StdCF"
-                b" /P %d /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+                + (
+                    b" /StmF /Identity /StrF /StdCF"
+                    if encrypt_stmf_identity
+                    else b" /StmF /StdCF /StrF /StdCF"
+                )
+                + b" /P %d /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
                 % (
                     enc_p,
                     enc_o.hex().encode("ascii"),
@@ -2070,9 +2099,11 @@ def build_pdf(
             if enc_v >= 2:
                 body += b" /Length %d" % enc_bits
             if encrypt == "aes-128":
+                body += b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
                 body += (
-                    b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
-                    b" /StmF /StdCF /StrF /StdCF"
+                    b" /StmF /Identity /StrF /StdCF"
+                    if encrypt_stmf_identity
+                    else b" /StmF /StdCF /StrF /StdCF"
                 )
             body += b" /P %d /O <%s> /U <%s> >>" % (
                 enc_p,
