@@ -31,6 +31,7 @@ HEADLINE = [
     "sniff_route",
     "charset_stats",
     "ole_route",
+    "odf_route",
     "pdf_security_stats",
     "dedup_star_edges",
     "span_assembly",

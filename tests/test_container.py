@@ -636,3 +636,135 @@ class TestXzBz2:
         assert sniff_kind("BZh91AY&SY...", "") == "bz2"
         assert sniff_kind("BZh", "") == "text"  # bare prefix, no level digit
         assert sniff_kind("BZhX", "") == "text"  # non-digit level
+
+
+class TestOdf:
+    """OpenDocument packages (ODF 1.3 §3.3): a zip whose ``mimetype``
+    member carries the package media type. Tika parses these via
+    OpenDocumentParser (the reference inherits them,
+    /root/reference/src/java-env.cpp:313); here content.xml rides the
+    generic xml-member strip and the mimetype member picks the subkind."""
+
+    def _odf_zip(self, sub: str, content_xml: str) -> str:
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        mime = "application/vnd.oasis.opendocument." + sub
+        return build_zip_text(
+            [("mimetype", mime), ("content.xml", content_xml)],
+            deflate=[False, True],  # real ODF stores mimetype uncompressed
+        )
+
+    def test_odt_text_paragraphs(self):
+        content = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<office:document-content '
+            'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+            'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+            "<office:body><office:text>"
+            '<text:p text:style-name="P1">First paragraph.</text:p>'
+            "<text:p>Costs &amp; revenue, 12&#37; up.</text:p>"
+            "</office:text></office:body></office:document-content>"
+        )
+        res = extract_document(_doc(self._odf_zip("text", content)))
+        assert res["parse_ok"], res["error"]
+        assert res["meta"]["container_format"] == "odf-odt"
+        texts = [s["text"] for s in res["spans"] if s["kind"] == "text"]
+        # generic xml strip: tag removal + entity decode + ws collapse
+        assert texts == ["First paragraph. Costs & revenue, 12% up."]
+
+    def test_mimetype_member_is_metadata_not_content(self):
+        """The mimetype member must never surface as a span nor count as a
+        container entry (Tika likewise treats it as package metadata)."""
+        content = '<?xml version="1.0"?><office:document-content/>'
+        res = extract_document(_doc(self._odf_zip("text", content)))
+        assert res["parse_ok"]
+        assert res["meta"]["n_container_entries"] == "1"
+        assert all("opendocument" not in s["text"] for s in res["spans"])
+
+    def test_ods_and_odp_subkinds(self):
+        for sub, kind in (("spreadsheet", "odf-ods"), ("presentation", "odf-odp")):
+            content = (
+                '<?xml version="1.0"?><office:document-content>'
+                "<office:body><text:p>cell or slide words</text:p>"
+                "</office:body></office:document-content>"
+            )
+            res = extract_document(_doc(self._odf_zip(sub, content)))
+            assert res["parse_ok"], res["error"]
+            assert res["meta"]["container_format"] == kind
+            assert "cell or slide words" in [s["text"] for s in res["spans"]]
+
+    def test_unknown_opendocument_subtype(self):
+        res = extract_document(
+            _doc(self._odf_zip("graphics", "<office:document-content/>"))
+        )
+        assert res["parse_ok"]
+        assert res["meta"]["container_format"] == "odf-other"
+
+    def test_plain_zip_with_nonmarker_mimetype_stays_zip(self):
+        """A mimetype member whose payload is not an opendocument type must
+        not trigger the ODF route (and still emits as a member)."""
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        zt = build_zip_text(
+            [("mimetype", "text/plain"), ("a.log", "ordinary words")]
+        )
+        res = extract_document(_doc(zt))
+        assert res["parse_ok"]
+        assert res["meta"]["container_format"] == "zip"
+        assert res["meta"]["n_container_entries"] == "2"
+        assert "text/plain" in [s["text"] for s in res["spans"]]
+
+    def test_corpus_odf_slice_roundtrip(self):
+        """Every generated ODF shape extracts green with the right subkind."""
+        import random
+
+        from tika_wrap_spark.corpus import _ODF_MIMES, _gen_odf_content_xml
+
+        rng = random.Random(7)
+        for sub in ("odt", "ods", "odp"):
+            res = extract_document(
+                _doc(self._odf_zip(_ODF_MIMES[sub].rsplit(".", 1)[1],
+                                   _gen_odf_content_xml(rng, sub)))
+            )
+            assert res["parse_ok"], res["error"]
+            assert res["meta"]["container_format"] == "odf-" + sub
+            assert any(s["text"] for s in res["spans"])
+
+
+class TestEpub:
+    """EPUB OCF packages: zip + stored-first ``mimetype`` =
+    application/epub+zip; chapter xhtml members route through the REAL
+    html extractor (Tika's EpubParser analog)."""
+
+    def test_epub_chapters_extract_as_html(self):
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        chapter = (
+            "<html><head><title>Ch 1</title></head><body>"
+            "<p>This is a long enough paragraph of real chapter content "
+            "that the text-density keep rule retains it in full.</p>"
+            "</body></html>"
+        )
+        zt = build_zip_text(
+            [("mimetype", "application/epub+zip"),
+             ("OEBPS/chapter1.xhtml", chapter)],
+            deflate=[False, True],
+        )
+        res = extract_document(_doc(zt))
+        assert res["parse_ok"], res["error"]
+        assert res["meta"]["container_format"] == "epub"
+        assert res["meta"]["n_container_entries"] == "1"  # mimetype excluded
+        assert int(res["meta"]["n_html_blocks"]) >= 1
+        assert any("real chapter content" in s["text"] for s in res["spans"])
+        assert res["meta"]["html_title"] == "Ch 1"
+
+    def test_corpus_epub_roundtrip(self):
+        import random
+
+        from tika_wrap_spark.corpus import _gen_epub_payload
+
+        rng = random.Random(11)
+        for _ in range(5):
+            res = extract_document(_doc(_gen_epub_payload(rng)))
+            assert res["parse_ok"], res["error"]
+            assert res["meta"]["container_format"] == "epub"

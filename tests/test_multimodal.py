@@ -425,3 +425,71 @@ def test_jpeg_baseline_codec_roundtrip_and_resize():
     # header-only and progressive JPEGs keep the stub path
     assert jpeg_pixels(build_jpeg(64, 32)) is None
     assert _resize_real(build_jpeg(64, 32, progressive=True), 9, 5) is None
+
+
+class TestId3Tags:
+    """ID3v2 text frames (late r5): the audio half of the exiftool/sox
+    metadata analog (/root/reference/README.md:19-20) — TIT2/TPE1/TALB/
+    TYER(TDRC) surface as flat strings; truncation is best-effort data,
+    never an exception."""
+
+    def test_roundtrip_v23_latin1_and_utf16(self):
+        from tika_wrap_spark.core.media import build_mp3, mp3_id3_tags, mp3_info
+
+        m = build_mp3(
+            128, 44100, False, 3,
+            id3_tags={"title": "Hello — 曲", "artist": "Aé", "album": "B",
+                      "year": "1999"},
+        )
+        assert mp3_info(m) == (2, 44100, 128, 3)  # tag skip still exact
+        assert mp3_id3_tags(m) == {
+            "title": "Hello — 曲", "artist": "Aé", "album": "B", "year": "1999"
+        }
+
+    def test_v24_syncsafe_frame_sizes(self):
+        from tika_wrap_spark.core.media import build_id3v2, mp3_id3_tags
+
+        tag = build_id3v2({"title": "X", "artist": "Y"})
+        as_v24 = b"ID3\x04\x00" + tag[5:]
+        assert mp3_id3_tags(as_v24) == {"title": "X", "artist": "Y"}
+
+    def test_truncation_and_garbage_never_raise(self):
+        from tika_wrap_spark.core.media import build_mp3, mp3_id3_tags
+
+        m = build_mp3(64, 32000, True, 1, id3_tags={"title": "T", "artist": "A"})
+        for cut in range(0, 40):
+            assert isinstance(mp3_id3_tags(m[:cut]), dict)
+        assert mp3_id3_tags(b"") == {}
+        assert mp3_id3_tags(b"not an mp3 at all") == {}
+        assert mp3_id3_tags(build_mp3(64, 32000, True, 1, id3=True)) == {}
+
+    def test_decode_surfaces_id3_columns(self):
+        from tika_wrap_spark.core.media import build_mp3, build_wav
+        from tika_wrap_spark.operators.multimodal import _decode_payload
+
+        m = build_mp3(192, 48000, False, 5, id3_tags={"title": "T1", "artist": "A1"})
+        meta = _decode_payload("blob://x/0", m)
+        assert meta["media_kind"] == "audio"
+        assert (meta["id3_title"], meta["id3_artist"]) == ("T1", "A1")
+        w = _decode_payload("blob://x/1", build_wav(2, 44100, 16, 10))
+        assert (w["id3_title"], w["id3_artist"]) == ("", "")
+
+    def test_fetch_mix_draws_tagged_mp3s(self):
+        """The digest mix must exercise tagged (incl. utf-16-titled) and
+        untagged mp3s so the decode columns carry real signal."""
+        from tika_wrap_spark.core.media import mp3_id3_tags, mp3_info
+        from tika_wrap_spark.operators.multimodal import _fetch_fake
+
+        tagged = untagged = utf16 = 0
+        for i in range(4000):
+            p = _fetch_fake("blob://doc_%07d/%d" % (i, i % 3))
+            if mp3_info(p) is None:
+                continue
+            tags = mp3_id3_tags(p)
+            if tags:
+                tagged += 1
+                if any(ord(c) > 0xFF for c in tags.get("title", "")):
+                    utf16 += 1
+            else:
+                untagged += 1
+        assert tagged > 50 and untagged > 50 and utf16 > 10

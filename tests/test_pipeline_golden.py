@@ -146,7 +146,10 @@ def test_corpus_mix_composition_pinned():
             kinds[sniff_kind(s["text"] or "", s["media_ref"] or "")] += 1
     # r5 mix: charset-wrapped text-family payloads sniff 'text' pre-decode
     # (the transcode happens inside extraction), and the legacy-Office slice
-    # carved ~1-in-4 of the raw-container branch into 'ole' docs
+    # carved ~1-in-4 of the raw-container branch into 'ole' docs. Late r5:
+    # the ODF carve ([0.25, 0.40) of the same sub-draw) turned one raw
+    # container that previously serialized as tar into an ODF real zip
+    # (zip 17 -> 18, tar 6 -> 5).
     assert dict(kinds) == {
         "csv": 76,
         "pdf": 140,
@@ -157,7 +160,7 @@ def test_corpus_mix_composition_pinned():
         "json": 24,
         "eml": 12,
         "rtf": 15,
-        "zip": 17,
+        "zip": 18,
         "ole": 7,
-        "tar": 6,
+        "tar": 5,
     }, dict(kinds)

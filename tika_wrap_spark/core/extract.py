@@ -62,6 +62,33 @@ from tika_wrap_spark.core.tarbin import parse_tar_text
 # exactly this member; QMimeDatabase-style container-format distinction)
 OOXML_MARKER = "[Content_Types].xml"
 
+# OpenDocument marker (ODF 1.3 §3.3): a zip whose ``mimetype`` member holds
+# the package media type. Tika routes these via the same container sniff
+# (the reference inherits ODF through Tika's OpenDocumentParser,
+# /root/reference/src/java-env.cpp:313); the subkind suffix distinguishes
+# Writer/Calc/Impress the way the OLE path distinguishes doc/xls/ppt.
+ODF_MARKER = "mimetype"
+_ODF_MIME_PREFIX = "application/vnd.oasis.opendocument."
+_ODF_SUBKINDS = {"text": "odt", "spreadsheet": "ods", "presentation": "odp"}
+_EPUB_MIME = "application/epub+zip"
+
+
+def _package_format(entries: list[tuple[str, str]]) -> str:
+    """'' unless the member list carries a ``mimetype`` marker member
+    (OCF/ODF packaging): 'odf-odt'/'odf-ods'/'odf-odp' ('odf-other' for an
+    unrecognized opendocument.* type) or 'epub' (EPUB OCF — chapters are
+    xhtml members that route through the REAL html extractor)."""
+    for name, payload in entries:
+        if name != ODF_MARKER:
+            continue
+        if payload.startswith(_ODF_MIME_PREFIX):
+            return "odf-" + _ODF_SUBKINDS.get(
+                payload[len(_ODF_MIME_PREFIX):].strip(), "other"
+            )
+        if payload.strip() == _EPUB_MIME:
+            return "epub"
+    return ""
+
 # sniff kinds eligible for charset detection — text family only; binary
 # magics (PNG/zip/pdf bytes-as-text) are high-byte-dense and must never be
 # transcoded (Tika's AutoDetectReader likewise guards text/* parses only)
@@ -199,8 +226,14 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             )
             n_containers += 1
             depth_max = max(depth_max, depth + 1)
+            pkg = _package_format(entries)
             if any(name == OOXML_MARKER for name, _p in entries):
                 container_format = "ooxml"
+            elif pkg:
+                container_format = pkg
+                # the mimetype member is package metadata, not content —
+                # Tika likewise never emits it as an embedded resource
+                entries = [e for e in entries if e[0] != ODF_MARKER]
             elif not container_format:
                 container_format = kind
             for name, payload in entries:

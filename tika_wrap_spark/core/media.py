@@ -215,12 +215,117 @@ def mp3_info(data: bytes) -> tuple[int, int, int, int] | None:
     return (channels, sample_rate, bitrate // 1000, est_frames)
 
 
+# ID3v2 text-frame ids -> the flat metadata keys the decode surfaces
+# (Tika's XMPDM/ID3 tag analog; the reference declares exiftool for the
+# same job, /root/reference/README.md:19)
+_ID3_TEXT_FRAMES = {
+    "TIT2": "title",
+    "TPE1": "artist",
+    "TALB": "album",
+    "TYER": "year",  # v2.3
+    "TDRC": "year",  # v2.4 recording time supersedes TYER
+}
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+def mp3_id3_tags(data: bytes) -> dict[str, str]:
+    """ID3v2.3/2.4 text frames (TIT2/TPE1/TALB/TYER/TDRC) -> flat strings.
+    Frame sizes are plain big-endian in v2.3 and syncsafe in v2.4; text
+    payloads carry a leading encoding byte (0 latin-1, 1 utf-16 w/ BOM,
+    3 utf-8 in v2.4). Returns {} for untagged / non-MP3 / malformed bytes
+    (truncation never raises — metadata is best-effort, content is not)."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return {}
+    major = data[3]
+    tag_end = 10 + (
+        ((data[6] & 0x7F) << 21)
+        | ((data[7] & 0x7F) << 14)
+        | ((data[8] & 0x7F) << 7)
+        | (data[9] & 0x7F)
+    )
+    tag_end = min(tag_end, len(data))
+    pos = 10
+    if data[5] & 0x40 and tag_end - pos >= 4:  # extended header: skip
+        ext = int.from_bytes(data[pos : pos + 4], "big")
+        if major == 4:
+            ext = ((ext >> 24) & 0x7F) << 21 | ((ext >> 16) & 0x7F) << 14 | (
+                (ext >> 8) & 0x7F
+            ) << 7 | (ext & 0x7F)
+        else:
+            ext += 4  # v2.3 size excludes its own 4 size bytes
+        pos += ext
+    out: dict[str, str] = {}
+    while pos + 10 <= tag_end:
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":  # zero padding
+            break
+        raw = data[pos + 4 : pos + 8]
+        if major == 4:
+            size = (
+                ((raw[0] & 0x7F) << 21)
+                | ((raw[1] & 0x7F) << 14)
+                | ((raw[2] & 0x7F) << 7)
+                | (raw[3] & 0x7F)
+            )
+        else:
+            size = int.from_bytes(raw, "big")
+        body = data[pos + 10 : pos + 10 + size]
+        pos += 10 + size
+        if len(body) != size:  # truncated tag: keep what parsed
+            break
+        key = _ID3_TEXT_FRAMES.get(fid.decode("latin-1", "replace"))
+        if key is None or key in out or not body:
+            continue
+        enc, text = body[0], body[1:]
+        try:
+            if enc == 1:
+                val = text.decode("utf-16")  # BOM-led
+            elif enc == 2:
+                val = text.decode("utf-16-be")
+            elif enc == 3:
+                val = text.decode("utf-8")
+            else:
+                val = text.decode("latin-1")
+        except UnicodeDecodeError:
+            continue
+        val = val.split("\x00", 1)[0].strip()
+        if val:
+            out[key] = val
+    return out
+
+
+def build_id3v2(tags: dict[str, str]) -> bytes:
+    """ID3v2.3 tag bytes for the given flat keys (title/artist/album/year);
+    latin-1 where encodable, else BOM'd utf-16."""
+    frames = b""
+    ids = {v: k for k, v in _ID3_TEXT_FRAMES.items() if k != "TDRC"}
+    for key, val in tags.items():
+        fid = ids.get(key)
+        if fid is None:
+            continue
+        try:
+            body = b"\x00" + val.encode("latin-1")
+        except UnicodeEncodeError:
+            body = b"\x01\xff\xfe" + val.encode("utf-16-le")
+        frames += fid.encode("ascii") + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+    return b"ID3\x03\x00\x00" + _syncsafe(len(frames)) + frames
+
+
 def build_mp3(
-    bitrate_kbps: int, sample_rate: int, mono: bool, n_frames: int, id3: bool = False
+    bitrate_kbps: int,
+    sample_rate: int,
+    mono: bool,
+    n_frames: int,
+    id3: bool = False,
+    id3_tags: dict[str, str] | None = None,
 ) -> bytes:
     """Minimal structurally-valid MPEG-1 Layer III stream: ``n_frames``
     frames of correct header + zero payload (no padding bit), optionally
-    preceded by an empty ID3v2.3 tag. Header-parseable; carries no audio."""
+    preceded by an ID3v2.3 tag (empty, or carrying ``id3_tags`` text
+    frames). Header-parseable; carries no audio."""
     br_idx = _MP3_BITRATES.index(bitrate_kbps)
     sr_idx = _MP3_RATES.index(sample_rate)
     hdr = bytes(
@@ -233,7 +338,12 @@ def build_mp3(
     )
     frame_size = (144 * bitrate_kbps * 1000) // sample_rate
     frame = hdr + b"\x00" * (frame_size - 4)
-    tag = b"ID3\x03\x00\x00\x00\x00\x00\x00" if id3 else b""
+    if id3_tags:
+        tag = build_id3v2(id3_tags)
+    elif id3:
+        tag = b"ID3\x03\x00\x00\x00\x00\x00\x00"
+    else:
+        tag = b""
     return tag + frame * n_frames
 
 

@@ -333,6 +333,81 @@ def _gen_xlsx_xml(rng: random.Random) -> tuple[str, str]:
     return shared, sheet
 
 
+_ODF_MIMES = {
+    "odt": "application/vnd.oasis.opendocument.text",
+    "ods": "application/vnd.oasis.opendocument.spreadsheet",
+    "odp": "application/vnd.oasis.opendocument.presentation",
+}
+
+
+def _gen_odf_content_xml(rng: random.Random, sub: str) -> str:
+    """OpenDocument content.xml (ODF 1.3): Writer text:p paragraphs, Calc
+    table rows whose cells carry text:p, or Impress draw:page text boxes.
+    Text surfaces via the same generic xml-member strip as OOXML; the zip's
+    ``mimetype`` member (core/extract.py ODF_MARKER) picks the subkind."""
+    if sub == "odt":
+        body = "<office:text>%s</office:text>" % "".join(
+            '<text:p text:style-name="P%d">%s</text:p>' % (i, _sentence(rng))
+            for i in range(rng.randint(2, 5))
+        )
+    elif sub == "ods":
+        rows = []
+        for r in range(rng.randint(2, 4)):
+            cells = "".join(
+                '<table:table-cell office:value-type="string"><text:p>%s'
+                "</text:p></table:table-cell>" % _words(rng, rng.randint(1, 4))
+                for _ in range(rng.randint(2, 4))
+            )
+            rows.append("<table:table-row>%s</table:table-row>" % cells)
+        body = (
+            '<office:spreadsheet><table:table table:name="Sheet1">%s'
+            "</table:table></office:spreadsheet>" % "".join(rows)
+        )
+    else:  # odp
+        pages = []
+        for p in range(rng.randint(1, 3)):
+            paras = "".join(
+                "<text:p>%s</text:p>" % _sentence(rng)
+                for _ in range(rng.randint(1, 3))
+            )
+            pages.append(
+                '<draw:page draw:name="page%d"><draw:frame><draw:text-box>%s'
+                "</draw:text-box></draw:frame></draw:page>" % (p + 1, paras)
+            )
+        body = "<office:presentation>%s</office:presentation>" % "".join(pages)
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0">'
+        "<office:body>%s</office:body></office:document-content>" % body
+    )
+
+
+def _gen_odf_payload(rng: random.Random) -> str:
+    """A whole OpenDocument package (odt ~ half, ods/odp a quarter each):
+    a REAL zip whose first member is the stored ``mimetype`` marker (ODF
+    1.3 §3.3 requires it uncompressed-first) followed by content.xml."""
+    s = rng.random()
+    sub = "odt" if s < 0.5 else ("ods" if s < 0.75 else "odp")
+    return build_zip_text(
+        [("mimetype", _ODF_MIMES[sub]), ("content.xml", _gen_odf_content_xml(rng, sub))],
+        deflate=[False, rng.random() < 0.7],
+    )
+
+
+def _gen_epub_payload(rng: random.Random) -> str:
+    """An EPUB OCF package: real zip, stored-first ``mimetype`` marker
+    (`application/epub+zip`), 1-3 xhtml chapter members that route through
+    the REAL html extractor (boilerplate strip and all)."""
+    entries = [("mimetype", "application/epub+zip")]
+    for c in range(rng.randint(1, 3)):
+        entries.append(("OEBPS/chapter%d.xhtml" % (c + 1), _gen_html_payload(rng)))
+    return build_zip_text(entries, deflate=[False] + [True] * (len(entries) - 1))
+
+
 def _gen_rtf_payload(rng: random.Random) -> str:
     """RTF payload: 2-6 paragraphs, ~half carrying cp1252 accents (the
     ``\\'hh`` escape path), an \\info title destination the extractor must
@@ -438,19 +513,26 @@ def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
 def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
     """Raw container payload (FIXTURES.md §1b): 2-6 members mixing
     text/html/pdf/media, ~1-in-4 docs carrying one nested container;
-    ~1-in-5 top-level archives are OOXML-shaped ([Content_Types].xml marker
-    + xml members — the zip-that-is-a-document case). Every archive (any
+    ~1-in-5 top-level archives are document-shaped — OOXML
+    ([Content_Types].xml marker + xml members) or, r5, OpenDocument
+    (mimetype marker + content.xml; odt/ods/odp ~ 2:1:1) — the
+    zip-that-is-a-document case. Every archive (any
     nesting level, any shape) draws its serialization from _encode_archive's
     six-way real-zip / real-tar / tar.gz / tar.xz / tar.bz2 / TWC1 mix."""
     entries: list[tuple[str, str]] = []
-    if depth == 0 and rng.random() < 0.2:  # OOXML-analog archive
-        entries.append(("[Content_Types].xml", _gen_xml_payload(rng)))
+    if depth == 0 and rng.random() < 0.2:  # document-shaped archive
         shape = rng.random()
-        if shape < 0.55:  # docx: WordprocessingML w:t runs
+        if shape >= 0.72:  # ODF (r5): mimetype marker + content.xml
+            sub = "odt" if shape < 0.86 else ("ods" if shape < 0.93 else "odp")
+            entries.append(("mimetype", _ODF_MIMES[sub]))
+            entries.append(("content.xml", _gen_odf_content_xml(rng, sub)))
+            return _encode_archive(rng, entries)
+        entries.append(("[Content_Types].xml", _gen_xml_payload(rng)))
+        if shape < 0.40:  # docx: WordprocessingML w:t runs
             entries.append(("word/document.xml", _gen_docx_xml(rng)))
             if rng.random() < 0.5:
                 entries.append(("word/media/image1.png", _gen_png_payload(rng)))
-        elif shape < 0.8:  # pptx: DrawingML a:t runs across 1-3 slides
+        elif shape < 0.58:  # pptx: DrawingML a:t runs across 1-3 slides
             for s in range(rng.randint(1, 3)):
                 entries.append(
                     ("ppt/slides/slide%d.xml" % (s + 1), _gen_pptx_slide_xml(rng))
@@ -577,9 +659,16 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
                 payloads.append(("media", "", "blob://%s/%d" % (doc_id, media_n)))
                 media_n += 1
     else:  # RAW container doc (TWC1 archive; recursive extraction path)
-        # ~1-in-4 of this slice is a legacy binary Office doc instead
-        if rng.random() < 0.25:
+        # ~1-in-4 of this slice is a legacy binary Office doc; late r5:
+        # the next ~12% an OpenDocument package and ~3% an EPUB (both
+        # mimetype-marker zips)
+        sub = rng.random()
+        if sub < 0.25:
             payloads = [("ole", _gen_ole_payload(rng), "")]
+        elif sub < 0.37:
+            payloads = [("zip", _gen_odf_payload(rng), "")]
+        elif sub < 0.40:
+            payloads = [("zip", _gen_epub_payload(rng), "")]
         else:
             payloads = [("zip", _gen_container_payload(rng), "")]
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}

@@ -48,6 +48,7 @@ from tika_wrap_spark.core.media import (
     build_png_pixels,
     build_wav,
     image_dims,
+    mp3_id3_tags,
     mp3_info,
     png_pixels,
     resize_nearest,
@@ -69,6 +70,11 @@ MEDIA_META_SCHEMA = T.StructType(
         # 0/'' for formats/payloads without EXIF
         T.StructField("exif_orientation", T.IntegerType(), False),
         T.StructField("exif_datetime", T.StringType(), False),
+        # ID3v2 text-frame surface (core/media.py mp3_id3_tags — the audio
+        # half of the same exiftool/sox analog); '' for untagged audio and
+        # every non-MP3 kind
+        T.StructField("id3_title", T.StringType(), False),
+        T.StructField("id3_artist", T.StringType(), False),
     ]
 )
 
@@ -96,6 +102,8 @@ def _decode_fake(ref: str, payload: bytes) -> dict:
         "feature": h[:16],
         "exif_orientation": 0,
         "exif_datetime": "",
+        "id3_title": "",
+        "id3_artist": "",
     }
 
 
@@ -117,6 +125,8 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
             "feature": hashlib.md5(payload).hexdigest()[:16],
             "exif_orientation": int(exif.get("orientation") or 0),
             "exif_datetime": exif.get("datetime", ""),
+            "id3_title": "",
+            "id3_artist": "",
         }
     wav = wav_info(payload)
     if wav is not None:
@@ -129,6 +139,8 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
             "feature": hashlib.md5(payload).hexdigest()[:16],
             "exif_orientation": 0,
             "exif_datetime": "",
+            "id3_title": "",
+            "id3_artist": "",
         }
     avi = avi_info(payload)
     if avi is not None:
@@ -141,10 +153,13 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
             "feature": hashlib.md5(payload).hexdigest()[:16],
             "exif_orientation": 0,
             "exif_datetime": "",
+            "id3_title": "",
+            "id3_artist": "",
         }
     mp3 = mp3_info(payload)
     if mp3 is not None:
         channels, sample_rate, _kbps, n_frames = mp3
+        tags = mp3_id3_tags(payload)  # {} for untagged streams
         return {
             "media_kind": "audio",
             "width": channels,
@@ -153,6 +168,8 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
             "feature": hashlib.md5(payload).hexdigest()[:16],
             "exif_orientation": 0,
             "exif_datetime": "",
+            "id3_title": tags.get("title", ""),
+            "id3_artist": tags.get("artist", ""),
         }
     return _decode_fake(ref, payload)
 
@@ -247,12 +264,22 @@ def _fetch_fake(ref: str) -> bytes:
     if kind == 5:
         return build_avi(w, hgt, 1 + (v >> 4) % 3000, 1 + v % 2)
     if kind == 6:
+        # tagged half carries real ID3v2.3 text frames (digest-derived;
+        # 1-in-4 of those a non-latin-1 title -> the BOM'd utf-16 frame
+        # encoding); untagged half keeps the bare empty-tag/no-tag split
+        tags = None
+        if v & 64:
+            title = "Track %05d" % (v % 100000)
+            if v & 128:
+                title += " — 曲"  # utf-16 frame path
+            tags = {"title": title, "artist": "Artist %03d" % ((v >> 8) % 1000)}
         return build_mp3(
             (64, 128, 192, 320)[v % 4],
             (44100, 48000, 32000)[v % 3],
             mono=bool(v & 4),
             n_frames=1 + (v >> 6) % 400,
             id3=bool(v & 64),
+            id3_tags=tags,
         )
     return h + h[::-1]
 

@@ -2722,6 +2722,37 @@ def q_ole_route(spark, d):
     )
 
 
+def q_odf_route(spark, d):
+    """Mimetype-marker package extraction tallies (late r5): OpenDocument
+    odt/ods/odp and EPUB OCF packages route by their zip ``mimetype``
+    marker member (ODF 1.3 §3.3 / EPUB OCF; core/extract.py ODF_MARKER —
+    Tika's OpenDocumentParser/EpubParser analog,
+    /root/reference/src/java-env.cpp:313), land the subkind in
+    container_format ('odf-odt'/'odf-ods'/'odf-odp'/'epub'), strip
+    content.xml through the generic xml-member path (epub chapters ride
+    the REAL html extractor), and never emit the mimetype member as
+    content."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            meta_at("container_format").startswith("odf-")
+            | (meta_at("container_format") == "epub")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            meta_at("container_format").alias("odf_kind"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
 def q_pdf_security_stats(spark, d):
     """Encrypted-PDF observability (late r5): per crypt method — rc4
     (V1/V2 40-128 bit), aesv2 (/V 4 crypt filter), aesv3 (/V 5 R 6
