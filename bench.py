@@ -32,6 +32,7 @@ HEADLINE = [
     "charset_stats",
     "ole_route",
     "odf_route",
+    "ical_route",
     "pdf_security_stats",
     "dedup_star_edges",
     "span_assembly",

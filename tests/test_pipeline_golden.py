@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 118  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 119  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -56,8 +56,9 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     bad = [r for r in result if not r["parse_ok"]]
     # bad html, cut pdf, cut twc1, depth bomb, cut zip, zip crc, cut tar,
     # bad gzip, dangling-xref real pdf, gzip/xz/bz2 decompression bombs,
-    # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked pdf
-    assert len(bad) == 17
+    # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
+    # pdf, unterminated ics
+    assert len(bad) == 18
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -149,11 +150,12 @@ def test_corpus_mix_composition_pinned():
     # carved ~1-in-4 of the raw-container branch into 'ole' docs. Late r5:
     # the ODF carve ([0.25, 0.40) of the same sub-draw) turned one raw
     # container that previously serialized as tar into an ODF real zip
-    # (zip 17 -> 18, tar 6 -> 5).
+    # (zip 17 -> 18, tar 6 -> 5), and the calendar/contact carve took the
+    # top of the html slice (html 151 -> 139, + ics 8 + vcf 4).
     assert dict(kinds) == {
         "csv": 76,
         "pdf": 140,
-        "html": 151,
+        "html": 139,
         "xml": 12,
         "media": 59,
         "text": 154,
@@ -163,4 +165,6 @@ def test_corpus_mix_composition_pinned():
         "zip": 18,
         "ole": 7,
         "tar": 5,
+        "ics": 8,
+        "vcf": 4,
     }, dict(kinds)

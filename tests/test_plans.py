@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 48  # 30 + 18 adversarial
+    assert read.count() == 49  # 30 + 19 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -214,6 +214,11 @@ def test_jvm_sniffer_fuzz_parity(spark):
         "From: a@x\n", "Subject: hi\n", "To: b@y\n", "Date: today\n",
         "from: lower\n", "mime-version: 1.0\n", "From the desk of\n",
         "Fromage: cheese\n", "Subject matter expert,notes,csv\n",
+        # iCalendar/vCard openers (before the csv rule — ATTENDEE address
+        # lists carry commas) + near-miss prefixes
+        "BEGIN:VCALENDAR\n", "begin:vcalendar\r\n", "BEGIN:VCARD\n",
+        "BEGIN:VCAL", "BEGIN:V", "BEGIN:VEVENT\n", "begin:vcardigan\n",
+        "ATTENDEE:mailto:a@x,b@y,c@z\n",
     ]
     payloads = []
     for _ in range(2000):

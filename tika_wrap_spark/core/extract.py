@@ -30,10 +30,12 @@ from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
 from tika_wrap_spark.core.pdfbin import is_real_pdf_text, parse_real_pdf_pages_text_crypt
 from tika_wrap_spark.core.eml import parse_eml
 from tika_wrap_spark.core.rtf import rtf_to_text
+from tika_wrap_spark.core.ical import parse_ical, parse_vcard
 from tika_wrap_spark.core.sniff import (
     KIND_BZ2,
     KIND_CSV,
     KIND_EML,
+    KIND_ICS,
     KIND_JSON,
     KIND_GZIP,
     KIND_HTML,
@@ -43,6 +45,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_RTF,
     KIND_TAR,
     KIND_TEXT,
+    KIND_VCF,
     KIND_XML,
     KIND_XZ,
     KIND_ZIP,
@@ -148,6 +151,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     container_format = ""  # 'ooxml' if any archive carries the marker member
     eml_subject = ""  # first message's decoded Subject (Tika dc:title analog)
     eml_from = ""
+    ical_summary = ""  # first event SUMMARY / first card FN (core/ical.py)
     charset_first = ""  # first detected non-default payload charset
     n_transcoded = 0  # payloads that went through a charset transcode
 
@@ -165,7 +169,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         inputs at example/demo1.cpp:48-49)."""
         nonlocal n_pages, n_blocks, n_media, n_containers, n_entries
         nonlocal depth_max, title, pdf1_dims, pdf_crypt, media1_dims, container_format
-        nonlocal eml_subject, eml_from, charset_first, n_transcoded
+        nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
             # sniffs text-family first (its magic bytes match nothing), the
@@ -268,6 +272,17 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             # native RTF control-word parse (core/rtf.py); Tika's RTFParser
             # analog — document text only, destination groups skipped
             emit(KIND_TEXT, rtf_to_text(text), "")
+        elif kind in (KIND_ICS, KIND_VCF):
+            # iCalendar/vCard (core/ical.py; Tika ICalParser/VCardParser
+            # analog): one text block per event/card, unfolded + unescaped;
+            # unterminated components raise -> parse_ok=false rows
+            blocks, cal_meta = (parse_ical if kind == KIND_ICS else parse_vcard)(
+                text
+            )
+            if not ical_summary:
+                ical_summary = cal_meta["summary"]
+            for block in blocks:
+                emit(KIND_TEXT, block, "")
         elif kind == KIND_EML:
             # rfc822/MIME message: one more container kind — each leaf part
             # (decoded body / attachment) re-sniffs and recurses, so an
@@ -325,6 +340,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "media1_exif_datetime": media1_exif.get("datetime", ""),
         "eml_subject": eml_subject,
         "eml_from": eml_from,
+        "ical_summary": ical_summary,
         "charset": charset_first,
         "n_transcoded": _stringify(n_transcoded),
         "kinds": ",".join(sorted(kinds_seen)),

@@ -29,6 +29,12 @@ KIND_CSV = "csv"
 KIND_RTF = "rtf"
 KIND_EML = "eml"
 KIND_OLE = "ole"  # OLE2/CFB compound file (.doc/.xls), magic at offset 0
+KIND_ICS = "ics"  # iCalendar (RFC 5545), BEGIN:VCALENDAR opener
+KIND_VCF = "vcf"  # vCard (RFC 6350), BEGIN:VCARD opener
+
+# calendar/contact openers, matched on the lstripped-lowered head
+ICS_OPENER_TEXT = "begin:vcalendar"
+VCF_OPENER_TEXT = "begin:vcard"
 
 # CFB header magic ([MS-CFB] 2.2) as bytes-as-text
 OLE_MAGIC_TEXT = "\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -98,6 +104,9 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          with a WEAK one (From/To/Subject/Date) followed by a second
          header line in the head window       -> 'eml' (MUST precede the
          csv rule — 'From: a@x, b@y, c@z' has two commas)
+      9c. lstripped lowered head begins 'begin:vcalendar' -> 'ics'; with
+         'begin:vcard' -> 'vcf' (RFC 5545/6350 openers; before the csv
+         rule — ATTENDEE address lists carry commas)
      10. lstripped head begins with '{' or '['    -> 'json'
      11. first line of head has >= 2 commas       -> 'csv'
      12. otherwise                                -> 'text'
@@ -145,6 +154,10 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         and any(c in lowered for c in _EML_CORROBORATORS)
     ):
         return KIND_EML
+    if lowered.startswith(ICS_OPENER_TEXT):
+        return KIND_ICS
+    if lowered.startswith(VCF_OPENER_TEXT):
+        return KIND_VCF
     if lowered.startswith("{") or lowered.startswith("["):
         return KIND_JSON
     first_line = head.split("\n", 1)[0]

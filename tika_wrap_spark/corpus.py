@@ -31,6 +31,7 @@ from tika_wrap_spark.core.container import build_container
 from tika_wrap_spark.core.eml import build_eml
 from tika_wrap_spark.core.extract import extract_document
 from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text
+from tika_wrap_spark.core.ical import build_ics, build_vcf
 from tika_wrap_spark.core.media import build_jpeg, build_png
 from tika_wrap_spark.core.olebin import build_doc, build_ppt, build_xls
 from tika_wrap_spark.core.pdfbin import build_pdf_text
@@ -398,6 +399,56 @@ def _gen_odf_payload(rng: random.Random) -> str:
     )
 
 
+def _gen_ics_payload(rng: random.Random) -> str:
+    """iCalendar payload (RFC 5545): 1-4 VEVENTs with folded/escaped text
+    properties — commas and semicolons drawn deliberately so the escape
+    path and the sniffer's ics-before-csv ordering both carry signal."""
+    events = []
+    for _ in range(rng.randint(1, 4)):
+        ev = {"summary": _sentence(rng)}
+        if rng.random() < 0.7:
+            ev["description"] = "%s; agenda: %s, %s" % (
+                _sentence(rng),
+                rng.choice(_WORDS),
+                rng.choice(_WORDS),
+            )
+        if rng.random() < 0.5:
+            ev["location"] = "Room %d" % rng.randint(1, 40)
+        if rng.random() < 0.5:
+            ev["organizer"] = "%s %s" % (
+                rng.choice(_WORDS).title(),
+                rng.choice(_WORDS).title(),
+            )
+        if rng.random() < 0.4:
+            ev["attendee"] = "%s@example.com" % rng.choice(_WORDS)
+        events.append(ev)
+    return build_ics(events)
+
+
+def _gen_vcf_payload(rng: random.Random) -> str:
+    """vCard payload (RFC 6350): 1-3 cards with structured-field escapes."""
+    cards = []
+    for _ in range(rng.randint(1, 3)):
+        card = {
+            "fn": "%s %s" % (rng.choice(_WORDS).title(), rng.choice(_WORDS).title())
+        }
+        if rng.random() < 0.6:
+            card["org"] = "%s, %s dept" % (
+                rng.choice(_WORDS).title(),
+                rng.choice(_WORDS),
+            )
+        if rng.random() < 0.5:
+            card["title"] = rng.choice(_WORDS).title()
+        if rng.random() < 0.7:
+            card["email"] = "%s@example.org" % rng.choice(_WORDS)
+        if rng.random() < 0.4:
+            card["tel"] = "+1 555 %04d" % rng.randint(0, 9999)
+        if rng.random() < 0.3:
+            card["note"] = _sentence(rng)
+        cards.append(card)
+    return build_vcf(cards)
+
+
 def _gen_epub_payload(rng: random.Random) -> str:
     """An EPUB OCF package: real zip, stored-first ``mimetype`` marker
     (`application/epub+zip`), 1-3 xhtml chapter members that route through
@@ -636,8 +687,13 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
         # keep their pre-r5 content byte-identically
         if rng.random() < 0.18:
             payloads = [("text", _charset_wrap(rng, payloads[0][1]), "")]
-    elif r < 0.63:
+    elif r < 0.605:
         payloads = [("html", _gen_html_payload(rng), "")]
+    elif r < 0.63:  # calendar/contact slice (late r5): ics ~ 3/5, vcf ~ 2/5
+        if rng.random() < 0.6:
+            payloads = [("ics", _gen_ics_payload(rng), "")]
+        else:
+            payloads = [("vcf", _gen_vcf_payload(rng), "")]
     elif r < 0.66:  # rfc822/MIME message (message-as-container path)
         payloads = [("eml", _gen_eml_payload(rng), "")]
     elif r < 0.83:
@@ -674,7 +730,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 18
+N_ADVERSARIAL = 19
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -817,6 +873,14 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
     )
     rows.append(
         {"doc_id": "doc_%07d" % (base + 17), "spans": _make_spans([("pdf", locked_pdf, "")])}
+    )
+    # unterminated iCalendar: VEVENT opened, END cut off (core/ical.py
+    # raise path -> 'ics' taxonomy class)
+    cut_ics = build_ics([{"summary": "meeting that never ends"}]).rsplit(
+        "END:VEVENT", 1
+    )[0]
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 18), "spans": _make_spans([("ics", cut_ics, "")])}
     )
     return rows
 

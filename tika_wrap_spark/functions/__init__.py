@@ -105,6 +105,8 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
         .when(lowered.startswith("<?xml"), F.lit(sn.KIND_XML))
         .when(lowered.contains("<html"), F.lit(sn.KIND_HTML))
         .when(eml_strong | (eml_weak & eml_corr), F.lit(sn.KIND_EML))
+        .when(lowered.startswith(sn.ICS_OPENER_TEXT), F.lit(sn.KIND_ICS))
+        .when(lowered.startswith(sn.VCF_OPENER_TEXT), F.lit(sn.KIND_VCF))
         .when(lowered.startswith("{") | lowered.startswith("["), F.lit(sn.KIND_JSON))
         .when(F.size(F.split(first_line, ",")) >= 3, F.lit(sn.KIND_CSV))
         .otherwise(F.lit(sn.KIND_TEXT))

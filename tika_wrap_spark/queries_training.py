@@ -2577,6 +2577,10 @@ def _error_class_col():
             F.lit("ole"),
         )
         .when(
+            F.col("error").startswith("ics:") | F.col("error").startswith("vcf:"),
+            F.lit("ical"),
+        )
+        .when(
             F.col("error").contains("tag") | F.col("error").contains("comment")
             | F.col("error").contains("declaration"),
             F.lit("html"),
@@ -2747,6 +2751,38 @@ def q_odf_route(spark, d):
             "doc_id",
             "parse_ok",
             meta_at("container_format").alias("odf_kind"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_ical_route(spark, d):
+    """Calendar/contact extraction tallies (late r5): ics/vcf docs route
+    by their RFC 5545/6350 openers (two more sniffer kinds, both forms),
+    extract one text block per VEVENT/VCARD (core/ical.py — Tika's
+    ICalParser/VCardParser analog, /root/reference/src/java-env.cpp:313),
+    surface the first SUMMARY/FN as `ical_summary`, and an unterminated
+    component lands in the 'ical' error-taxonomy class."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    kinds = F.split(meta_at("kinds"), ",")
+    return (
+        ext.filter(
+            F.array_contains(kinds, "ics")
+            | F.array_contains(kinds, "vcf")
+            | F.col("error").startswith("ics:")
+            | F.col("error").startswith("vcf:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            meta_at("kinds").alias("kinds"),
+            (meta_at("ical_summary") != "").cast("int").alias("has_summary"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
         )

@@ -27,6 +27,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "charset_stats": (qt.q_charset_stats, None),
     "ole_route": (qt.q_ole_route, None),
     "odf_route": (qt.q_odf_route, None),
+    "ical_route": (qt.q_ical_route, None),
     "exif_meta": (qt.q_exif_meta, None),
     "dedup_edit_distance": (qt.q_dedup_edit_distance, qt.SQL_DEDUP_EDIT_DISTANCE),
     "vocab_growth": (qt.q_vocab_growth, qt.SQL_VOCAB_GROWTH),

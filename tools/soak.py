@@ -43,7 +43,7 @@ def main() -> int:
     ext = extract_in_memory(spark, corpus)
     from tika_wrap_spark.queries_training import _error_class_col
 
-    # ONE pass: per-class partial-agg rows (<=9), totals derived driver-side
+    # ONE pass: per-class partial-agg rows (<=10), totals derived driver-side
     per_class = (
         ext.groupBy(_error_class_col().alias("error_class"))
         .agg(
