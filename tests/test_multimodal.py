@@ -493,3 +493,134 @@ class TestId3Tags:
             else:
                 untagged += 1
         assert tagged > 50 and untagged > 50 and utf16 > 10
+
+
+class TestTiffWebpMp4:
+    """R5 late wave: TIFF whole-file IFD parse (+ uncompressed-RGB pixel
+    codec), WebP header dims across all three variants, and ISO-BMFF
+    moov/tkhd/stts metadata — real header parsing, shared-IFD invariant
+    (the TIFF walk IS exifbin's), sniffer routing, and the fetch mix."""
+
+    def test_tiff_dims_and_exif_tags(self):
+        from tika_wrap_spark.core.exifbin import parse_exif_tiff
+        from tika_wrap_spark.core.media import build_tiff, image_dims, tiff_dims
+
+        for le in (True, False):
+            t = build_tiff(640, 480, orientation=6,
+                           datetime="2025:01:02 03:04:05", le=le)
+            assert tiff_dims(t) == (640, 480)
+            assert image_dims(t) == (640, 480)
+            meta = parse_exif_tiff(t)  # whole-file TIFF == APP1 body shape
+            assert meta["orientation"] == "6"
+            assert meta["datetime"] == "2025:01:02 03:04:05"
+        assert tiff_dims(b"II*\x00") is None
+        assert tiff_dims(b"II* not a tiff") is None
+        assert tiff_dims(b"MM\x00* truncated") is None
+        assert image_dims(b"IIshort") is None
+
+    def test_tiff_pixel_roundtrip_lossless(self):
+        from tika_wrap_spark.core.media import (
+            build_tiff, build_tiff_pixels, tiff_pixels,
+        )
+
+        rgb = bytes((i * 11 + 3) % 256 for i in range(9 * 7 * 3))
+        for le in (True, False):
+            t = build_tiff_pixels(9, 7, rgb, le=le)
+            assert tiff_pixels(t) == (9, 7, rgb)
+        # header-only TIFF has no strips -> pixel path declines, dims hold
+        assert tiff_pixels(build_tiff(9, 7)) is None
+        # truncation never raises
+        t = build_tiff_pixels(9, 7, rgb)
+        for cut in range(0, len(t), 17):
+            tiff_pixels(t[:cut])
+
+    def test_tiff_real_resize_and_embed_kernels(self):
+        from tika_wrap_spark.core.media import build_tiff_pixels, tiff_pixels
+        from tika_wrap_spark.operators.multimodal import _embed_real, _resize_real
+
+        rgb = bytes((i * 5) % 256 for i in range(16 * 12 * 3))
+        t = build_tiff_pixels(16, 12, rgb)
+        out = _resize_real(t, 8, 6)
+        assert out is not None
+        w, h, _ = tiff_pixels(out)
+        assert (w, h) == (8, 6)
+        e = _embed_real(t, 16)
+        assert e is not None and len(e) == 16
+
+    def test_webp_dims_all_variants(self):
+        from tika_wrap_spark.core.media import build_webp, image_dims, webp_dims
+
+        for variant in ("VP8 ", "VP8L", "VP8X"):
+            p = build_webp(321, 123, variant)
+            assert webp_dims(p) == (321, 123), variant
+            assert image_dims(p) == (321, 123), variant
+        # RIFF-but-not-WebP and truncated payloads decline
+        from tika_wrap_spark.core.media import build_wav
+        assert webp_dims(build_wav(2, 44100, 16, 10)) is None
+        assert webp_dims(build_webp(10, 10)[:14]) is None
+        assert webp_dims(b"RIFF\x00\x00\x00\x00WEBPJUNK\x00\x00\x00\x00") is None
+
+    def test_mp4_info_and_decode(self):
+        from tika_wrap_spark.core.media import build_mp4, mp4_info
+        from tika_wrap_spark.operators.multimodal import _decode_payload
+
+        m = build_mp4(1920, 1080, 2400, 80_000)
+        assert mp4_info(m) == (1920, 1080, 2400, 80_000)
+        meta = _decode_payload("mp4://x", m)
+        assert meta["media_kind"] == "video"
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (1920, 1080, 2400)
+        # truncation/garbage never raise
+        for cut in range(0, len(m), 13):
+            mp4_info(m[:cut])
+        assert mp4_info(b"\x00\x00\x00\x08free") is None
+        assert mp4_info(b"not a box") is None
+
+    def test_sniffer_routes_new_magics_both_forms(self, spark):
+        from pyspark.sql import functions as F
+
+        from tika_wrap_spark import functions as tw
+        from tika_wrap_spark.core.media import build_mp4, build_tiff, build_webp
+        from tika_wrap_spark.core.sniff import sniff_kind
+
+        payloads = [
+            build_tiff(5, 5).decode("latin-1"),
+            build_tiff(5, 5, le=False).decode("latin-1"),
+            build_webp(9, 9).decode("latin-1"),
+            build_mp4(64, 64, 10, 1000).decode("latin-1"),
+            "II* prose about typewriters",
+            "MM prose about Hamburg",
+            "ftyp is a box fourcc",  # at offset 0, NOT 4 -> text
+        ]
+        want = ["media", "media", "media", "media", "text", "text", "text"]
+        assert [sniff_kind(p) for p in payloads] == want
+        df = spark.createDataFrame([(p,) for p in payloads], "text string")
+        got = [
+            r["k"]
+            for r in df.select(
+                tw.sniff_kind_col(F.col("text"), F.lit("")).alias("k")
+            ).collect()
+        ]
+        assert got == want
+
+    def test_fetch_mix_draws_all_new_formats(self):
+        from tika_wrap_spark.core.media import tiff_pixels
+        from tika_wrap_spark.operators.multimodal import _decode_payload, _fetch_fake
+
+        tiffs = tiff_pix = webps = mp4s = 0
+        for i in range(3000):
+            p = _fetch_fake("blob://doc_%07d/%d" % (i, i % 3))
+            if p.startswith((b"II*\x00", b"MM\x00*")):
+                tiffs += 1
+                if tiff_pixels(p) is not None:
+                    tiff_pix += 1
+                else:
+                    # header-only TIFFs surface IFD0 orientation via the
+                    # shared EXIF walk
+                    meta = _decode_payload("x", p)
+                    assert 1 <= meta["exif_orientation"] <= 8
+            elif p[8:12] == b"WEBP":
+                webps += 1
+            elif p[4:8] == b"ftyp":
+                mp4s += 1
+        assert tiffs > 80 and webps > 80 and mp4s > 80
+        assert tiff_pix > 20 and tiffs - tiff_pix > 20

@@ -219,6 +219,11 @@ def test_jvm_sniffer_fuzz_parity(spark):
         "BEGIN:VCALENDAR\n", "begin:vcalendar\r\n", "BEGIN:VCARD\n",
         "BEGIN:VCAL", "BEGIN:V", "BEGIN:VEVENT\n", "begin:vcardigan\n",
         "ATTENDEE:mailto:a@x,b@y,c@z\n",
+        # TIFF magics (need the NUL/asterisk pair — 'II*'/'MM' prose must
+        # NOT trip them) and ISO-BMFF 'ftyp' at its fixed offset 4
+        "II*\x00", "MM\x00*", "II* prose", "MM prose", "II*\x00\x08\x00",
+        "\x00\x00\x00\x18ftypisom", "\x00\x00\x00\x18ftyp", "ftyp",
+        "abcdftypXXXX", "xx\x00\x18ftypmp42",
     ]
     payloads = []
     for _ in range(2000):

@@ -77,6 +77,13 @@ def _value(data: bytes, typ: int, count: int, field: bytes, le: bool):
     return None
 
 
+# public aliases: the whole-file TIFF parser (core/media.py tiff_info /
+# tiff_pixels) walks the same IFD structure a JPEG APP1 body carries —
+# one implementation, per the shared-core invariant
+read_ifd = _read_ifd
+read_ifd_value = _value
+
+
 def _gps_degrees(rats, ref: str) -> str:
     """Three rationals (deg, min, sec) + hemisphere ref -> signed decimal
     degrees as a fixed-format string."""

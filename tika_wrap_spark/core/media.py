@@ -25,7 +25,7 @@ import zlib
 # (corpus generation), where a function-local import would defeat
 # make_portable's pickle-by-value shipping and raise ModuleNotFoundError
 # on any worker without the package on its path
-from tika_wrap_spark.core.exifbin import build_exif_app1
+from tika_wrap_spark.core.exifbin import build_exif_app1, read_ifd, read_ifd_value
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8"
@@ -349,7 +349,7 @@ def build_mp3(
 
 def image_dims(data: bytes) -> tuple[int, int] | None:
     """Dispatch on magic: PNG IHDR / JPEG SOF / GIF screen descriptor /
-    BMP info-header dims, else None."""
+    BMP info-header / TIFF IFD0 / WebP frame-header dims, else None."""
     if data.startswith(PNG_MAGIC):
         return png_dims(data)
     if data.startswith(JPEG_MAGIC):
@@ -358,6 +358,10 @@ def image_dims(data: bytes) -> tuple[int, int] | None:
         return gif_dims(data)
     if data.startswith(BMP_MAGIC):
         return bmp_dims(data)
+    if data.startswith(TIFF_MAGICS):
+        return tiff_dims(data)
+    if data.startswith(RIFF_MAGIC) and data[8:12] == WEBP_FOURCC:
+        return webp_dims(data)
     return None
 
 
@@ -848,3 +852,393 @@ def build_gif_pixels(width: int, height: int, rgb: bytes) -> bytes:
         + bytes(blocks)
         + b"\x00;"
     )
+
+
+# ---------------------------------------------------------------------------
+# TIFF files (image/tiff) — the same IFD structure a JPEG APP1/EXIF body
+# carries (TIFF 6.0), starting at byte 0. The IFD walk is SHARED with
+# core/exifbin.py (read_ifd/read_ifd_value) per the one-implementation
+# invariant; this module adds the file-level dispatch, the pixel path for
+# uncompressed RGB strips, and deterministic builders. Tika parses TIFF
+# via its TiffParser (the reference delegates to Tika,
+# /root/reference/src/java-env.cpp:313); exiftool (README.md:19) reads the
+# same tags.
+# ---------------------------------------------------------------------------
+
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+_TIFF_W, _TIFF_H = 0x0100, 0x0101
+_TIFF_BITS, _TIFF_COMPRESSION, _TIFF_PHOTOMETRIC = 0x0102, 0x0103, 0x0106
+_TIFF_STRIP_OFFSETS, _TIFF_SPP, _TIFF_STRIP_COUNTS = 0x0111, 0x0115, 0x0117
+_TIFF_ORIENTATION = 0x0112
+
+
+def _tiff_ifd0(data: bytes) -> tuple[dict[int, object], bool] | None:
+    """IFD0 tag->decoded value for a whole-file TIFF, or None for non-TIFF
+    bytes. Bounds-checked like every parser here — never raises. The IFD
+    walk is exifbin's, imported at module top (a function-local import
+    would defeat make_portable's by-value shipping on foreign-cwd
+    drivers — the header's invariant, re-caught live on this path)."""
+    if len(data) < 8 or not data.startswith(TIFF_MAGICS):
+        return None
+    le = data[:2] == b"II"
+    try:
+        (ifd0_off,) = struct.unpack_from("<I" if le else ">I", data, 4)
+        out: dict[int, object] = {}
+        for tag, typ, count, field in read_ifd(data, ifd0_off, le):
+            v = read_ifd_value(data, typ, count, field, le)
+            if v is not None:
+                out[tag] = v
+        return (out, le) if out else None
+    except (struct.error, ValueError):
+        return None
+
+
+def tiff_dims(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from a TIFF file's IFD0 (tags 256/257), else None."""
+    parsed = _tiff_ifd0(data)
+    if parsed is None:
+        return None
+    tags, _le = parsed
+    w, h = tags.get(_TIFF_W), tags.get(_TIFF_H)
+    if isinstance(w, int) and isinstance(h, int) and w > 0 and h > 0:
+        return (w, h)
+    return None
+
+
+def tiff_pixels(data: bytes) -> tuple[int, int, bytes] | None:
+    """Decode an UNCOMPRESSED (Compression=1) 8-bit RGB strip TIFF into
+    (w, h, rgb) top-down row-major bytes. Anything else (LZW/packbits/
+    palette/planar/gray) returns None — dims still parse via tiff_dims,
+    pixels fall to the caller's declared stub path."""
+    parsed = _tiff_ifd0(data)
+    if parsed is None:
+        return None
+    tags, _le = parsed
+    w, h = tags.get(_TIFF_W), tags.get(_TIFF_H)
+    if not (isinstance(w, int) and isinstance(h, int) and w > 0 and h > 0):
+        return None
+    if tags.get(_TIFF_COMPRESSION, 1) != 1 or tags.get(_TIFF_PHOTOMETRIC) != 2:
+        return None
+    if tags.get(_TIFF_SPP, 1) != 3 or tags.get(_TIFF_BITS) not in ((8, 8, 8), 8):
+        return None
+    offs = tags.get(_TIFF_STRIP_OFFSETS)
+    cnts = tags.get(_TIFF_STRIP_COUNTS)
+    if isinstance(offs, int):
+        offs = (offs,)
+    if isinstance(cnts, int):
+        cnts = (cnts,)
+    if not offs or not cnts or len(offs) != len(cnts):
+        return None
+    rgb = bytearray()
+    for off, cnt in zip(offs, cnts):
+        if not isinstance(off, int) or not isinstance(cnt, int):
+            return None
+        if off < 0 or cnt < 0 or off + cnt > len(data):
+            return None
+        rgb += data[off : off + cnt]
+    if len(rgb) != w * h * 3:
+        return None
+    return (w, h, bytes(rgb))
+
+
+def _tiff_pack(
+    entries: list[tuple[int, int, int, bytes]], le: bool, tail: bytes
+) -> tuple[bytes, int]:
+    """Serialize one-IFD TIFF bytes: header + sorted entries (values > 4
+    bytes spill to a heap after the IFD) + ``tail`` appended last. Returns
+    (bytes, tail_offset) so callers can point strip-offset tags at the
+    tail via a second pass (entry sizes are offset-independent)."""
+    fmt = "<" if le else ">"
+    n = len(entries)
+    heap_off = 8 + 2 + 12 * n + 4
+    body = b""
+    heap = b""
+    for tag, typ, count, blob in sorted(entries):
+        if len(blob) <= 4:
+            field = blob + b"\x00" * (4 - len(blob))
+        else:
+            field = struct.pack(fmt + "I", heap_off + len(heap))
+            heap += blob
+        body += struct.pack(fmt + "HHI", tag, typ, count) + field
+    out = (
+        (TIFF_MAGICS[0] if le else TIFF_MAGICS[1])
+        + struct.pack(fmt + "I", 8)
+        + struct.pack(fmt + "H", n)
+        + body
+        + struct.pack(fmt + "I", 0)
+        + heap
+        + tail
+    )
+    return out, heap_off + len(heap)
+
+
+def build_tiff(
+    width: int,
+    height: int,
+    orientation: int = 0,
+    datetime: str = "",
+    le: bool = True,
+) -> bytes:
+    """Header-only TIFF: magic + IFD0 with dims (+ optional orientation /
+    DateTime ASCII tag) — dims/metadata parse, no pixel strips."""
+    fmt = "<" if le else ">"
+    entries = [
+        (_TIFF_W, 4, 1, struct.pack(fmt + "I", width)),
+        (_TIFF_H, 4, 1, struct.pack(fmt + "I", height)),
+    ]
+    if orientation:
+        entries.append((_TIFF_ORIENTATION, 3, 1, struct.pack(fmt + "H", orientation)))
+    if datetime:
+        blob = datetime.encode("latin-1") + b"\x00"
+        entries.append((0x0132, 2, len(blob), blob))
+    out, _ = _tiff_pack(entries, le, b"")
+    return out
+
+
+def build_tiff_pixels(
+    width: int, height: int, rgb: bytes, le: bool = True
+) -> bytes:
+    """Encode top-down RGB as a real single-strip uncompressed TIFF
+    (Compression=1, PhotometricInterpretation=2, 8-bit x3). Losslessly
+    round-trips through tiff_pixels."""
+    fmt = "<" if le else ">"
+
+    def make(strip_off: int) -> tuple[bytes, int]:
+        entries = [
+            (_TIFF_W, 4, 1, struct.pack(fmt + "I", width)),
+            (_TIFF_H, 4, 1, struct.pack(fmt + "I", height)),
+            (_TIFF_BITS, 3, 3, struct.pack(fmt + "HHH", 8, 8, 8)),
+            (_TIFF_COMPRESSION, 3, 1, struct.pack(fmt + "H", 1)),
+            (_TIFF_PHOTOMETRIC, 3, 1, struct.pack(fmt + "H", 2)),
+            (_TIFF_STRIP_OFFSETS, 4, 1, struct.pack(fmt + "I", strip_off)),
+            (_TIFF_SPP, 3, 1, struct.pack(fmt + "H", 3)),
+            (0x0116, 4, 1, struct.pack(fmt + "I", height)),  # RowsPerStrip
+            (_TIFF_STRIP_COUNTS, 4, 1, struct.pack(fmt + "I", len(rgb))),
+        ]
+        return _tiff_pack(entries, le, rgb)
+
+    _, tail_off = make(0)  # layout pass: entry sizes are offset-independent
+    out, _ = make(tail_off)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WebP (RIFF container, fourcc WEBP) — lossy VP8 frame-header dims, VP8L
+# lossless signature dims, VP8X extended-canvas dims. Header parse only:
+# VP8 arithmetic decode is a real codec, out of scope (declared stub for
+# pixels, same policy as the other compressed-format seams).
+# ---------------------------------------------------------------------------
+
+WEBP_FOURCC = b"WEBP"
+
+
+def webp_dims(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from a WebP header: VP8 key-frame start code + 14-bit
+    dims, VP8L 0x2f signature + packed 14-bit dims, or VP8X 24-bit canvas
+    minus-one dims. None for non-WebP / truncated bytes."""
+    if len(data) < 21 or not data.startswith(RIFF_MAGIC) or data[8:12] != WEBP_FOURCC:
+        return None
+    cc = data[12:16]
+    if cc == b"VP8 ":
+        if len(data) < 30 or data[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = struct.unpack_from("<H", data, 26)[0] & 0x3FFF
+        h = struct.unpack_from("<H", data, 28)[0] & 0x3FFF
+        return (w, h) if w and h else None
+    if cc == b"VP8L":
+        if len(data) < 25 or data[20] != 0x2F:
+            return None
+        bits = struct.unpack_from("<I", data, 21)[0]
+        return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+    if cc == b"VP8X":
+        if len(data) < 30:
+            return None
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return (w, h)
+    return None
+
+
+def build_webp(width: int, height: int, variant: str = "VP8 ") -> bytes:
+    """Minimal WebP header in the given variant ('VP8 ', 'VP8L', 'VP8X'):
+    RIFF/WEBP wrapper + just the bytes webp_dims needs."""
+    if variant == "VP8 ":
+        payload = (
+            b"\x00\x00\x00"  # frame tag (key frame)
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+        )
+    elif variant == "VP8L":
+        bits = (width - 1) | ((height - 1) << 14)
+        payload = b"\x2f" + struct.pack("<I", bits)
+    else:
+        payload = (
+            b"\x00\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        variant = "VP8X"
+    chunk = variant.encode("latin-1") + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"  # RIFF chunks are even-padded
+    return RIFF_MAGIC + struct.pack("<I", 4 + len(chunk)) + WEBP_FOURCC + chunk
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO base media file format (ISO/IEC 14496-12) — box walk to the
+# movie header (mvhd: timescale + duration), the video track header (tkhd:
+# 16.16 fixed-point dims), and the time-to-sample table (stts: true sample
+# count = frame count). Header/metadata parse only — no codec payloads.
+# ---------------------------------------------------------------------------
+
+MP4_FTYP_OFFSET = 4  # 'ftyp' fourcc position inside the first box
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the boxes in [start, end).
+    Handles 64-bit largesize (size==1) and to-end boxes (size==0);
+    malformed sizes terminate the walk (never raise)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, i)
+        fourcc = data[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", data, i + 8)
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < body - i or i + size > end:
+            return
+        yield fourcc, body, i + size
+        i += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, fourcc: bytes) -> tuple[int, int] | None:
+    for cc, b, e in _mp4_boxes(data, start, end):
+        if cc == fourcc:
+            return (b, e)
+    return None
+
+
+def mp4_info(data: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, n_frames, duration_ms) from an ISO-BMFF stream:
+    mvhd timescale/duration -> milliseconds, the first trak with nonzero
+    tkhd dims -> width/height, its stbl/stts entry sum -> true frame
+    count. None for non-BMFF bytes; zero dims for audio-only files."""
+    n = len(data)
+    if n < 12 or data[MP4_FTYP_OFFSET : MP4_FTYP_OFFSET + 4] != b"ftyp":
+        return None
+    moov = _mp4_find(data, 0, n, b"moov")
+    if moov is None:
+        return None
+    ms, me = moov
+    duration_ms = 0
+    mvhd = _mp4_find(data, ms, me, b"mvhd")
+    if mvhd is not None:
+        b, e = mvhd
+        if e - b >= 4:
+            ver = data[b]
+            try:
+                if ver == 1 and e - b >= 28:
+                    (tscale,) = struct.unpack_from(">I", data, b + 20)
+                    (dur,) = struct.unpack_from(">Q", data, b + 24)
+                elif e - b >= 20:
+                    (tscale,) = struct.unpack_from(">I", data, b + 12)
+                    (dur,) = struct.unpack_from(">I", data, b + 16)
+                else:
+                    tscale, dur = 0, 0
+                if tscale:
+                    duration_ms = dur * 1000 // tscale
+            except struct.error:
+                pass
+    width = height = n_frames = 0
+    for cc, tb, te in _mp4_boxes(data, ms, me):
+        if cc != b"trak":
+            continue
+        tkhd = _mp4_find(data, tb, te, b"tkhd")
+        w = h = 0
+        if tkhd is not None:
+            b, e = tkhd
+            if e - b >= 4:
+                ver = data[b]
+                dim_off = b + (96 - 8) if ver == 1 else b + (84 - 8)
+                if dim_off + 8 <= e:
+                    try:
+                        (wfx,) = struct.unpack_from(">I", data, dim_off)
+                        (hfx,) = struct.unpack_from(">I", data, dim_off + 4)
+                        w, h = wfx >> 16, hfx >> 16
+                    except struct.error:
+                        w = h = 0
+        if not (w and h):
+            continue
+        width, height = w, h
+        # trak -> mdia -> minf -> stbl -> stts: sum of sample counts
+        box = _mp4_find(data, tb, te, b"mdia")
+        for inner in (b"minf", b"stbl", b"stts"):
+            if box is None:
+                break
+            box = _mp4_find(data, box[0], box[1], inner)
+        if box is not None:
+            b, e = box
+            if e - b >= 8:
+                try:
+                    (cnt,) = struct.unpack_from(">I", data, b + 4)
+                    total = 0
+                    for k in range(min(cnt, 4096)):
+                        off = b + 8 + 8 * k
+                        if off + 8 > e:
+                            break
+                        (sc,) = struct.unpack_from(">I", data, off)
+                        total += sc
+                    n_frames = total
+                except struct.error:
+                    pass
+        break
+    return (width, height, n_frames, duration_ms)
+
+
+def build_mp4(
+    width: int, height: int, n_frames: int, duration_ms: int
+) -> bytes:
+    """Minimal structurally-valid ISO-BMFF head: ftyp(isom) + moov(mvhd at
+    timescale 1000 + one video trak: tkhd 16.16 dims + mdia/minf/stbl/stts
+    with a single (n_frames, delta 1) run). No mdat — header parsing never
+    reads samples."""
+
+    def box(cc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + cc + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version/flags
+        + struct.pack(">II", 0, 0)  # ctime/mtime
+        + struct.pack(">II", 1000, duration_ms)  # timescale/duration
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate/volume/reserved
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 7)  # version 0, flags: enabled|in-movie|in-preview
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1, 0)  # track id / reserved
+        + struct.pack(">I", duration_ms)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/alt/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    stts = box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n_frames, 1))
+    stbl = box(b"stbl", stts)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov

@@ -47,11 +47,24 @@ _HTML_MARKERS = ("<!doctype html", "<html", "<head", "<body")
 
 # Embedded-media magics (container members carry payload bytes-as-text;
 # top-level corpus media spans instead use empty text + media_ref).
-# PNG / JPEG / GIF87a+89a / RIFF(WAV-family). BMP's 2-char "BM" magic is
-# deliberately NOT content-sniffed — too weak for text-carried payloads
-# (any prose starting "BM…" would misroute); BMP bytes are still decoded
-# by magic in the multimodal path, where payloads are known-binary.
-_MEDIA_MAGICS = ("\x89PNG\r\n", "\xff\xd8\xff", "GIF87a", "GIF89a", "RIFF")
+# PNG / JPEG / GIF87a+89a / RIFF(WAV/AVI/WebP family) / TIFF II*\0+MM\0*.
+# BMP's 2-char "BM" magic is deliberately NOT content-sniffed — too weak
+# for text-carried payloads (any prose starting "BM…" would misroute);
+# BMP bytes are still decoded by magic in the multimodal path, where
+# payloads are known-binary.
+_MEDIA_MAGICS = (
+    "\x89PNG\r\n",
+    "\xff\xd8\xff",
+    "GIF87a",
+    "GIF89a",
+    "RIFF",
+    "II*\x00",
+    "MM\x00*",
+)
+
+# ISO-BMFF (mp4/mov/m4a) 'ftyp' fourcc position: the first box's type
+# field, after its 4-byte size (bytes-as-text offset)
+MP4_FTYP_OFFSET = 4
 
 # RFC 5322 message detection over the lstripped-lowered head: a STRONG
 # opener alone suffices (headers only mail software writes); a WEAK opener
@@ -91,8 +104,11 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
          documented deterministic pin)
-      6. head starts with a media magic (PNG/JPEG bytes-as-text,
-         as found inside container members)       -> 'media'
+      6. head starts with a media magic (PNG/JPEG/GIF/RIFF/TIFF
+         bytes-as-text, as found inside container members) -> 'media'
+      6a. head[4:8] == 'ftyp'                     -> 'media' (ISO-BMFF
+         mp4/mov/m4a: the fourcc of the mandatory first box, a fixed
+         offset-4 magic like tar's offset-257 ustar)
       6b. head starts with '{\\rtf'               -> 'rtf' (magic at offset
          0; MUST precede the json rule — an RTF head also begins '{')
       7. head (lstripped, lowercased) begins with an HTML marker -> 'html'
@@ -139,6 +155,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
     for magic in _MEDIA_MAGICS:
         if head.startswith(magic):
             return KIND_MEDIA
+    if head[MP4_FTYP_OFFSET : MP4_FTYP_OFFSET + 4] == "ftyp":
+        return KIND_MEDIA
     if head.startswith("{\\rtf"):
         return KIND_RTF
     lowered = head.lstrip().lower()

@@ -100,6 +100,12 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
             F.lit(sn.KIND_TAR),
         )
         .when(is_media_magic, F.lit(sn.KIND_MEDIA))
+        # ISO-BMFF 'ftyp' fourcc at its fixed offset-4 position (1-based
+        # substring), mirroring the Python head[4:8] slice
+        .when(
+            F.substring(head, sn.MP4_FTYP_OFFSET + 1, 4) == "ftyp",
+            F.lit(sn.KIND_MEDIA),
+        )
         .when(head.startswith("{\\rtf"), F.lit(sn.KIND_RTF))
         .when(html_marker, F.lit(sn.KIND_HTML))
         .when(lowered.startswith("<?xml"), F.lit(sn.KIND_XML))

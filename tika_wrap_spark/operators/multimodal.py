@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 
 from tika_wrap_spark.core.jpegbin import build_jpeg_pixels, jpeg_pixels
 from tika_wrap_spark.core.media import (
+    TIFF_MAGICS,
     avi_info,
     bmp_pixels,
     gif_pixels,
@@ -45,16 +46,22 @@ from tika_wrap_spark.core.media import (
     build_gif,
     build_jpeg,
     build_mp3,
+    build_mp4,
     build_png_pixels,
+    build_tiff,
+    build_tiff_pixels,
     build_wav,
+    build_webp,
     image_dims,
     mp3_id3_tags,
     mp3_info,
+    mp4_info,
     png_pixels,
     resize_nearest,
+    tiff_pixels,
     wav_info,
 )
-from tika_wrap_spark.core.exifbin import jpeg_exif
+from tika_wrap_spark.core.exifbin import jpeg_exif, parse_exif_tiff
 from tika_wrap_spark.portability import make_portable
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -108,15 +115,21 @@ def _decode_fake(ref: str, payload: bytes) -> dict:
 
 
 def _decode_payload(ref: str, payload: bytes) -> dict:
-    """IMAGE, WAV/MP3-AUDIO, and AVI-VIDEO paths are REAL: PNG/JPEG/GIF/BMP
-    header parse yields true dimensions; the RIFF/WAVE chunk walk and the
-    MPEG-1 Layer III header yield true channels (-> width), sample rate
-    (-> height), and frame count; the RIFF/AVI hdrl walk yields true dims
-    and total frames (core/media.py). Unrecognized bytes fall to the
-    declared stub."""
+    """IMAGE, WAV/MP3-AUDIO, and AVI/MP4-VIDEO paths are REAL:
+    PNG/JPEG/GIF/BMP/TIFF/WebP header parse yields true dimensions; the
+    RIFF/WAVE chunk walk and the MPEG-1 Layer III header yield true
+    channels (-> width), sample rate (-> height), and frame count; the
+    RIFF/AVI hdrl walk and the ISO-BMFF moov walk (tkhd dims, stts sample
+    totals) yield true dims and total frames (core/media.py).
+    Unrecognized bytes fall to the declared stub."""
     dims = image_dims(payload)
     if dims is not None:
-        exif = jpeg_exif(payload)  # {} for non-JPEG images / no APP1
+        # JPEG carries EXIF in its APP1 segment; a TIFF file IS the same
+        # IFD structure from byte 0 (orientation/datetime tags come free)
+        if payload.startswith(TIFF_MAGICS):
+            exif = parse_exif_tiff(payload)
+        else:
+            exif = jpeg_exif(payload)  # {} for non-JPEG images / no APP1
         return {
             "media_kind": "image",
             "width": dims[0],
@@ -147,6 +160,20 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
         w, h, n_frames, _streams = avi
         return {
             "media_kind": "video",
+            "width": w,
+            "height": h,
+            "n_frames": n_frames,
+            "feature": hashlib.md5(payload).hexdigest()[:16],
+            "exif_orientation": 0,
+            "exif_datetime": "",
+            "id3_title": "",
+            "id3_artist": "",
+        }
+    mp4 = mp4_info(payload)
+    if mp4 is not None:
+        w, h, n_frames, _duration_ms = mp4
+        return {
+            "media_kind": "video" if w and h else "audio",
             "width": w,
             "height": h,
             "n_frames": n_frames,
@@ -208,18 +235,19 @@ def _gradient_rgb(w: int, h: int, seed: int) -> bytes:
 
 def _fetch_fake(ref: str) -> bytes:
     """Deterministic object-store-fetch stand-in, keyed on the ref digest:
-    ~7/8 of refs come back as REAL PNG/JPEG/GIF/BMP/WAV/AVI/MP3 byte streams
-    (valid headers, digest-derived parameters) so the decode path exercises
-    true header parsing across every real kernel; the rest stay opaque
-    bytes (the unrecognized-payload stub path). PNG and BMP payloads carry
-    REAL pixel arrays (small digest-derived dims) so the resize kernel's
-    decode -> resample -> re-encode path runs on true pixels."""
+    ~10/11 of refs come back as REAL PNG/JPEG/GIF/BMP/TIFF/WebP/WAV/AVI/
+    MP4/MP3 byte streams (valid headers, digest-derived parameters) so the
+    decode path exercises true header parsing across every real kernel;
+    the rest stay opaque bytes (the unrecognized-payload stub path).
+    PNG/BMP/TIFF payloads (and half the JPEG/GIF draws) carry REAL pixel
+    arrays (small digest-derived dims) so the resize kernel's decode ->
+    resample -> re-encode path runs on true pixels."""
     h = hashlib.md5(ref.encode("utf-8")).digest()
     v = int.from_bytes(h[:4], "big")
     w, hgt = 16 + v % 1920, 16 + (v >> 8) % 1080
     # pixel-carrying formats keep dims small: the payload is w*h*3 bytes
     pw, ph = 8 + v % 56, 8 + (v >> 8) % 56
-    kind = v % 8
+    kind = v % 11
     if kind == 0:
         return build_png_pixels(pw, ph, _gradient_rgb(pw, ph, h[4]))
     if kind == 1:
@@ -263,6 +291,31 @@ def _fetch_fake(ref: str) -> bytes:
         return build_wav(1 + v % 2, (8000, 16000, 44100)[v % 3], 16, 1 + (v >> 8) % 96000)
     if kind == 5:
         return build_avi(w, hgt, 1 + (v >> 4) % 3000, 1 + v % 2)
+    if kind == 8:
+        # half pixel-carrying TIFF (real uncompressed RGB strips -> the
+        # real resize/embed kernels), half header-only with IFD0
+        # orientation/datetime tags (the whole-file EXIF walk)
+        if v & 16:
+            return build_tiff_pixels(
+                pw, ph, _gradient_rgb(pw, ph, h[8]), le=bool(v & 32)
+            )
+        return build_tiff(
+            w,
+            hgt,
+            orientation=1 + (v >> 16) % 8,
+            datetime="2025:0%d:%02d 0%d:%02d:%02d"
+            % (1 + v % 9, 1 + (v >> 3) % 28, v % 10, (v >> 5) % 60, (v >> 11) % 60),
+            le=bool(v & 32),
+        )
+    if kind == 9:
+        # WebP across all three header variants (lossy VP8, lossless VP8L,
+        # extended VP8X) — dims real, pixels the declared codec stub
+        return build_webp(
+            1 + v % 1920, 1 + (v >> 8) % 1080, ("VP8 ", "VP8L", "VP8X")[v % 3]
+        )
+    if kind == 10:
+        # ISO-BMFF video: true tkhd dims + stts frame totals + mvhd duration
+        return build_mp4(w, hgt, 1 + (v >> 4) % 3000, 40 + (v >> 6) % 600000)
     if kind == 6:
         # tagged half carries real ID3v2.3 text frames (digest-derived;
         # 1-in-4 of those a non-latin-1 title -> the BOM'd utf-16 frame
@@ -334,10 +387,11 @@ def _resize_fake(payload: bytes, w: int, h: int) -> bytes:
 
 def _resize_real(payload: bytes, w: int, h: int) -> bytes | None:
     """REAL pixel kernel for the stdlib-decodable formats: 24-bit BMP,
-    8-bit RGB PNG, LZW GIF, and baseline JPEG decode to raw RGB
-    (core/media.py + core/jpegbin.py pixel codecs), integer
-    nearest-neighbor resample, re-encode in the same format. None for
-    anything else — the caller falls back to the declared stub."""
+    8-bit RGB PNG, LZW GIF, baseline/progressive JPEG, and uncompressed
+    RGB-strip TIFF decode to raw RGB (core/media.py + core/jpegbin.py
+    pixel codecs), integer nearest-neighbor resample, re-encode in the
+    same format. None for anything else (WebP/MP4 payloads are real
+    codecs, the declared stub seam) — the caller falls back to it."""
     dec = bmp_pixels(payload)
     if dec is not None:
         sw, sh, rgb = dec
@@ -354,6 +408,10 @@ def _resize_real(payload: bytes, w: int, h: int) -> bytes | None:
     if dec is not None:
         sw, sh, rgb = dec
         return build_jpeg_pixels(w, h, resize_nearest(sw, sh, rgb, w, h))
+    dec = tiff_pixels(payload)
+    if dec is not None:
+        sw, sh, rgb = dec
+        return build_tiff_pixels(w, h, resize_nearest(sw, sh, rgb, w, h))
     return None
 
 
@@ -451,7 +509,7 @@ def _embed_fake(payload: bytes, dim: int) -> list[float]:
 
 def _embed_real(payload: bytes, dim: int) -> list[float] | None:
     """REAL pixel feature for the stdlib-decodable formats: decode
-    BMP/PNG/GIF/baseline-JPEG to RGB, nearest-neighbor pool to a sqrt(dim) x sqrt(dim) grid, emit the
+    BMP/PNG/GIF/JPEG/TIFF to RGB, nearest-neighbor pool to a sqrt(dim) x sqrt(dim) grid, emit the
     per-cell grayscale (ITU-R 601 integer weights) scaled to [0, 1). A
     classic perceptual thumbnail-hash feature: nearby crops/resizes of the
     same image land close in cosine space, so the downstream LSH/IVF
@@ -464,6 +522,8 @@ def _embed_real(payload: bytes, dim: int) -> list[float] | None:
         dec = gif_pixels(payload)
     if dec is None:
         dec = jpeg_pixels(payload)
+    if dec is None:
+        dec = tiff_pixels(payload)
     if dec is None:
         return None
     w, h, rgb = dec
