@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tika_wrap_spark.operators import curation as cu
 from tika_wrap_spark.operators import dedup as dd
@@ -496,6 +497,196 @@ SELECT source, n_tokens, n_types, n_hapax,
        CAST(floor(1000.0 * n_types / n_tokens) AS BIGINT) AS ttr_q,
        CAST(floor(1000.0 * n_hapax / n_types) AS BIGINT) AS hapax_share_q
 FROM per_source
+"""
+
+
+ZIPF_TOP = 16  # rank checkpoints: head coverage window for the profile
+
+
+def q_zipf_profile(spark, d):
+    """Rank-frequency (Zipf) audit per source (r5): counts at the
+    log-spaced rank checkpoints 1/2/4/8/16 plus the head (top-16)
+    coverage share — the integer-exact observables a curator reads off a
+    Zipf plot without fitting it (a healthy natural-language source has
+    cnt_r1/cnt_r2 near 2 and a moderate head share; template spam drives
+    the head share toward 1000). Deterministic tie-break: rank by
+    (cnt DESC, tok ASC). Integer division keeps both engines exact —
+    house rule: no transcendental math in oracled paths. Scale shape:
+    two partial-aggregable shuffles plus one window PARTITIONED BY
+    source (state = one source's vocabulary, bounded by type count, not
+    corpus size)."""
+    docs = _t(spark, d, "documents")
+    toks = (
+        dd.normalized(docs)
+        .select("source", F.explode(F.split("norm", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    per_tok = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = per_tok.withColumn("rank", F.row_number().over(w))
+
+    def cnt_at(r):
+        return F.coalesce(
+            F.max(F.when(F.col("rank") == r, F.col("cnt"))), F.lit(0)
+        ).cast("long")
+
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            cnt_at(1).alias("cnt_r1"),
+            cnt_at(2).alias("cnt_r2"),
+            cnt_at(4).alias("cnt_r4"),
+            cnt_at(8).alias("cnt_r8"),
+            cnt_at(16).alias("cnt_r16"),
+            F.sum(F.when(F.col("rank") <= ZIPF_TOP, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("top16_tokens"),
+        )
+        .withColumn(
+            "top16_share_q",
+            F.expr("(1000 * top16_tokens) div n_tokens").cast("long"),
+        )
+    )
+
+
+SQL_ZIPF_PROFILE = f"""
+WITH toks AS (
+  SELECT source, tok
+  FROM (SELECT source, unnest(str_split({_NORM_DUCK}, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), per_tok AS (
+  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT source, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rank
+  FROM per_tok
+), agg AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         count(*) AS n_types,
+         CAST(coalesce(max(CASE WHEN rank = 1 THEN cnt END), 0) AS BIGINT) AS cnt_r1,
+         CAST(coalesce(max(CASE WHEN rank = 2 THEN cnt END), 0) AS BIGINT) AS cnt_r2,
+         CAST(coalesce(max(CASE WHEN rank = 4 THEN cnt END), 0) AS BIGINT) AS cnt_r4,
+         CAST(coalesce(max(CASE WHEN rank = 8 THEN cnt END), 0) AS BIGINT) AS cnt_r8,
+         CAST(coalesce(max(CASE WHEN rank = 16 THEN cnt END), 0) AS BIGINT) AS cnt_r16,
+         CAST(sum(CASE WHEN rank <= {ZIPF_TOP} THEN cnt ELSE 0 END) AS BIGINT) AS top16_tokens
+  FROM ranked GROUP BY 1
+)
+SELECT source, n_tokens, n_types, cnt_r1, cnt_r2, cnt_r4, cnt_r8, cnt_r16,
+       top16_tokens,
+       CAST((1000 * top16_tokens) // n_tokens AS BIGINT) AS top16_share_q
+FROM agg
+"""
+
+
+def q_tokenizer_fertility(spark, d):
+    """Tokenizer fertility per (source, lang) (r5): BPE-ish subword tokens
+    per whitespace word and chars per subword token — the number that
+    tells a pipeline owner which slices blow up their token budget (CJK
+    and noisy sources run high-fertility). Integer-exact quantized
+    ratios; one partial-aggregable shuffle, linear in corpus size."""
+    tc = ta.token_counts(_t(spark, d, "documents"))
+    return (
+        tc.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens_ws").cast("long").alias("sum_tokens_ws"),
+            F.sum("tokens_bpe").cast("long").alias("sum_tokens_bpe"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        )
+        .withColumn(
+            "fertility_q",
+            F.expr("(1000 * sum_tokens_bpe) div sum_tokens_ws").cast("long"),
+        )
+        .withColumn(
+            "chars_per_tok_q",
+            F.expr("(1000 * sum_chars) div sum_tokens_bpe").cast("long"),
+        )
+    )
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH agg AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(len(str_split({_NORM_DUCK}, ' '))) AS BIGINT) AS sum_tokens_ws,
+         CAST(sum(len(regexp_extract_all(lower(text), '{ta.BPE_RE2}'))) AS BIGINT) AS sum_tokens_bpe,
+         CAST(sum(length(text)) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, sum_tokens_ws, sum_tokens_bpe, sum_chars,
+       CAST((1000 * sum_tokens_bpe) // sum_tokens_ws AS BIGINT) AS fertility_q,
+       CAST((1000 * sum_chars) // sum_tokens_bpe AS BIGINT) AS chars_per_tok_q
+FROM agg
+"""
+
+
+def q_source_vocab_overlap(spark, d):
+    """Cross-source vocabulary overlap (r5): Jaccard over the type sets of
+    every source pair — the domain-similarity matrix a mixture designer
+    reads before setting sampling weights (near-duplicate sources waste
+    mixture mass). Scale shape: the per-token join fans out to at most
+    |sources|² rows per type (sources are a DIMENSION, bounded, never
+    corpus-sized), then one partial-aggregable pair rollup; no window, no
+    driver loop. Integer-exact: intersection counted, union by
+    inclusion-exclusion, share quantized by integer division."""
+    docs = _t(spark, d, "documents")
+    types = (
+        dd.normalized(docs)
+        .select("source", F.explode(F.split("norm", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = types.groupBy("source").agg(F.count("*").alias("n_types"))
+    a = types.alias("a")
+    b = types.alias("b")
+    inter = (
+        a.join(b, F.col("a.tok") == F.col("b.tok"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("n_types", "n_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("n_types", "n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long").alias("n_union"),
+            F.expr("(1000 * n_inter) div (n_a + n_b - n_inter)").cast("long").alias("jaccard_q"),
+        )
+    )
+
+
+SQL_SOURCE_VOCAB_OVERLAP = f"""
+WITH types AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, unnest(str_split({_NORM_DUCK}, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), sizes AS (
+  SELECT source, count(*) AS n_types FROM types GROUP BY 1
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+  FROM types a JOIN types b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n_types + sb.n_types - n_inter AS BIGINT) AS n_union,
+       CAST((1000 * n_inter) // (sa.n_types + sb.n_types - n_inter) AS BIGINT) AS jaccard_q
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
 """
 
 

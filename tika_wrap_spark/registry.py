@@ -23,6 +23,9 @@ from tika_wrap_spark import queries_training as qt
 
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
+    "zipf_profile": (qt.q_zipf_profile, qt.SQL_ZIPF_PROFILE),
+    "tokenizer_fertility": (qt.q_tokenizer_fertility, qt.SQL_TOKENIZER_FERTILITY),
+    "source_vocab_overlap": (qt.q_source_vocab_overlap, qt.SQL_SOURCE_VOCAB_OVERLAP),
     "pdf_security_stats": (qt.q_pdf_security_stats, None),
     "charset_stats": (qt.q_charset_stats, None),
     "ole_route": (qt.q_ole_route, None),
