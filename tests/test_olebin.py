@@ -12,6 +12,9 @@ import pytest
 from tika_wrap_spark.core.errors import ExtractError
 from tika_wrap_spark.core.extract import extract_document
 from tika_wrap_spark.core.olebin import (
+    build_msg,
+    msg_text,
+    ole_extract_full,
     OLE_MAGIC,
     build_cfb,
     build_doc,
@@ -202,6 +205,104 @@ class TestPpt:
         assert res["parse_ok"]
         assert res["meta"]["container_format"] == "ole-ppt"
         assert "Quarterly numbers" in res["spans"][0]["text"]
+
+
+class TestMsg:
+    def test_roundtrip_with_headers(self):
+        m = build_msg(
+            "Quarterly report",
+            "line one\nline two",
+            sender_name="Ana",
+            sender_email="ana@example.com",
+            to="team@example.org",
+        )
+        kind, text, meta = ole_extract_full(m)
+        assert kind == "msg"
+        assert text == (
+            "Subject: Quarterly report\nFrom: Ana <ana@example.com>\n"
+            "To: team@example.org\n\nline one\nline two"
+        )
+        assert meta == {
+            "eml_subject": "Quarterly report",
+            "eml_from": "Ana <ana@example.com>",
+        }
+
+    def test_byte_variant_001e(self):
+        m = build_msg("café subject", "plain body", unicode_props=False)
+        # the 001E byte stream carries cp1252
+        assert b"__substg1.0_0037001E".decode() in parse_cfb(m)
+        kind, text, meta = ole_extract_full(m)
+        assert kind == "msg" and meta["eml_subject"] == "café subject"
+        assert text == "Subject: café subject\n\nplain body"
+
+    def test_unicode_forced_even_when_bytes_requested(self):
+        m = build_msg("件名", "本文です", unicode_props=False)
+        # cp1252 can't carry CJK -> builder falls back to the 001F stream
+        assert "__substg1.0_0037001F" in parse_cfb(m)
+        _, text, meta = ole_extract_full(m)
+        assert meta["eml_subject"] == "件名" and "本文です" in text
+
+    def test_sender_email_only(self):
+        _, text, meta = ole_extract_full(
+            build_msg("s", "b", sender_email="solo@example.com")
+        )
+        assert meta["eml_from"] == "solo@example.com"
+        assert "From: solo@example.com" in text
+
+    def test_crlf_body_normalizes(self):
+        m = build_msg("s", "a\nb")  # builder re-wires \n -> \r\n
+        _, text, _ = ole_extract_full(m)
+        assert text.endswith("a\nb")
+
+    def test_no_subject_no_body_raises(self):
+        m = build_cfb(
+            [("__substg1.0_0C1A001F", "Orphan".encode("utf-16-le"))]
+        )
+        with pytest.raises(ExtractError, match="msg:"):
+            ole_extract_full(m)
+
+    def test_msg_through_extraction_policy(self):
+        wire = build_msg(
+            "Pipeline status", "All green.", sender_name="Bot",
+            sender_email="bot@example.com",
+        ).decode("latin-1")
+        assert sniff_kind(wire) == "ole"
+        res = extract_document(
+            [{"kind": "ole", "text": wire, "media_ref": "", "offset": 0}]
+        )
+        assert res["parse_ok"]
+        assert res["meta"]["container_format"] == "ole-msg"
+        assert res["meta"]["eml_subject"] == "Pipeline status"
+        assert res["meta"]["eml_from"] == "Bot <bot@example.com>"
+        assert "All green." in res["spans"][0]["text"]
+
+    def test_msg_does_not_clobber_earlier_eml_meta(self):
+        from tika_wrap_spark.core.eml import build_eml
+
+        eml = build_eml("first subject", "a@example.com", "b@example.com", "eml body")
+        msg = build_msg("second subject", "msg body").decode("latin-1")
+        res = extract_document(
+            [
+                {"kind": "eml", "text": eml, "media_ref": "", "offset": 0},
+                {"kind": "ole", "text": msg, "media_ref": "", "offset": len(eml)},
+            ]
+        )
+        assert res["parse_ok"] and res["meta"]["eml_subject"] == "first subject"
+
+    def test_fuzz_bitflips_never_crash(self):
+        rng = random.Random(7)
+        base = bytearray(
+            build_msg("fuzz subject", "fuzz body text", sender_name="F")
+        )
+        for _ in range(60):
+            data = bytearray(base)
+            for _f in range(rng.randint(1, 6)):
+                data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            wire = bytes(data).decode("latin-1")
+            res = extract_document(
+                [{"kind": "ole", "text": wire, "media_ref": "", "offset": 0}]
+            )
+            assert isinstance(res["parse_ok"], bool)  # row, never a crash
 
 
 class TestExtractIntegration:

@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 119  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 120  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -57,8 +57,8 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # bad html, cut pdf, cut twc1, depth bomb, cut zip, zip crc, cut tar,
     # bad gzip, dangling-xref real pdf, gzip/xz/bz2 decompression bombs,
     # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
-    # pdf, unterminated ics
-    assert len(bad) == 18
+    # pdf, unterminated ics, property-less msg
+    assert len(bad) == 19
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 

@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 49  # 30 + 19 adversarial
+    assert read.count() == 50  # 30 + 20 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):

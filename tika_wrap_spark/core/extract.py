@@ -261,12 +261,18 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             route(sniff_kind(inner, ""), inner, "", path + (tag,), depth + 1)
         elif kind == KIND_OLE:
             # legacy binary Office (CFB compound file): .doc piece-table /
-            # .xls BIFF8 record walk (core/olebin.py); Tika's POI analog.
-            # The subkind lands in container_format so doc/xls tallies are
-            # queryable without re-sniffing
-            subkind, ole_text = ole_extract_text(text)
+            # .xls BIFF8 record walk / .msg property streams
+            # (core/olebin.py); Tika's POI analog. The subkind lands in
+            # container_format so doc/xls/msg tallies are queryable
+            # without re-sniffing; message subject/sender share the
+            # eml_subject/eml_from meta keys (Tika maps MSG and rfc822 to
+            # the same message metadata)
+            subkind, ole_text, ole_meta = ole_extract_text(text)
             if not container_format:
                 container_format = "ole-" + subkind
+            if ole_meta and not eml_subject:
+                eml_subject = ole_meta.get("eml_subject", "")
+                eml_from = ole_meta.get("eml_from", "")
             emit(KIND_TEXT, ole_text, "")
         elif kind == KIND_RTF:
             # native RTF control-word parse (core/rtf.py); Tika's RTFParser

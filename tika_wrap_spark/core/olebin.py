@@ -450,30 +450,95 @@ def ppt_text(streams: dict[str, bytes]) -> str:
     return "\n".join(t.replace("\r", "\n").strip("\x00") for t in out if t)
 
 
-def ole_extract(data: bytes) -> tuple[str, str]:
-    """Route a CFB container to its Office text: returns (subkind, text)
-    where subkind is 'doc', 'xls', or 'ppt'. Raises ExtractError for
+# ---------------------------------------------------------------------------
+# Outlook message (.msg, [MS-OXMSG]): property-stream walk
+# ---------------------------------------------------------------------------
+
+# property streams are named __substg1.0_PPPPTTTT (PPPP = property id,
+# TTTT = type: 001F PtypString utf-16le, 001E PtypString8 cp1252)
+_MSG_SUBSTG = "__substg1.0_"
+_MSG_SUBJECT = 0x0037
+_MSG_BODY = 0x1000
+_MSG_SENDER_NAME = 0x0C1A
+_MSG_SENDER_EMAIL = 0x0C1F
+_MSG_DISPLAY_TO = 0x0E04
+
+
+def _msg_prop(streams: dict[str, bytes], pid: int) -> str:
+    """Read a string property by id: the 001F (utf-16le) variant wins,
+    else 001E (cp1252); absent -> ''."""
+    uni = streams.get("%s%04X001F" % (_MSG_SUBSTG, pid))
+    if uni is not None:
+        return uni.decode("utf-16-le", "replace")
+    byt = streams.get("%s%04X001E" % (_MSG_SUBSTG, pid))
+    if byt is not None:
+        return byt.decode("cp1252", "replace")
+    return ""
+
+
+def msg_text(streams: dict[str, bytes]) -> tuple[str, dict[str, str]]:
+    """Extract an Outlook message: rendered header block + body text, plus
+    the message metadata (lands in the shared eml_subject/eml_from meta
+    keys — Tika maps MSG and rfc822 to the same message metadata). A CFB
+    that carries __substg property streams but neither subject nor body
+    is malformed."""
+    subject = _msg_prop(streams, _MSG_SUBJECT)
+    body = _msg_prop(streams, _MSG_BODY).replace("\r\n", "\n").replace("\r", "\n")
+    sender_name = _msg_prop(streams, _MSG_SENDER_NAME)
+    sender_email = _msg_prop(streams, _MSG_SENDER_EMAIL)
+    to = _msg_prop(streams, _MSG_DISPLAY_TO)
+    if not subject and not body:
+        raise ExtractError("msg: no subject or body property stream")
+    if sender_name and sender_email:
+        sender = "%s <%s>" % (sender_name, sender_email)
+    else:
+        sender = sender_name or sender_email
+    lines = []
+    if subject:
+        lines.append("Subject: " + subject)
+    if sender:
+        lines.append("From: " + sender)
+    if to:
+        lines.append("To: " + to)
+    head = "\n".join(lines)
+    text = (head + "\n\n" + body).strip("\n") if head else body
+    return text, {"eml_subject": subject, "eml_from": sender}
+
+
+def ole_extract_full(data: bytes) -> tuple[str, str, dict[str, str]]:
+    """Route a CFB container to its Office text: returns
+    (subkind, text, meta) where subkind is 'doc', 'xls', 'ppt', or 'msg'
+    (meta is non-empty only for messages). Raises ExtractError for
     containers carrying none of the recognized content streams."""
     streams = parse_cfb(data)
     if "WordDocument" in streams:
-        return "doc", doc_text(streams)
+        return "doc", doc_text(streams), {}
     if "Workbook" in streams or "Book" in streams:
-        return "xls", xls_text(streams)
+        return "xls", xls_text(streams), {}
     if "PowerPoint Document" in streams:
-        return "ppt", ppt_text(streams)
+        return "ppt", ppt_text(streams), {}
+    if any(n.startswith(_MSG_SUBSTG) for n in streams):
+        text, meta = msg_text(streams)
+        return "msg", text, meta
     raise ExtractError(
         "ole: no recognized content stream (have: %s)"
         % ",".join(sorted(streams)[:5])
     )
 
 
-def ole_extract_text(text: str) -> tuple[str, str]:
+def ole_extract(data: bytes) -> tuple[str, str]:
+    """Back-compat 2-tuple form of :func:`ole_extract_full`."""
+    subkind, text, _meta = ole_extract_full(data)
+    return subkind, text
+
+
+def ole_extract_text(text: str) -> tuple[str, str, dict[str, str]]:
     """Bytes-as-text bridge (latin-1), matching the other binary parsers."""
     try:
         raw = text.encode("latin-1")
     except UnicodeEncodeError as exc:
         raise ExtractError("ole: non-byte payload") from exc
-    return ole_extract(raw)
+    return ole_extract_full(raw)
 
 
 # ---------------------------------------------------------------------------
@@ -671,6 +736,40 @@ def build_xls(sheet_name: str, rows: list[list]) -> bytes:
         + rec(_R_EOF, b"")
     )
     return build_cfb([("Workbook", book)])
+
+
+def build_msg(
+    subject: str,
+    body: str,
+    sender_name: str = "",
+    sender_email: str = "",
+    to: str = "",
+    unicode_props: bool = True,
+) -> bytes:
+    """Real Outlook .msg: __substg1.0 property streams inside a CFB
+    ([MS-OXMSG] shapes ``msg_text`` walks) — 001F utf-16le streams when
+    ``unicode_props`` (or the value leaves cp1252), 001E byte streams
+    otherwise. A token ``__properties_version1.0`` stream rides along for
+    container realism (the reader keys off the substg names)."""
+
+    def prop(pid: int, value: str) -> tuple[str, bytes]:
+        wire = value.replace("\n", "\r\n")
+        if not unicode_props:
+            try:
+                return "%s%04X001E" % (_MSG_SUBSTG, pid), wire.encode("cp1252")
+            except UnicodeEncodeError:
+                pass
+        return "%s%04X001F" % (_MSG_SUBSTG, pid), wire.encode("utf-16-le")
+
+    streams = [prop(_MSG_SUBJECT, subject), prop(_MSG_BODY, body)]
+    if sender_name:
+        streams.append(prop(_MSG_SENDER_NAME, sender_name))
+    if sender_email:
+        streams.append(prop(_MSG_SENDER_EMAIL, sender_email))
+    if to:
+        streams.append(prop(_MSG_DISPLAY_TO, to))
+    streams.append(("__properties_version1.0", b"\x00" * 32))
+    return build_cfb(streams)
 
 
 def build_ppt(slides: list[list[str]]) -> bytes:

@@ -33,7 +33,13 @@ from tika_wrap_spark.core.extract import extract_document
 from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text
 from tika_wrap_spark.core.ical import build_ics, build_vcf
 from tika_wrap_spark.core.media import build_jpeg, build_png
-from tika_wrap_spark.core.olebin import build_doc, build_ppt, build_xls
+from tika_wrap_spark.core.olebin import (
+    build_cfb,
+    build_doc,
+    build_msg,
+    build_ppt,
+    build_xls,
+)
 from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.procmemo import proc_memo
 from tika_wrap_spark.core.rtf import build_rtf
@@ -618,16 +624,34 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
 
 def _gen_ole_payload(rng: random.Random) -> str:
     """Legacy binary Office payload: half Word 97 .doc (piece-table text,
-    ~1-in-4 forced utf-16 pieces via CJK words), quarter PowerPoint 97
-    .ppt (1-4 slides of TextBytes/TextChars atoms), quarter Excel BIFF8
-    .xls (LABELSST strings + NUMBER cells)."""
+    ~1-in-4 forced utf-16 pieces via CJK words), ~1/6 Outlook .msg
+    (__substg property streams, half 001F utf-16 / half 001E byte
+    variants), ~1/5 PowerPoint 97 .ppt (1-4 slides of TextBytes/
+    TextChars atoms), rest Excel BIFF8 .xls (LABELSST strings + NUMBER
+    cells). The msg slice carves the head of the old ppt sub-range of
+    the SAME k draw (late r5) — the bounds keep all four subkinds
+    present among the seed-42 top-level ole docs."""
     k = rng.random()
     if k < 0.5:
         paras = [_sentence(rng) for _ in range(rng.randint(2, 8))]
         if rng.random() < 0.25:  # utf-16 piece path
             paras.append("Unicode para: " + " ".join(rng.sample(_CID_WORDS, 3)))
         return build_doc("\n".join(paras)).decode("latin-1")
-    if k < 0.75:
+    if k < 0.66:
+        subject = _sentence(rng)
+        paras = [_sentence(rng) for _ in range(rng.randint(1, 5))]
+        if rng.random() < 0.25:  # force the 001F unicode-property path
+            paras.append("返信 " + " ".join(rng.sample(_CID_WORDS, 2)))
+        user = rng.choice(_WORDS)
+        return build_msg(
+            subject,
+            "\n".join(paras),
+            sender_name=user.capitalize(),
+            sender_email="%s@example.com" % user,
+            to="%s@example.org" % rng.choice(_WORDS),
+            unicode_props=rng.random() < 0.5,
+        ).decode("latin-1")
+    if k < 0.875:
         slides = []
         for _s in range(rng.randint(1, 4)):
             paras = [_sentence(rng) for _ in range(rng.randint(1, 4))]
@@ -730,7 +754,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 19
+N_ADVERSARIAL = 20
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -881,6 +905,17 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
     )[0]
     rows.append(
         {"doc_id": "doc_%07d" % (base + 18), "spans": _make_spans([("ics", cut_ics, "")])}
+    )
+    # Outlook .msg with property streams but neither subject nor body
+    # (olebin msg-validation path -> 'msg:' prefix, 'ole' taxonomy class)
+    empty_msg = build_cfb(
+        [
+            ("__substg1.0_0C1A001F", "Orphan Sender".encode("utf-16-le")),
+            ("__properties_version1.0", b"\x00" * 32),
+        ]
+    ).decode("latin-1")
+    rows.append(
+        {"doc_id": "doc_%07d" % (base + 19), "spans": _make_spans([("ole", empty_msg, "")])}
     )
     return rows
 

@@ -2764,7 +2764,8 @@ def _error_class_col():
             F.col("error").startswith("ole:")
             | F.col("error").startswith("doc:")
             | F.col("error").startswith("xls:")
-            | F.col("error").startswith("ppt:"),
+            | F.col("error").startswith("ppt:")
+            | F.col("error").startswith("msg:"),
             F.lit("ole"),
         )
         .when(
@@ -2889,10 +2890,11 @@ def q_charset_stats(spark, d):
 
 def q_ole_route(spark, d):
     """Legacy binary Office (CFB/OLE2) extraction tallies (r5): .doc
-    piece-table, .xls BIFF8, and .ppt record-walk docs route via the CFB
-    magic (core/olebin.py — Tika's POI analog), land their subkind in
-    container_format ('ole-doc'/'ole-xls'/'ole-ppt'), and malformed CFB
-    becomes an 'ole' error-taxonomy row, never a task failure."""
+    piece-table, .xls BIFF8, .ppt record-walk, and Outlook .msg
+    property-stream docs route via the CFB magic (core/olebin.py —
+    Tika's POI analog), land their subkind in container_format
+    ('ole-doc'/'ole-xls'/'ole-ppt'/'ole-msg'), and malformed CFB becomes
+    an 'ole' error-taxonomy row, never a task failure."""
     from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
 
     from tika_wrap_spark import functions as tw  # noqa: PLC0415
@@ -2906,6 +2908,7 @@ def q_ole_route(spark, d):
             | F.col("error").startswith("doc:")
             | F.col("error").startswith("xls:")
             | F.col("error").startswith("ppt:")
+            | F.col("error").startswith("msg:")
         )
         .select(
             "doc_id",
