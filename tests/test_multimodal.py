@@ -427,6 +427,94 @@ def test_jpeg_baseline_codec_roundtrip_and_resize():
     assert _resize_real(build_jpeg(64, 32, progressive=True), 9, 5) is None
 
 
+class TestFlacOgg:
+    """FLAC STREAMINFO + Ogg Vorbis identification header (late r5): the
+    lossless/free audio half of the exiftool/sox analog — true channels,
+    sample rate, and total samples; Vorbis comments ride the shared
+    id3_title/id3_artist columns. Truncation degrades, never raises."""
+
+    def test_flac_streaminfo_roundtrip(self):
+        from tika_wrap_spark.core.media import build_flac, flac_info, flac_tags
+
+        f = build_flac(2, 44100, 16, 12345678,
+                       tags={"title": "Song — 曲", "artist": "Aé"})
+        assert flac_info(f) == (2, 44100, 16, 12345678)
+        assert flac_tags(f) == {"title": "Song — 曲", "artist": "Aé"}
+        # the 36-bit total-samples field exceeds u32
+        assert flac_info(build_flac(1, 96000, 24, 2**35 + 7))[3] == 2**35 + 7
+        assert flac_tags(build_flac(1, 8000, 16, 10)) == {}
+
+    def test_ogg_vorbis_roundtrip(self):
+        from tika_wrap_spark.core.media import (
+            build_ogg_vorbis,
+            ogg_tags,
+            ogg_vorbis_info,
+        )
+
+        o = build_ogg_vorbis(2, 48000, 987654, tags={"title": "T1", "artist": "B"})
+        assert ogg_vorbis_info(o) == (2, 48000, 987654)
+        assert ogg_tags(o) == {"title": "T1", "artist": "B"}
+        assert ogg_vorbis_info(build_ogg_vorbis(1, 8000, 0)) == (1, 8000, 0)
+
+    def test_truncation_never_raises(self):
+        from tika_wrap_spark.core.media import (
+            build_flac,
+            build_ogg_vorbis,
+            flac_info,
+            flac_tags,
+            ogg_tags,
+            ogg_vorbis_info,
+        )
+
+        f = build_flac(2, 44100, 16, 99, tags={"title": "T"})
+        o = build_ogg_vorbis(2, 44100, 99, tags={"title": "T"})
+        for cut in range(0, 80):
+            assert flac_info(f[:cut]) is None or cut >= 42
+            assert isinstance(flac_tags(f[:cut]), dict)
+            assert isinstance(ogg_tags(o[:cut]), dict)
+            r = ogg_vorbis_info(o[:cut])
+            assert r is None or r[:2] == (2, 44100)
+        assert flac_info(b"not flac") is None
+        assert ogg_vorbis_info(b"OggS but short") is None
+
+    def test_decode_surfaces_flac_ogg(self):
+        from tika_wrap_spark.core.media import build_flac, build_ogg_vorbis
+        from tika_wrap_spark.operators.multimodal import _decode_payload
+
+        d = _decode_payload(
+            "flac://x", build_flac(2, 48000, 24, 4242, tags={"title": "F", "artist": "G"})
+        )
+        assert d["media_kind"] == "audio" and (d["width"], d["height"]) == (2, 48000)
+        assert d["n_frames"] == 4242
+        assert (d["id3_title"], d["id3_artist"]) == ("F", "G")
+        # 36-bit totals clamp into the int32 n_frames column
+        big = _decode_payload("flac://y", build_flac(1, 44100, 16, 2**35))
+        assert big["n_frames"] == 0x7FFFFFFF
+        d2 = _decode_payload("ogg://x", build_ogg_vorbis(1, 44100, 777))
+        assert d2["media_kind"] == "audio" and d2["n_frames"] == 777
+        assert d2["id3_title"] == ""
+
+    def test_fetch_mix_draws_flac_and_ogg(self):
+        from tika_wrap_spark.core.media import FLAC_MAGIC, OGG_MAGIC
+        from tika_wrap_spark.operators.multimodal import _fetch_fake
+
+        seen = {"flac": 0, "ogg": 0, "opaque": 0}
+        for i in range(400):
+            p = _fetch_fake("blob://mix/%d" % i)
+            if p.startswith(FLAC_MAGIC):
+                seen["flac"] += 1
+            elif p.startswith(OGG_MAGIC):
+                seen["ogg"] += 1
+            elif not any(
+                p.startswith(m)
+                for m in (b"\x89PNG", b"\xff\xd8", b"GIF8", b"BM", b"RIFF",
+                          b"II*\x00", b"MM\x00*", b"ID3", b"\xff\xfb", b"fLaC")
+            ) and b"ftyp" not in p[:16]:
+                seen["opaque"] += 1
+        # all three sub-branches of the kind==7 carve stay exercised
+        assert seen["flac"] > 0 and seen["ogg"] > 0 and seen["opaque"] > 0
+
+
 class TestId3Tags:
     """ID3v2 text frames (late r5): the audio half of the exiftool/sox
     metadata analog (/root/reference/README.md:19-20) — TIT2/TPE1/TALB/

@@ -347,6 +347,195 @@ def build_mp3(
     return tag + frame * n_frames
 
 
+# ---------------------------------------------------------------------------
+# FLAC (STREAMINFO + Vorbis comments) and Ogg Vorbis — the exiftool/sox
+# analog for the two lossless/free audio containers a web corpus carries
+# ---------------------------------------------------------------------------
+
+FLAC_MAGIC = b"fLaC"
+OGG_MAGIC = b"OggS"
+
+
+def flac_info(data: bytes) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bits_per_sample, total_samples) from the
+    mandatory STREAMINFO metadata block (always the first block after the
+    fLaC marker; sample rate is a 20-bit field, channels-1 3 bits,
+    bits-1 5 bits, total samples 36 bits)."""
+    if len(data) < 42 or not data.startswith(FLAC_MAGIC):
+        return None
+    if data[4] & 0x7F != 0 or int.from_bytes(data[5:8], "big") < 34:
+        return None
+    b = data[8:42]
+    sr = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    if sr == 0:
+        return None
+    channels = ((b[12] >> 1) & 0x07) + 1
+    bits = (((b[12] & 1) << 4) | (b[13] >> 4)) + 1
+    total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+    return channels, sr, bits, total
+
+
+def _vorbis_comments(buf: bytes) -> dict[str, str]:
+    """{lowered key: value} from a Vorbis comment payload: u32le vendor
+    length + vendor, u32le count, then count x (u32le length + 'KEY=value'
+    utf-8). Truncated payloads degrade to fewer comments, never raise."""
+    n = len(buf)
+    if n < 8:
+        return {}
+    i = 4 + int.from_bytes(buf[0:4], "little")
+    if i + 4 > n:
+        return {}
+    count = int.from_bytes(buf[i : i + 4], "little")
+    i += 4
+    out: dict[str, str] = {}
+    for _ in range(min(count, 256)):
+        if i + 4 > n:
+            break
+        ln = int.from_bytes(buf[i : i + 4], "little")
+        i += 4
+        if i + ln > n:
+            break
+        kv = buf[i : i + ln].decode("utf-8", "replace")
+        i += ln
+        if "=" in kv:
+            k, val = kv.split("=", 1)
+            out[k.lower()] = val
+    return out
+
+
+def flac_tags(data: bytes) -> dict[str, str]:
+    """Vorbis comments from a FLAC metadata-block walk (block type 4);
+    {} for untagged or unparseable streams."""
+    if len(data) < 8 or not data.startswith(FLAC_MAGIC):
+        return {}
+    i = 4
+    for _ in range(64):  # block-count bound: corrupt chains terminate
+        if i + 4 > len(data):
+            break
+        hdr = data[i]
+        blen = int.from_bytes(data[i + 1 : i + 4], "big")
+        if hdr & 0x7F == 4:
+            return _vorbis_comments(data[i + 4 : i + 4 + blen])
+        i += 4 + blen
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+    return {}
+
+
+def build_flac(
+    channels: int,
+    sample_rate: int,
+    bits: int,
+    total_samples: int,
+    tags: dict[str, str] | None = None,
+) -> bytes:
+    """Minimal structurally-valid FLAC head: STREAMINFO (+ optional
+    VORBIS_COMMENT) metadata blocks and a token frame-sync byte pair.
+    Header-parseable; carries no audio."""
+    si = bytearray(34)
+    struct.pack_into(">HH", si, 0, 4096, 4096)  # min/max blocksize
+    si[10] = sample_rate >> 12
+    si[11] = (sample_rate >> 4) & 0xFF
+    si[12] = ((sample_rate & 0xF) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)
+    si[13] = (((bits - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    si[14:18] = struct.pack(">I", total_samples & 0xFFFFFFFF)
+    blocks = []
+    if tags:
+        body = struct.pack("<I", 4) + b"twc0"
+        body += struct.pack("<I", len(tags))
+        for k, v in tags.items():
+            kv = ("%s=%s" % (k.upper(), v)).encode("utf-8")
+            body += struct.pack("<I", len(kv)) + kv
+        blocks.append((4, body))
+    out = bytearray(FLAC_MAGIC)
+    heads = [(0, bytes(si))] + blocks
+    for idx, (btype, body) in enumerate(heads):
+        last = 0x80 if idx == len(heads) - 1 else 0
+        out += bytes([last | btype]) + len(body).to_bytes(3, "big") + body
+    return bytes(out) + b"\xff\xf8"  # frame sync stub
+
+
+def _ogg_page(header_type: int, granule: int, seq: int, packets: list[bytes]) -> bytes:
+    """One Ogg page (CRC left 0 — the reader does not verify): 255-run
+    lacing values per packet."""
+    lacing = bytearray()
+    body = bytearray()
+    for p in packets:
+        ln = len(p)
+        while ln >= 255:
+            lacing.append(255)
+            ln -= 255
+        lacing.append(ln)
+        body += p
+    return (
+        OGG_MAGIC
+        + b"\x00"
+        + bytes([header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<III", 0x7477, seq, 0)
+        + bytes([len(lacing)])
+        + bytes(lacing)
+        + bytes(body)
+    )
+
+
+def build_ogg_vorbis(
+    channels: int,
+    sample_rate: int,
+    total_samples: int,
+    tags: dict[str, str] | None = None,
+) -> bytes:
+    """Minimal structurally-valid Ogg Vorbis stream: BOS page with the
+    identification header, a page with the comment header, and an EOS
+    page whose granule position carries the total sample count."""
+    ident = b"\x01vorbis" + struct.pack(
+        "<IBIiii", 0, channels, sample_rate, 0, sample_rate * 4, 0
+    ) + b"\xb8\x01"
+    vendor = b"twc0"
+    comment = b"\x03vorbis" + struct.pack("<I", len(vendor)) + vendor
+    kvs = [("%s=%s" % (k.upper(), v)).encode("utf-8") for k, v in (tags or {}).items()]
+    comment += struct.pack("<I", len(kvs))
+    for kv in kvs:
+        comment += struct.pack("<I", len(kv)) + kv
+    comment += b"\x01"
+    return (
+        _ogg_page(0x02, 0, 0, [ident])  # BOS
+        + _ogg_page(0x00, 0, 1, [comment])
+        + _ogg_page(0x04, total_samples, 2, [b"\x00"])  # EOS: granule = total
+    )
+
+
+def ogg_vorbis_info(data: bytes) -> tuple[int, int, int] | None:
+    """(channels, sample_rate, total_samples) from the Vorbis
+    identification header on the first (BOS) page plus the final page's
+    granule position (total PCM samples by the Ogg mapping)."""
+    if len(data) < 58 or not data.startswith(OGG_MAGIC):
+        return None
+    nsegs = data[26]
+    off = 27 + nsegs
+    if data[off : off + 7] != b"\x01vorbis" or off + 16 > len(data):
+        return None
+    channels = data[off + 11]
+    rate = int.from_bytes(data[off + 12 : off + 16], "little")
+    if not channels or not rate:
+        return None
+    last = data.rfind(OGG_MAGIC)
+    total = 0
+    if last + 14 <= len(data):
+        total = max(int.from_bytes(data[last + 6 : last + 14], "little", signed=True), 0)
+    return channels, rate, total
+
+
+def ogg_tags(data: bytes) -> dict[str, str]:
+    """Vorbis comments from the comment header packet. The builder keeps
+    the packet within one page; a foreign stream whose comment header
+    spans pages degrades to fewer comments (documented bound)."""
+    i = data.find(b"\x03vorbis")
+    if i < 0:
+        return {}
+    return _vorbis_comments(data[i + 7 :])
+
+
 def image_dims(data: bytes) -> tuple[int, int] | None:
     """Dispatch on magic: PNG IHDR / JPEG SOF / GIF screen descriptor /
     BMP info-header / TIFF IFD0 / WebP frame-header dims, else None."""

@@ -42,20 +42,26 @@ from tika_wrap_spark.core.media import (
     gif_pixels,
     build_avi,
     build_bmp_pixels,
+    build_flac,
     build_gif_pixels,
     build_gif,
     build_jpeg,
     build_mp3,
     build_mp4,
+    build_ogg_vorbis,
     build_png_pixels,
     build_tiff,
     build_tiff_pixels,
     build_wav,
     build_webp,
+    flac_info,
+    flac_tags,
     image_dims,
     mp3_id3_tags,
     mp3_info,
     mp4_info,
+    ogg_tags,
+    ogg_vorbis_info,
     png_pixels,
     resize_nearest,
     tiff_pixels,
@@ -115,7 +121,7 @@ def _decode_fake(ref: str, payload: bytes) -> dict:
 
 
 def _decode_payload(ref: str, payload: bytes) -> dict:
-    """IMAGE, WAV/MP3-AUDIO, and AVI/MP4-VIDEO paths are REAL:
+    """IMAGE, WAV/MP3/FLAC/Ogg-AUDIO, and AVI/MP4-VIDEO paths are REAL:
     PNG/JPEG/GIF/BMP/TIFF/WebP header parse yields true dimensions; the
     RIFF/WAVE chunk walk and the MPEG-1 Layer III header yield true
     channels (-> width), sample rate (-> height), and frame count; the
@@ -198,6 +204,36 @@ def _decode_payload(ref: str, payload: bytes) -> dict:
             "id3_title": tags.get("title", ""),
             "id3_artist": tags.get("artist", ""),
         }
+    flac = flac_info(payload)
+    if flac is not None:
+        channels, sample_rate, _bits, total = flac
+        vtags = flac_tags(payload)  # Vorbis comments share the id3 columns
+        return {
+            "media_kind": "audio",
+            "width": channels,
+            "height": sample_rate,
+            "n_frames": min(total, 0x7FFFFFFF),  # 36-bit field vs int32 column
+            "feature": hashlib.md5(payload).hexdigest()[:16],
+            "exif_orientation": 0,
+            "exif_datetime": "",
+            "id3_title": vtags.get("title", ""),
+            "id3_artist": vtags.get("artist", ""),
+        }
+    ogg = ogg_vorbis_info(payload)
+    if ogg is not None:
+        channels, sample_rate, total = ogg
+        vtags = ogg_tags(payload)
+        return {
+            "media_kind": "audio",
+            "width": channels,
+            "height": sample_rate,
+            "n_frames": min(total, 0x7FFFFFFF),
+            "feature": hashlib.md5(payload).hexdigest()[:16],
+            "exif_orientation": 0,
+            "exif_datetime": "",
+            "id3_title": vtags.get("title", ""),
+            "id3_artist": vtags.get("artist", ""),
+        }
     return _decode_fake(ref, payload)
 
 
@@ -235,10 +271,11 @@ def _gradient_rgb(w: int, h: int, seed: int) -> bytes:
 
 def _fetch_fake(ref: str) -> bytes:
     """Deterministic object-store-fetch stand-in, keyed on the ref digest:
-    ~10/11 of refs come back as REAL PNG/JPEG/GIF/BMP/TIFF/WebP/WAV/AVI/
-    MP4/MP3 byte streams (valid headers, digest-derived parameters) so the
-    decode path exercises true header parsing across every real kernel;
-    the rest stay opaque bytes (the unrecognized-payload stub path).
+    ~32/33 of refs come back as REAL PNG/JPEG/GIF/BMP/TIFF/WebP/WAV/AVI/
+    MP4/MP3/FLAC/Ogg-Vorbis byte streams (valid headers, digest-derived
+    parameters) so the decode path exercises true header parsing across
+    every real kernel; the rest stay opaque bytes (the
+    unrecognized-payload stub path).
     PNG/BMP/TIFF payloads (and half the JPEG/GIF draws) carry REAL pixel
     arrays (small digest-derived dims) so the resize kernel's decode ->
     resample -> re-encode path runs on true pixels."""
@@ -333,6 +370,29 @@ def _fetch_fake(ref: str) -> bytes:
             n_frames=1 + (v >> 6) % 400,
             id3=bool(v & 64),
             id3_tags=tags,
+        )
+    # kind == 7 (late r5): two-thirds carved into FLAC / Ogg Vorbis (the
+    # tagged halves carry real Vorbis comments riding the shared
+    # id3_title/id3_artist columns); the last third stays opaque bytes so
+    # the unrecognized-payload stub path remains pinned
+    sub = (v >> 4) % 3
+    vtags = None
+    if v & 64:
+        title = "Piece %05d" % (v % 100000)
+        if v & 128:
+            title += " — 曲"
+        vtags = {"title": title, "artist": "Ensemble %03d" % ((v >> 8) % 1000)}
+    if sub == 0:
+        return build_flac(
+            1 + v % 2,
+            (44100, 48000, 96000)[v % 3],
+            (16, 24)[(v >> 5) % 2],
+            1 + (v >> 6) % 10_000_000,
+            tags=vtags,
+        )
+    if sub == 1:
+        return build_ogg_vorbis(
+            1 + v % 2, (44100, 48000, 8000)[v % 3], 1 + (v >> 6) % 10_000_000, tags=vtags
         )
     return h + h[::-1]
 
