@@ -84,6 +84,9 @@ HEADLINE = [
     "lm_perplexity",
     "token_count",
     "doc_fingerprint",
+    "zipf_profile",
+    "tokenizer_fertility",
+    "source_vocab_overlap",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,

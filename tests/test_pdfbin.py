@@ -746,3 +746,69 @@ def test_unknown_named_crypt_filter_raises():
     bad = data.replace(b"/StmF /StdCF", b"/StmF /Bogul")
     with pytest.raises(ExtractError, match="unsupported /StmF"):
         parse_real_pdf_pages(bad)
+
+
+# ---------------------------------------------------------------------------
+# /EmbeddedFiles attachments (late r5): PDF 32000-1 §7.7.4/§7.11.4 —
+# Tika recurses these as embedded documents
+# ---------------------------------------------------------------------------
+
+_ATTS = [("notes.txt", b"attached note body\nsecond line"), ("table.csv", b"a,b\n1,2")]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"encrypt": "rc4-128"},
+        {"encrypt": "aes-128"},
+        {"encrypt": "aes-256"},
+        {"xref_stream": True, "cid": True},
+    ],
+    ids=str,
+)
+def test_embedded_files_roundtrip(kw):
+    from tika_wrap_spark.core.pdfbin import parse_real_pdf_text_full
+
+    wire = build_pdf(PAGES, attachments=_ATTS, **kw).decode("latin-1")
+    pages, _crypt, atts = parse_real_pdf_text_full(wire)
+    assert pages == parse_real_pdf_pages(build_pdf(PAGES, **kw))
+    # name-tree keys are lexically ordered
+    assert [n for n, _ in atts] == ["notes.txt", "table.csv"] or [
+        n for n, _ in atts
+    ] == ["table.csv", "notes.txt"]
+    got = dict(atts)
+    assert got["notes.txt"] == "attached note body\nsecond line"
+    assert got["table.csv"] == "a,b\n1,2"
+
+
+def test_no_attachments_is_empty():
+    from tika_wrap_spark.core.pdfbin import parse_real_pdf_text_full
+
+    assert parse_real_pdf_text_full(build_pdf(PAGES).decode("latin-1"))[2] == []
+
+
+def test_extraction_recurses_attachments():
+    pdf = build_pdf(PAGES, attachments=_ATTS).decode("latin-1")
+    res = extract_document([{"kind": "pdf", "text": pdf, "media_ref": "", "offset": 0}])
+    assert res["parse_ok"]
+    assert res["meta"]["container_format"] == "pdf-attach"
+    assert res["meta"]["n_containers"] == "1"
+    assert res["meta"]["n_container_entries"] == "2"
+    texts = [s["text"] for s in res["spans"]]
+    assert "attached note body\nsecond line" in texts  # text member
+    assert any(t.startswith("a,b") for t in texts)  # csv member
+
+
+def test_malformed_filespec_degrades_not_raises():
+    from tika_wrap_spark.core.pdfbin import parse_real_pdf_text_full
+
+    data = build_pdf(PAGES, attachments=_ATTS)
+    # corrupt one embedded stream's flate payload: that attachment drops,
+    # the other survives, the pages still extract
+    idx = data.find(b"/Type /EmbeddedFile")
+    start = data.find(b"stream\n", idx) + 7
+    bad = bytearray(data)
+    bad[start : start + 4] = b"\x00\x00\x00\x00"
+    pages, _c, atts = parse_real_pdf_text_full(bytes(bad).decode("latin-1"))
+    assert pages and len(atts) == 1

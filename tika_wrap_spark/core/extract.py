@@ -27,7 +27,7 @@ from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, htm
 from tika_wrap_spark.core.media import image_dims_text
 from tika_wrap_spark.core.olebin import ole_extract_text
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
-from tika_wrap_spark.core.pdfbin import is_real_pdf_text, parse_real_pdf_pages_text_crypt
+from tika_wrap_spark.core.pdfbin import is_real_pdf_text, parse_real_pdf_text_full
 from tika_wrap_spark.core.eml import parse_eml
 from tika_wrap_spark.core.rtf import rtf_to_text
 from tika_wrap_spark.core.ical import parse_ical, parse_vcard
@@ -209,8 +209,9 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             # (core/pdfbin.py: FlateDecode, page tree, content-stream text
             # operators); the synthetic fixtures dialect has no startxref
             # and keeps its strict line parser
+            attachments: list[tuple[str, str]] = []
             if is_real_pdf_text(text):
-                pages, crypt = parse_real_pdf_pages_text_crypt(text)
+                pages, crypt, attachments = parse_real_pdf_text_full(text)
                 if crypt and not pdf_crypt:
                     pdf_crypt = crypt
             else:
@@ -220,6 +221,23 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             for page in pages_to_texts(pages):
                 n_pages += 1
                 emit(KIND_TEXT, page, "")
+            if attachments:
+                # /EmbeddedFiles: a PDF with attachments is one more
+                # container kind — each payload re-sniffs and recurses
+                # like an archive member (Tika's embedded-document walk)
+                if depth >= MAX_CONTAINER_DEPTH:
+                    raise ExtractError(
+                        "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
+                    )
+                n_containers += 1
+                depth_max = max(depth_max, depth + 1)
+                if not container_format:
+                    container_format = "pdf-attach"
+                for name, payload in attachments:
+                    n_entries += 1
+                    route(
+                        sniff_kind(payload, ""), payload, "", path + (name,), depth + 1
+                    )
         elif kind in (KIND_ZIP, KIND_TAR):
             if depth >= MAX_CONTAINER_DEPTH:
                 raise ExtractError(

@@ -1095,6 +1095,66 @@ class RealPdf:
             parts.append(decode_stream(sdict, raw, self.resolve))
         return b"\n".join(parts)
 
+    def embedded_files(self) -> list[tuple[str, bytes]]:
+        """Attachments from the catalog's /Names /EmbeddedFiles name tree
+        (PDF 32000-1 §7.7.4 name dictionary, §7.11.4 embedded file
+        streams; Tika recurses these as embedded documents via
+        /root/reference/src/java-env.cpp:313's auto-parse). Returns
+        (display name, decoded bytes) in tree order — [] when the
+        document has no attachments. Depth/cycle-guarded; a malformed
+        filespec degrades to fewer attachments, never an error (the
+        page text already extracted)."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            return []
+        names = self.resolve(root.get("Names"))
+        if not isinstance(names, dict):
+            return []
+        tree = self.resolve(names.get("EmbeddedFiles"))
+        out: list[tuple[str, bytes]] = []
+        seen: set[int] = set()
+
+        def label_of(key: object, spec: dict) -> str:
+            for cand in (spec.get("UF"), spec.get("F"), key):
+                cand = self.resolve(cand)
+                if isinstance(cand, bytes):
+                    return cand.decode("utf-8", "replace")
+                if isinstance(cand, str):
+                    return cand
+            return "attachment"
+
+        def walk(node: object, depth: int) -> None:
+            if depth > 16 or not isinstance(node, dict) or len(out) >= 256:
+                return
+            pairs = self.resolve(node.get("Names"))
+            if isinstance(pairs, list):
+                for k in range(0, len(pairs) - 1, 2):
+                    spec = self.resolve(pairs[k + 1])
+                    if not isinstance(spec, dict):
+                        continue
+                    ef = self.resolve(spec.get("EF"))
+                    if not isinstance(ef, dict):
+                        continue
+                    fobj = self.resolve(ef.get("F") if "F" in ef else ef.get("UF"))
+                    if isinstance(fobj, tuple) and len(fobj) == 2:
+                        sdict, raw = fobj
+                        try:
+                            body = decode_stream(sdict, raw, self.resolve)
+                        except ExtractError:
+                            continue
+                        out.append((label_of(pairs[k], spec), body))
+            kids = self.resolve(node.get("Kids"))
+            if isinstance(kids, list):
+                for kid in kids:
+                    if isinstance(kid, Ref):
+                        if kid[0] in seen:
+                            continue
+                        seen.add(kid[0])
+                    walk(self.resolve(kid), depth + 1)
+
+        walk(tree, 0)
+        return out
+
     def page_fonts(self, page: dict) -> dict[str, "FontDecoder"]:
         res = self.resolve(page.get("Resources")) or {}
         fonts = self.resolve(res.get("Font")) if isinstance(res, dict) else None
@@ -1775,6 +1835,29 @@ def parse_real_pdf_pages_text_crypt(
     return parse_real_pdf_pages_crypt(data)
 
 
+def parse_real_pdf_text_full(
+    text: str,
+) -> tuple[list[list[tuple[float, float, str]]], str, list[tuple[str, str]]]:
+    """Bytes-as-text bridge returning (pages, crypt_method, attachments)
+    where attachments are the /EmbeddedFiles payloads as latin-1
+    bytes-as-text — the shape the extraction core recurses like archive
+    members."""
+    try:
+        data = text.encode("latin-1")
+    except UnicodeEncodeError:
+        raise ExtractError("pdf: payload is not a byte stream (non-latin-1 chars)")
+    doc = RealPdf(data)
+    pages: list[list[tuple[float, float, str]]] = []
+    for page in doc.pages():
+        fonts = doc.page_fonts(page)
+        content = doc.page_content(page)
+        pages.append(_assemble_lines(_content_runs(content, fonts)))
+    attachments = [
+        (name, body.decode("latin-1")) for name, body in doc.embedded_files()
+    ]
+    return pages, doc._enc_cfm or "", attachments
+
+
 # ---------------------------------------------------------------------------
 # deterministic builder (tests + synthetic corpus)
 # ---------------------------------------------------------------------------
@@ -1865,6 +1948,7 @@ def build_pdf(
     encrypt_user_pw: bytes = b"",
     encrypt_stmf_identity: bool = False,
     content_filter: str | None = None,
+    attachments: list[tuple[str, bytes]] | None = None,
 ) -> bytes:
     """Build a real, deterministic, parser-valid PDF from (x, y, text) runs.
 
@@ -2071,6 +2155,44 @@ def build_pdf(
             objects[cont_num] = (
                 b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body)
             )
+
+    if attachments:
+        # /Names /EmbeddedFiles name tree: one /EmbeddedFile stream + one
+        # /Filespec per attachment, keys in lexical order (name-tree
+        # invariant). Streams ride the same enc_stream path as content.
+        att_sorted = sorted(attachments)
+        pair_refs: list[tuple[bytes, int]] = []
+        for name, body in att_sorted:
+            stream_num = max(objects) + 1
+            comp = enc_stream(stream_num, zlib.compress(body, 6))
+            objects[stream_num] = (
+                b"<< /Type /EmbeddedFile /Filter /FlateDecode /Length %d"
+                b" /Params << /Size %d >> >>\nstream\n%s\nendstream"
+                % (len(comp), len(body), comp)
+            )
+            spec_num = stream_num + 1
+            # strings inside an encrypted doc must ride enc_str (the
+            # parser decrypts every out-of-stream string); escaping is
+            # literal-string syntax only — encrypted strings carry the
+            # raw bytes
+            raw_name = (
+                _escape_pdf_string(name)
+                if enc_key is None
+                else name.encode("cp1252", "replace")
+            )
+            objects[spec_num] = (
+                b"<< /Type /Filespec /F %s /UF %s /EF << /F %d 0 R >> >>"
+                % (enc_str(spec_num, raw_name), enc_str(spec_num, raw_name), stream_num)
+            )
+            pair_refs.append((raw_name, spec_num))
+        tree_num = max(objects) + 1
+        objects[tree_num] = b"<< /Names [%s] >>" % b" ".join(
+            b"%s %d 0 R" % (enc_str(tree_num, rn), sn) for rn, sn in pair_refs
+        )
+        objects[1] = (
+            b"<< /Type /Catalog /Pages 2 0 R"
+            b" /Names << /EmbeddedFiles %d 0 R >> >>" % tree_num
+        )
 
     trailer_extra = b""
     if enc_key is not None:

@@ -193,11 +193,34 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
     flate/Td and Tm draws is RC4-encrypted (empty user password — the
     owner-password-only protection the parser opens transparently), and
     a slice of the uncompressed-TJ draws carries LZW / RunLength /
-    ASCII85+Flate-chain content filters; every such decision reuses
-    sub-ranges of the already-drawn ``form`` so the rng sequence (and
-    every other doc's bytes) is unchanged."""
+    ASCII85+Flate-chain content filters; a slice of the flate/encrypted
+    draws carries /EmbeddedFiles attachments (notes.txt + half table.csv,
+    content derived from the already-drawn page runs — late r5); every
+    such decision reuses sub-ranges/digits of the already-drawn ``form``
+    so the rng sequence (and every other doc's bytes) is unchanged."""
     pages = _gen_pdf_runs(rng, giant)
     form = rng.random()
+
+    def _attachments() -> list[tuple[str, bytes]] | None:
+        """Deterministic /EmbeddedFiles payloads derived from the
+        already-drawn page runs and form digits (NO new rng draws — the
+        _gen_pdf_payload invariant): a notes.txt carrying the first
+        page's top lines; on half the sub-draws (a form digit) also a
+        two-column csv built from the same words."""
+        if not (0.505 <= form < 0.51 or 0.56 <= form < 0.63):
+            return None
+        first = sorted(pages[0], key=lambda r: (-r[1], r[0]))[:4] if pages else []
+        note = "\n".join(t for _x, _y, t in first) or "empty note"
+        atts = [("notes.txt", note.encode("cp1252", "replace"))]
+        if int(form * 1e6) & 1:
+            words = (first[0][2].rstrip(".").split() + ["k", "v"])[:4]
+            csv = "key,val\n" + "\n".join(
+                "%s,%s" % (words[i], words[(i + 1) % len(words)])
+                for i in range(len(words))
+            )
+            atts.append(("table.csv", csv.encode("cp1252", "replace")))
+        return atts
+
     if form < 0.5:  # fixtures dialect
         lines = ["%PDF-1.4"]
         for pno, runs in enumerate(pages, 1):
@@ -213,7 +236,7 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
             else "rc4-128" if form < 0.54
             else None
         )
-        return build_pdf_text(pages, encrypt=enc)
+        return build_pdf_text(pages, encrypt=enc, attachments=_attachments())
     if form < 0.74:
         # sub-ranges of form (again no extra rng draws): LZW / RunLength /
         # ASCII85+Flate-chain content filters, else plain uncompressed

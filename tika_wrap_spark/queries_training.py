@@ -3007,6 +3007,27 @@ def q_pdf_security_stats(spark, d):
     )
 
 
+def q_pdf_attach_route(spark, d):
+    """PDF /EmbeddedFiles observability (late r5): documents whose PDF
+    carried attachments (PDF 32000-1 §7.7.4 name tree, §7.11.4 embedded
+    file streams) recurse each payload like an archive member — Tika's
+    embedded-document walk (/root/reference/src/java-env.cpp:313). Rows:
+    one per attachment-carrying doc with its entry count and the ordered
+    span hash (the recursion is part of the north_star sequence)."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return ext.filter(meta_at("container_format") == "pdf-attach").select(
+        "doc_id",
+        meta_at("n_container_entries").cast("int").alias("n_attachments"),
+        F.size("spans").alias("n_spans"),
+        tw.span_seq_hash("spans").alias("span_seq_hash"),
+    )
+
+
 def q_exif_meta(spark, d):
     """EXIF metadata surface (r5): JPEG APP1/TIFF-IFD walk
     (core/exifbin.py — the exiftool runtime dep the reference declares,

@@ -27,6 +27,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tokenizer_fertility": (qt.q_tokenizer_fertility, qt.SQL_TOKENIZER_FERTILITY),
     "source_vocab_overlap": (qt.q_source_vocab_overlap, qt.SQL_SOURCE_VOCAB_OVERLAP),
     "pdf_security_stats": (qt.q_pdf_security_stats, None),
+    "pdf_attach_route": (qt.q_pdf_attach_route, None),
     "charset_stats": (qt.q_charset_stats, None),
     "ole_route": (qt.q_ole_route, None),
     "odf_route": (qt.q_odf_route, None),
