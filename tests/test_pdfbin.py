@@ -771,7 +771,7 @@ def test_embedded_files_roundtrip(kw):
     from tika_wrap_spark.core.pdfbin import parse_real_pdf_text_full
 
     wire = build_pdf(PAGES, attachments=_ATTS, **kw).decode("latin-1")
-    pages, _crypt, atts = parse_real_pdf_text_full(wire)
+    pages, _crypt, atts, _an, _ff, _ti = parse_real_pdf_text_full(wire)
     assert pages == parse_real_pdf_pages(build_pdf(PAGES, **kw))
     # name-tree keys are lexically ordered
     assert [n for n, _ in atts] == ["notes.txt", "table.csv"] or [
@@ -810,5 +810,63 @@ def test_malformed_filespec_degrades_not_raises():
     start = data.find(b"stream\n", idx) + 7
     bad = bytearray(data)
     bad[start : start + 4] = b"\x00\x00\x00\x00"
-    pages, _c, atts = parse_real_pdf_text_full(bytes(bad).decode("latin-1"))
+    pages, _c, atts, _an, _ff, _ti = parse_real_pdf_text_full(bytes(bad).decode("latin-1"))
     assert pages and len(atts) == 1
+
+
+# ---------------------------------------------------------------------------
+# /Annots, /AcroForm, XMP /Metadata (late r5): the beyond-page-text
+# surfaces Tika's PDFParser emits
+# ---------------------------------------------------------------------------
+
+_EXTRAS = dict(
+    annotations=[(0, "margin note one"), (0, "second note")],
+    form_fields=[("author", "Ana"), ("status", "approved")],
+    xmp_title="Quarterly <Report> & Summary",
+)
+
+
+@pytest.mark.parametrize(
+    "kw", [{}, {"encrypt": "rc4-128"}, {"encrypt": "aes-256"}, {"xref_stream": True}],
+    ids=str,
+)
+def test_annots_fields_xmp_roundtrip(kw):
+    from tika_wrap_spark.core.pdfbin import parse_real_pdf_text_full
+
+    wire = build_pdf(PAGES, **_EXTRAS, **kw).decode("latin-1")
+    pages, _c, _atts, annots, fields, title = parse_real_pdf_text_full(wire)
+    assert pages == parse_real_pdf_pages(build_pdf(PAGES, **kw))
+    assert annots == ["margin note one", "second note"]
+    assert fields == [("author", "Ana"), ("status", "approved")]
+    assert title == "Quarterly <Report> & Summary"  # entity roundtrip
+
+
+def test_annotations_are_page_ordered():
+    from tika_wrap_spark.core.pdfbin import parse_real_pdf_text_full
+
+    two = [[(72.0, 700.0, "p1")], [(72.0, 700.0, "p2")]]
+    wire = build_pdf(
+        two, annotations=[(1, "on page two"), (0, "on page one")]
+    ).decode("latin-1")
+    assert parse_real_pdf_text_full(wire)[3] == ["on page one", "on page two"]
+
+
+def test_extras_through_extraction_policy():
+    pdf = build_pdf(PAGES, **_EXTRAS).decode("latin-1")
+    res = extract_document([{"kind": "pdf", "text": pdf, "media_ref": "", "offset": 0}])
+    assert res["parse_ok"]
+    assert res["meta"]["pdf_title"] == "Quarterly <Report> & Summary"
+    texts = [s["text"] for s in res["spans"]]
+    # fixed emission order: pages, annotation notes, the form block
+    assert texts[-3:] == [
+        "margin note one",
+        "second note",
+        "author: Ana\nstatus: approved",
+    ]
+
+
+def test_extras_absent_changes_nothing():
+    pdf = build_pdf(PAGES).decode("latin-1")
+    res = extract_document([{"kind": "pdf", "text": pdf, "media_ref": "", "offset": 0}])
+    assert res["meta"]["pdf_title"] == ""
+    assert res["meta"]["container_format"] == ""

@@ -146,6 +146,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     title = ""  # first non-empty <title> across html payloads
     pdf1_dims: tuple[float, float] | None = None  # first pdf's first page
     pdf_crypt = ""  # first encrypted pdf's crypt method (rc4/aesv2/aesv3)
+    pdf_title = ""  # first XMP /Metadata dc:title (Tika dc:title analog)
     media1_dims: tuple[int, int] | None = None  # first parseable image's w,h
     media1_exif: dict[str, str] = {}  # first image member's EXIF (JPEG APP1)
     container_format = ""  # 'ooxml' if any archive carries the marker member
@@ -168,7 +169,8 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         parse embedded content", /root/reference/README.md:25; zip smoke
         inputs at example/demo1.cpp:48-49)."""
         nonlocal n_pages, n_blocks, n_media, n_containers, n_entries
-        nonlocal depth_max, title, pdf1_dims, pdf_crypt, media1_dims, container_format
+        nonlocal depth_max, title, pdf1_dims, pdf_crypt, pdf_title
+        nonlocal media1_dims, container_format
         nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
@@ -210,10 +212,16 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             # operators); the synthetic fixtures dialect has no startxref
             # and keeps its strict line parser
             attachments: list[tuple[str, str]] = []
+            annots: list[str] = []
+            fields: list[tuple[str, str]] = []
             if is_real_pdf_text(text):
-                pages, crypt, attachments = parse_real_pdf_text_full(text)
+                pages, crypt, attachments, annots, fields, xmp = (
+                    parse_real_pdf_text_full(text)
+                )
                 if crypt and not pdf_crypt:
                     pdf_crypt = crypt
+                if xmp and not pdf_title:
+                    pdf_title = xmp
             else:
                 pages = parse_pdf_pages(text)
             if pdf1_dims is None:
@@ -221,6 +229,17 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             for page in pages_to_texts(pages):
                 n_pages += 1
                 emit(KIND_TEXT, page, "")
+            # beyond-page-text surfaces, in a fixed order after the pages
+            # (Tika's PDFParser shape): annotation notes, then the filled
+            # form as one name: value block
+            for note in annots:
+                emit(KIND_TEXT, note, "")
+            if fields:
+                emit(
+                    KIND_TEXT,
+                    "\n".join("%s: %s" % (k, v) for k, v in fields),
+                    "",
+                )
             if attachments:
                 # /EmbeddedFiles: a PDF with attachments is one more
                 # container kind — each payload re-sniffs and recurses
@@ -356,6 +375,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "container_format": container_format,
         "html_title": title,
         "pdf_crypt": pdf_crypt,
+        "pdf_title": pdf_title,
         "pdf_page1_w": "" if pdf1_dims is None else "%.1f" % pdf1_dims[0],
         "pdf_page1_h": "" if pdf1_dims is None else "%.1f" % pdf1_dims[1],
         "media1_w": "" if media1_dims is None else _stringify(media1_dims[0]),

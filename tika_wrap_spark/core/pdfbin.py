@@ -1095,6 +1095,87 @@ class RealPdf:
             parts.append(decode_stream(sdict, raw, self.resolve))
         return b"\n".join(parts)
 
+    @staticmethod
+    def _text_string(b: object) -> str:
+        """PDF text string: UTF-16BE with BOM, else PDFDocEncoding
+        (approximated by cp1252 — the builder's encoding)."""
+        if not isinstance(b, bytes):
+            return b if isinstance(b, str) else ""
+        if b.startswith(b"\xfe\xff"):
+            return b[2:].decode("utf-16-be", "replace")
+        return b.decode("cp1252", "replace")
+
+    def annotations_text(self, page: dict) -> list[str]:
+        """Non-empty /Contents strings of the page's /Annots (PDF 32000-1
+        §12.5; Tika's PDFParser extracts annotation text with the page).
+        Malformed annotation entries degrade to fewer strings."""
+        annots = self.resolve(page.get("Annots"))
+        out: list[str] = []
+        if not isinstance(annots, list):
+            return out
+        for a in annots[:256]:
+            a = self.resolve(a)
+            if not isinstance(a, dict):
+                continue
+            text = self._text_string(self.resolve(a.get("Contents")))
+            if text:
+                out.append(text)
+        return out
+
+    def acroform_fields(self) -> list[tuple[str, str]]:
+        """(/T name, /V value) pairs from the interactive form's field
+        tree (PDF 32000-1 §12.7; Tika surfaces filled form values).
+        Terminal-field /Kids recurse with dotted partial names; /V name
+        objects (checkbox states) stringify. Depth/count-guarded."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            return []
+        acro = self.resolve(root.get("AcroForm"))
+        if not isinstance(acro, dict):
+            return []
+        out: list[tuple[str, str]] = []
+
+        def walk(fields: object, prefix: str, depth: int) -> None:
+            if depth > 8 or not isinstance(fields, list):
+                return
+            for f in fields[:256]:
+                f = self.resolve(f)
+                if not isinstance(f, dict):
+                    continue
+                part = self._text_string(self.resolve(f.get("T")))
+                name = "%s.%s" % (prefix, part) if prefix and part else (part or prefix)
+                v = self.resolve(f.get("V"))
+                if v is not None:
+                    out.append((name, self._text_string(v) if not isinstance(v, Name) else str(v)))
+                walk(self.resolve(f.get("Kids")), name, depth + 1)
+
+        walk(self.resolve(acro.get("Fields")), "", 0)
+        return out
+
+    def xmp_title(self) -> str:
+        """dc:title from the catalog's XMP /Metadata stream (ISO 16684-1
+        packet; Tika maps it to dc:title). '' when absent/unparseable."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            return ""
+        meta = self.resolve(root.get("Metadata"))
+        if not (isinstance(meta, tuple) and len(meta) == 2):
+            return ""
+        try:
+            xml = decode_stream(meta[0], meta[1], self.resolve)
+        except ExtractError:
+            return ""
+        m = re.search(
+            rb"<dc:title>.*?<rdf:li[^>]*>(.*?)</rdf:li>", xml, re.S
+        )
+        if not m:
+            return ""
+        raw = m.group(1).decode("utf-8", "replace").strip()
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&amp;", "&")):
+            raw = raw.replace(ent, ch)
+        return raw
+
     def embedded_files(self) -> list[tuple[str, bytes]]:
         """Attachments from the catalog's /Names /EmbeddedFiles name tree
         (PDF 32000-1 §7.7.4 name dictionary, §7.11.4 embedded file
@@ -1837,25 +1918,44 @@ def parse_real_pdf_pages_text_crypt(
 
 def parse_real_pdf_text_full(
     text: str,
-) -> tuple[list[list[tuple[float, float, str]]], str, list[tuple[str, str]]]:
-    """Bytes-as-text bridge returning (pages, crypt_method, attachments)
-    where attachments are the /EmbeddedFiles payloads as latin-1
-    bytes-as-text — the shape the extraction core recurses like archive
-    members."""
+) -> tuple[
+    list[list[tuple[float, float, str]]],
+    str,
+    list[tuple[str, str]],
+    list[str],
+    list[tuple[str, str]],
+    str,
+]:
+    """Bytes-as-text bridge returning
+    (pages, crypt_method, attachments, annotations, form_fields, xmp_title):
+    attachments are the /EmbeddedFiles payloads as latin-1 bytes-as-text
+    (the shape the extraction core recurses like archive members),
+    annotations the page-ordered /Annots /Contents strings, form_fields
+    the filled /AcroForm (/T, /V) pairs, xmp_title the /Metadata
+    dc:title — the beyond-page-text surfaces Tika's PDFParser emits."""
     try:
         data = text.encode("latin-1")
     except UnicodeEncodeError:
         raise ExtractError("pdf: payload is not a byte stream (non-latin-1 chars)")
     doc = RealPdf(data)
     pages: list[list[tuple[float, float, str]]] = []
+    annots: list[str] = []
     for page in doc.pages():
         fonts = doc.page_fonts(page)
         content = doc.page_content(page)
         pages.append(_assemble_lines(_content_runs(content, fonts)))
+        annots.extend(doc.annotations_text(page))
     attachments = [
         (name, body.decode("latin-1")) for name, body in doc.embedded_files()
     ]
-    return pages, doc._enc_cfm or "", attachments
+    return (
+        pages,
+        doc._enc_cfm or "",
+        attachments,
+        annots,
+        doc.acroform_fields(),
+        doc.xmp_title(),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1949,6 +2049,9 @@ def build_pdf(
     encrypt_stmf_identity: bool = False,
     content_filter: str | None = None,
     attachments: list[tuple[str, bytes]] | None = None,
+    annotations: list[tuple[int, str]] | None = None,
+    form_fields: list[tuple[str, str]] | None = None,
+    xmp_title: str | None = None,
 ) -> bytes:
     """Build a real, deterministic, parser-valid PDF from (x, y, text) runs.
 
@@ -2087,12 +2190,31 @@ def build_pdf(
             for ch, c in ((ch, code_of[ch]) for ch in text)
         )
 
+    # object-number plan past the fixed 1/2/3 + per-page pairs (+ cid
+    # objects): attachments claim 2n+1, then annotations, form fields,
+    # XMP metadata — precomputed so page dicts can reference their
+    # /Annots before those objects are emitted
+    next_free = 4 + 2 * n_pages
+    if cid:
+        next_free += 2 if cid_tounicode else 1
+    if attachments:
+        next_free += 2 * len(attachments) + 1
+    ann_base = next_free
+    annotations = annotations or []
+
     for i, runs in enumerate(pages):
         page_num = 4 + 2 * i
         cont_num = page_num + 1
+        ann_refs = " ".join(
+            "%d 0 R" % (ann_base + k)
+            for k, (pi, _t) in enumerate(annotations)
+            if pi == i
+        )
+        annots_part = " /Annots [%s]" % ann_refs if ann_refs else ""
         objects[page_num] = (
             "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            "/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % cont_num
+            "/Resources << /Font << /F1 3 0 R >> >>%s /Contents %d 0 R >>"
+            % (annots_part, cont_num)
         ).encode("ascii")
         lines = [b"BT", b"/F1 12 Tf"]
         for x, y, text in runs:
@@ -2156,6 +2278,7 @@ def build_pdf(
                 b"<< /Length %d >>\nstream\n%s\nendstream" % (len(body), body)
             )
 
+    catalog_extra: list[bytes] = []
     if attachments:
         # /Names /EmbeddedFiles name tree: one /EmbeddedFile stream + one
         # /Filespec per attachment, keys in lexical order (name-tree
@@ -2189,9 +2312,54 @@ def build_pdf(
         objects[tree_num] = b"<< /Names [%s] >>" % b" ".join(
             b"%s %d 0 R" % (enc_str(tree_num, rn), sn) for rn, sn in pair_refs
         )
+        catalog_extra.append(b" /Names << /EmbeddedFiles %d 0 R >>" % tree_num)
+
+    for k, (_pi, text) in enumerate(annotations):
+        num = ann_base + k
+        assert num == max(objects) + 1  # the precomputed plan holds
+        objects[num] = (
+            b"<< /Type /Annot /Subtype /Text /Rect [36 36 72 72]"
+            b" /Contents %s >>" % enc_str(num, text.encode("cp1252", "replace"))
+        )
+    if form_fields:
+        field_nums = []
+        for name, value in form_fields:
+            num = max(objects) + 1
+            field_nums.append(num)
+            objects[num] = (
+                b"<< /FT /Tx /T %s /V %s >>"
+                % (
+                    enc_str(num, name.encode("cp1252", "replace")),
+                    enc_str(num, value.encode("cp1252", "replace")),
+                )
+            )
+        catalog_extra.append(
+            b" /AcroForm << /Fields [%s] >>"
+            % b" ".join(b"%d 0 R" % n for n in field_nums)
+        )
+    if xmp_title is not None:
+        num = max(objects) + 1
+        esc = xmp_title
+        for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+            esc = esc.replace(ch, ent)
+        packet = (
+            '<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+            '<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF'
+            ' xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+            '<rdf:Description xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            "<dc:title><rdf:Alt><rdf:li xml:lang=\"x-default\">%s</rdf:li>"
+            "</rdf:Alt></dc:title></rdf:Description></rdf:RDF></x:xmpmeta>\n"
+            '<?xpacket end="w"?>' % esc
+        ).encode("utf-8")
+        body = enc_stream(num, packet)
+        objects[num] = (
+            b"<< /Type /Metadata /Subtype /XML /Length %d >>\nstream\n%s\nendstream"
+            % (len(body), body)
+        )
+        catalog_extra.append(b" /Metadata %d 0 R" % num)
+    if catalog_extra:
         objects[1] = (
-            b"<< /Type /Catalog /Pages 2 0 R"
-            b" /Names << /EmbeddedFiles %d 0 R >> >>" % tree_num
+            b"<< /Type /Catalog /Pages 2 0 R%s >>" % b"".join(catalog_extra)
         )
 
     trailer_extra = b""

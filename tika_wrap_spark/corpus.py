@@ -248,7 +248,23 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
         )
         return build_pdf_text(pages, flate=False, tj_arrays=True, content_filter=cf)
     if form < 0.84:
-        return build_pdf_text(pages, use_tm=True, encrypt="rc4-40" if form < 0.77 else None)
+        # [0.79, 0.84): annotation + AcroForm + (half) XMP-title extras,
+        # content derived from the drawn runs / form digits — no new draws
+        extras: dict = {}
+        if form >= 0.79:
+            first = sorted(pages[0], key=lambda r: (-r[1], r[0]))[:2]
+            extras = {
+                "annotations": [(0, "Reviewed: " + first[0][2])],
+                "form_fields": [
+                    ("reviewer", first[-1][2].split()[0]),
+                    ("status", "approved" if int(form * 1e5) & 1 else "draft"),
+                ],
+            }
+            if int(form * 1e4) & 1:
+                extras["xmp_title"] = first[0][2].rstrip(".")
+        return build_pdf_text(
+            pages, use_tm=True, encrypt="rc4-40" if form < 0.77 else None, **extras
+        )
     if form < 0.92:
         return build_pdf_text(pages, xref_stream=True, tj_arrays=True)
     # CID slice: splice non-Latin words into the page text so the Type0
