@@ -690,6 +690,157 @@ JOIN sizes sb ON sb.source = inter.source_b
 """
 
 
+def q_lexical_diversity(spark, d):
+    """Within-document lexical diversity (late r5): per-doc Simpson
+    concentration over the token distribution — sum(c_i^2)/n^2, the
+    collision probability of drawing the same type twice — quantized to
+    thousandths, then aggregated per (source, lang). A doc of one repeated
+    token scores 1000; natural prose scores low. This is the within-doc
+    complement to `text_repetition`'s max-token share (Simpson weighs the
+    WHOLE distribution, not just the mode) and the standard "effective
+    vocabulary" diagnostic curators read next to [[zipf_profile]].
+    Integer-exact at ANY corpus scale: every product is per-doc (n and
+    c_i are bounded by document length, never corpus size), and the
+    rollup sums quantized per-doc scores. Scale shape: two
+    partial-aggregable shuffles (doc grain, then source grain) — linear,
+    no joins, no windows."""
+    docs = _t(spark, d, "documents")
+    toks = (
+        dd.normalized(docs)
+        .select("doc_id", "source", "lang", F.explode(F.split("norm", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    per_tok = toks.groupBy("doc_id", "source", "lang", "tok").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = (
+        per_tok.groupBy("doc_id", "source", "lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_toks"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_c2"),
+        )
+        .withColumn(
+            "simpson_q",
+            F.expr("(1000 * sum_c2) div (n_toks * n_toks)").cast("long"),
+        )
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(simpson_q) div count(*)").cast("long").alias("mean_simpson_q"),
+        F.min("simpson_q").cast("long").alias("min_simpson_q"),
+        F.max("simpson_q").cast("long").alias("max_simpson_q"),
+    )
+
+
+SQL_LEXICAL_DIVERSITY = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang, tok
+  FROM (SELECT doc_id, source, lang,
+               unnest(str_split({_NORM_DUCK}, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+), per_tok AS (
+  SELECT doc_id, source, lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2, 3, 4
+), per_doc AS (
+  SELECT doc_id, source, lang,
+         CAST(sum(cnt) AS BIGINT) AS n_toks,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sum_c2
+  FROM per_tok GROUP BY 1, 2, 3
+), pd AS (
+  SELECT source, lang, (1000 * sum_c2) // (n_toks * n_toks) AS simpson_q
+  FROM per_doc
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(simpson_q) // count(*) AS BIGINT) AS mean_simpson_q,
+       CAST(min(simpson_q) AS BIGINT) AS min_simpson_q,
+       CAST(max(simpson_q) AS BIGINT) AS max_simpson_q
+FROM pd GROUP BY 1, 2
+"""
+
+
+LEN_BIN = 64  # doc-length histogram bin width (chars); bins are bounded
+# by max document length / LEN_BIN — a constant, never corpus-sized
+
+
+def q_length_drift(spark, d):
+    """Per-source document-length drift (late r5): the Kolmogorov-Smirnov
+    distance between each source's n_chars distribution and the GLOBAL
+    one, computed on a LEN_BIN-char histogram — the distribution-shift
+    alarm a pipeline owner reads when a crawl slice suddenly ships
+    truncated or concatenated pages. Integer-exact KS: CDF shares are
+    quantized to millionths by integer division BEFORE the max-abs-diff,
+    so both engines agree bit-for-bit and no product exceeds 10^6 x
+    corpus-count (long-safe to ~9e12 docs). Scale shape: one
+    partial-aggregable (source, bin) count, a sources-x-bins grid join
+    (both DIMENSIONS, broadcast-sized), per-source cumulative windows
+    whose state is the bounded bin count, and one global-bin window over
+    #bins rows (the pack_sequences mid-bucket precedent) — never a
+    corpus-sized single partition."""
+    docs = _t(spark, d, "documents").select(
+        "source", F.expr(f"n_chars div {LEN_BIN}").alias("bin")
+    )
+    per = docs.groupBy("source", "bin").agg(F.count("*").alias("cnt"))
+    grid = per.select("source").distinct().crossJoin(per.select("bin").distinct())
+    filled = grid.join(per, ["source", "bin"], "left").fillna(0, subset=["cnt"])
+    w_s = Window.partitionBy("source").orderBy("bin")
+    cum = filled.withColumn("cum_s", F.sum("cnt").over(w_s))
+    tot = per.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_docs"))
+    gper = per.groupBy("bin").agg(F.sum("cnt").alias("gcnt"))
+    w_g = Window.orderBy("bin")  # single partition over #bins rows — bounded
+    gcum = gper.withColumn("cum_g", F.sum("gcnt").over(w_g)).select("bin", "cum_g")
+    gtot = per.agg(F.sum("cnt").cast("long").alias("n_total"))
+    joined = (
+        cum.join(gcum, "bin")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(gtot))
+        .withColumn(
+            "diff_q",
+            F.abs(
+                F.expr("(1000000 * cum_s) div n_docs")
+                - F.expr("(1000000 * cum_g) div n_total")
+            ),
+        )
+    )
+    return joined.groupBy("source", "n_docs").agg(
+        F.max("diff_q").cast("long").alias("ks_q")
+    )
+
+
+SQL_LENGTH_DRIFT = f"""
+WITH b AS (
+  SELECT source, n_chars // {LEN_BIN} AS bin FROM documents
+), per AS (
+  SELECT source, bin, count(*) AS cnt FROM b GROUP BY 1, 2
+), grid AS (
+  SELECT s.source, x.bin
+  FROM (SELECT DISTINCT source FROM per) s
+  CROSS JOIN (SELECT DISTINCT bin FROM per) x
+), filled AS (
+  SELECT g.source, g.bin, coalesce(p.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN per p ON g.source = p.source AND g.bin = p.bin
+), cum AS (
+  SELECT source, bin,
+         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum_s
+  FROM filled
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1
+), gcum AS (
+  SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum_g
+  FROM (SELECT bin, count(*) AS cnt FROM b GROUP BY 1)
+), gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM b
+)
+SELECT c.source, t.n_docs,
+       CAST(max(abs((1000000 * c.cum_s) // t.n_docs
+                  - (1000000 * g.cum_g) // gt.n_total)) AS BIGINT) AS ks_q
+FROM cum c
+JOIN gcum g ON c.bin = g.bin
+JOIN tot t ON c.source = t.source
+CROSS JOIN gtot gt
+GROUP BY 1, 2
+"""
+
+
 SPLIT_TEST_4096 = 410  # ~10% held-out test split
 CLUSTER_JQ_MIN = 500  # verified-pair threshold shared by clusters/keep-best/leakage
 

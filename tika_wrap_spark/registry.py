@@ -23,6 +23,8 @@ from tika_wrap_spark import queries_training as qt
 
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
+    "lexical_diversity": (qt.q_lexical_diversity, qt.SQL_LEXICAL_DIVERSITY),
+    "length_drift": (qt.q_length_drift, qt.SQL_LENGTH_DRIFT),
     "zipf_profile": (qt.q_zipf_profile, qt.SQL_ZIPF_PROFILE),
     "tokenizer_fertility": (qt.q_tokenizer_fertility, qt.SQL_TOKENIZER_FERTILITY),
     "source_vocab_overlap": (qt.q_source_vocab_overlap, qt.SQL_SOURCE_VOCAB_OVERLAP),
