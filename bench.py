@@ -87,6 +87,8 @@ HEADLINE = [
     "zipf_profile",
     "tokenizer_fertility",
     "source_vocab_overlap",
+    "lexical_diversity",
+    "length_drift",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,
