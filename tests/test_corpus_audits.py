@@ -1,0 +1,121 @@
+"""Hand-computed fixtures for the final-r5 corpus audits
+(`lexical_diversity`, `length_drift`) plus their scale-shape plan pins.
+
+Correctness vs DuckDB is covered by tools/selfcheck.py; these tests pin
+the MATH on inputs small enough to verify by hand, and the plan
+properties that matter at 100 TB (no per-row python; the only
+unpartitioned window in length_drift sees the bounded global-bin table,
+never the corpus)."""
+
+from __future__ import annotations
+
+from tika_wrap_spark import plans
+from tika_wrap_spark import queries_training as qt
+
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+
+
+def _docs_dir(spark, tmp_path, rows):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(rows)],
+        _SCHEMA,
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_lexical_diversity_hand_computed(spark, tmp_path):
+    # source A: "spam spam spam spam" -> counts {spam:4}, n=4,
+    #   simpson = 16/16 = 1.0 -> 1000
+    # source A: "a b c d" -> 4 singletons, simpson = 4/16 -> 250
+    # source B: "x x y" -> {2,1}, simpson = 5/9 -> floor(5000/9)=555
+    d = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            ("spam spam spam spam", "en", "A"),
+            ("a b c d", "en", "A"),
+            ("x x y", "en", "B"),
+        ],
+    )
+    got = {
+        (r["source"], r["lang"]): r
+        for r in qt.q_lexical_diversity(spark, d).collect()
+    }
+    a = got[("A", "en")]
+    assert (a["n_docs"], a["min_simpson_q"], a["max_simpson_q"]) == (2, 250, 1000)
+    assert a["mean_simpson_q"] == (250 + 1000) // 2
+    b = got[("B", "en")]
+    assert (b["n_docs"], b["mean_simpson_q"]) == (1, 555)
+
+
+def test_lexical_diversity_ignores_whitespace_runs(spark, tmp_path):
+    # normalization collapses whitespace: "  a   a  " is two tokens of one
+    # type -> simpson 1000, not a phantom empty-token type
+    d = _docs_dir(spark, tmp_path, [("  a   a  ", "en", "A")])
+    (row,) = qt.q_lexical_diversity(spark, d).collect()
+    assert row["mean_simpson_q"] == 1000
+
+
+def test_length_drift_identical_source_scores_zero(spark, tmp_path):
+    # one source IS the global distribution -> KS = 0 at every bin edge
+    d = _docs_dir(
+        spark,
+        tmp_path,
+        [("x" * 10, "en", "A"), ("y" * 200, "en", "A"), ("z" * 400, "en", "A")],
+    )
+    (row,) = qt.q_length_drift(spark, d).collect()
+    assert (row["source"], row["n_docs"], row["ks_q"]) == ("A", 3, 0)
+
+
+def test_length_drift_separated_sources_hand_computed(spark, tmp_path):
+    # A: all short (bin 0), B: all long (bin 6). Global CDF at bin 0 is
+    # 2/4; A's CDF there is 1.0 -> KS = |1000000 - 500000| = 500000 for
+    # both sources (KS is symmetric here: B has 0 vs 500000 at bin 0).
+    d = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            ("s" * 10, "en", "A"),
+            ("s" * 12, "en", "A"),
+            ("l" * 400, "en", "B"),
+            ("l" * 410, "en", "B"),
+        ],
+    )
+    got = {r["source"]: r["ks_q"] for r in qt.q_length_drift(spark, d).collect()}
+    assert got == {"A": 500000, "B": 500000}
+
+
+def test_length_drift_scale_shape(spark, tmp_path):
+    """Scale-shape pins: the corpus is scanned ONCE and reduced to
+    (source, bin) grain by a partial-aggregable HashAggregate before any
+    window or join; every window input is therefore bounded by the bin
+    dimension (max-doc-length/LEN_BIN), never corpus-sized — the
+    pack_sequences mid-bucket rule. And the math holds when a source is
+    MISSING a bin entirely (the grid fill): A has docs only in bin 0,
+    global mass extends to bin 6."""
+    sf = "/root/testdata/sf0.001"
+    plan = plans.formatted_plan(qt.q_length_drift(spark, sf))
+    assert "BatchEvalPython" not in plan
+    # one corpus scan; the dimension-grid/cumulative stages reuse the
+    # (source, bin) aggregate, never re-reading documents
+    assert plan.count("documents.parquet") == 1, plan
+    # the corpus-grain reduction is partial+final (map-side combine)
+    assert plan.count("HashAggregate") >= 2, plan
+
+    # grid-fill correctness: a bin with zero docs for a source still
+    # contributes that source's (flat) CDF to the max-diff
+    d = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            ("s" * 10, "en", "A"),
+            ("m" * 200, "en", "B"),
+            ("l" * 400, "en", "B"),
+        ],
+    )
+    got = {r["source"]: r["ks_q"] for r in qt.q_length_drift(spark, d).collect()}
+    # global CDF: bin0=1/3, bin3=2/3, bin6=3/3 (millionths: 333333/666666)
+    # A (all in bin0): CDF 1.0 everywhere -> max diff at bin0 = 666667
+    # B: CDF 0, 1/2, 1 -> diff at bin0 = 333333, bin3 = |500000-666666|
+    assert got == {"A": 1000000 - 333333, "B": 333333}

@@ -770,39 +770,53 @@ def q_length_drift(spark, d):
     truncated or concatenated pages. Integer-exact KS: CDF shares are
     quantized to millionths by integer division BEFORE the max-abs-diff,
     so both engines agree bit-for-bit and no product exceeds 10^6 x
-    corpus-count (long-safe to ~9e12 docs). Scale shape: one
-    partial-aggregable (source, bin) count, a sources-x-bins grid join
-    (both DIMENSIONS, broadcast-sized), per-source cumulative windows
-    whose state is the bounded bin count, and one global-bin window over
-    #bins rows (the pack_sequences mid-bucket precedent) — never a
-    corpus-sized single partition."""
+    corpus-count (long-safe to ~9e12 docs).
+
+    Exactness without a sources-x-bins grid: the sup of |F_s - F| over a
+    step function is attained at a jump of EITHER CDF, and between two
+    consecutive source jumps F_s is constant while F is monotone — so per
+    (source, bin) row it suffices to score d1 AT the source's jump
+    (F evaluated at the bin) and d2 just BEFORE it (F minus the bin's own
+    global mass, F_s minus the row's count; d2 at the first source bin
+    also covers the interval before the source's first mass). Quantized
+    shares stay monotone in the cumulative counts, so the endpoint max
+    equals the all-bins max bit-for-bit.
+
+    Scale shape: ONE corpus scan reduced by one partial-aggregable
+    (source, bin) count; every window runs over that dimension-sized
+    table (per-source partitions, per-bin partitions, and two
+    unpartitioned windows whose single partition holds sources x bins
+    rows — bounded by format dimensions, never corpus-sized: the
+    pack_sequences mid-bucket precedent); one final groupBy."""
     docs = _t(spark, d, "documents").select(
         "source", F.expr(f"n_chars div {LEN_BIN}").alias("bin")
     )
     per = docs.groupBy("source", "bin").agg(F.count("*").alias("cnt"))
-    grid = per.select("source").distinct().crossJoin(per.select("bin").distinct())
-    filled = grid.join(per, ["source", "bin"], "left").fillna(0, subset=["cnt"])
     w_s = Window.partitionBy("source").orderBy("bin")
-    cum = filled.withColumn("cum_s", F.sum("cnt").over(w_s))
-    tot = per.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_docs"))
-    gper = per.groupBy("bin").agg(F.sum("cnt").alias("gcnt"))
-    w_g = Window.orderBy("bin")  # single partition over #bins rows — bounded
-    gcum = gper.withColumn("cum_g", F.sum("gcnt").over(w_g)).select("bin", "cum_g")
-    gtot = per.agg(F.sum("cnt").cast("long").alias("n_total"))
-    joined = (
-        cum.join(gcum, "bin")
-        .join(F.broadcast(tot), "source")
-        .crossJoin(F.broadcast(gtot))
+    w_g = Window.orderBy("bin")  # RANGE default: same-bin peers included
+    scored = (
+        per.withColumn("cum_s", F.sum("cnt").over(w_s))
+        .withColumn("gcum", F.sum("cnt").over(w_g))
+        .withColumn("gmass", F.sum("cnt").over(Window.partitionBy("bin")))
+        .withColumn("n_docs", F.sum("cnt").over(Window.partitionBy("source")))
+        .withColumn("n_total", F.sum("cnt").over(Window.partitionBy()))
         .withColumn(
-            "diff_q",
+            "d1",
             F.abs(
                 F.expr("(1000000 * cum_s) div n_docs")
-                - F.expr("(1000000 * cum_g) div n_total")
+                - F.expr("(1000000 * gcum) div n_total")
+            ),
+        )
+        .withColumn(
+            "d2",
+            F.abs(
+                F.expr("(1000000 * (cum_s - cnt)) div n_docs")
+                - F.expr("(1000000 * (gcum - gmass)) div n_total")
             ),
         )
     )
-    return joined.groupBy("source", "n_docs").agg(
-        F.max("diff_q").cast("long").alias("ks_q")
+    return scored.groupBy("source", F.col("n_docs").cast("long").alias("n_docs")).agg(
+        F.greatest(F.max("d1"), F.max("d2")).cast("long").alias("ks_q")
     )
 
 
@@ -811,33 +825,22 @@ WITH b AS (
   SELECT source, n_chars // {LEN_BIN} AS bin FROM documents
 ), per AS (
   SELECT source, bin, count(*) AS cnt FROM b GROUP BY 1, 2
-), grid AS (
-  SELECT s.source, x.bin
-  FROM (SELECT DISTINCT source FROM per) s
-  CROSS JOIN (SELECT DISTINCT bin FROM per) x
-), filled AS (
-  SELECT g.source, g.bin, coalesce(p.cnt, 0) AS cnt
-  FROM grid g LEFT JOIN per p ON g.source = p.source AND g.bin = p.bin
-), cum AS (
-  SELECT source, bin,
-         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum_s
-  FROM filled
-), tot AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1
-), gcum AS (
-  SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum_g
-  FROM (SELECT bin, count(*) AS cnt FROM b GROUP BY 1)
-), gtot AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_total FROM b
+), scored AS (
+  SELECT source, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum_s,
+         CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS gcum,
+         CAST(sum(cnt) OVER (PARTITION BY bin) AS BIGINT) AS gmass,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+  FROM per
 )
-SELECT c.source, t.n_docs,
-       CAST(max(abs((1000000 * c.cum_s) // t.n_docs
-                  - (1000000 * g.cum_g) // gt.n_total)) AS BIGINT) AS ks_q
-FROM cum c
-JOIN gcum g ON c.bin = g.bin
-JOIN tot t ON c.source = t.source
-CROSS JOIN gtot gt
-GROUP BY 1, 2
+SELECT source, n_docs,
+       CAST(greatest(
+         max(abs((1000000 * cum_s) // n_docs - (1000000 * gcum) // n_total)),
+         max(abs((1000000 * (cum_s - cnt)) // n_docs
+               - (1000000 * (gcum - gmass)) // n_total))
+       ) AS BIGINT) AS ks_q
+FROM scored GROUP BY 1, 2
 """
 
 
