@@ -771,7 +771,7 @@ def test_embedded_files_roundtrip(kw):
     from tika_wrap_spark.core.pdfbin import parse_real_pdf_text_full
 
     wire = build_pdf(PAGES, attachments=_ATTS, **kw).decode("latin-1")
-    pages, _crypt, atts, _an, _ff, _ti = parse_real_pdf_text_full(wire)
+    pages, _crypt, atts, _an, _ff, _ti, _toc = parse_real_pdf_text_full(wire)
     assert pages == parse_real_pdf_pages(build_pdf(PAGES, **kw))
     # name-tree keys are lexically ordered
     assert [n for n, _ in atts] == ["notes.txt", "table.csv"] or [
@@ -810,7 +810,7 @@ def test_malformed_filespec_degrades_not_raises():
     start = data.find(b"stream\n", idx) + 7
     bad = bytearray(data)
     bad[start : start + 4] = b"\x00\x00\x00\x00"
-    pages, _c, atts, _an, _ff, _ti = parse_real_pdf_text_full(bytes(bad).decode("latin-1"))
+    pages, _c, atts, _an, _ff, _ti, _toc = parse_real_pdf_text_full(bytes(bad).decode("latin-1"))
     assert pages and len(atts) == 1
 
 
@@ -823,6 +823,7 @@ _EXTRAS = dict(
     annotations=[(0, "margin note one"), (0, "second note")],
     form_fields=[("author", "Ana"), ("status", "approved")],
     xmp_title="Quarterly <Report> & Summary",
+    outlines=[(0, "Intro"), (1, "Scope"), (0, "Body")],
 )
 
 
@@ -834,11 +835,12 @@ def test_annots_fields_xmp_roundtrip(kw):
     from tika_wrap_spark.core.pdfbin import parse_real_pdf_text_full
 
     wire = build_pdf(PAGES, **_EXTRAS, **kw).decode("latin-1")
-    pages, _c, _atts, annots, fields, title = parse_real_pdf_text_full(wire)
+    pages, _c, _atts, annots, fields, title, toc = parse_real_pdf_text_full(wire)
     assert pages == parse_real_pdf_pages(build_pdf(PAGES, **kw))
     assert annots == ["margin note one", "second note"]
     assert fields == [("author", "Ana"), ("status", "approved")]
     assert title == "Quarterly <Report> & Summary"  # entity roundtrip
+    assert toc == ["Intro", "Scope", "Body"]  # pre-order: child after parent
 
 
 def test_annotations_are_page_ordered():
@@ -856,7 +858,10 @@ def test_extras_through_extraction_policy():
     res = extract_document([{"kind": "pdf", "text": pdf, "media_ref": "", "offset": 0}])
     assert res["parse_ok"]
     assert res["meta"]["pdf_title"] == "Quarterly <Report> & Summary"
+    # bookmarks are structure metadata (Tika shape), never body spans
+    assert res["meta"]["pdf_outline"] == "Intro / Scope / Body"
     texts = [s["text"] for s in res["spans"]]
+    assert not any("Intro" in t or "Scope" in t for t in texts)
     # fixed emission order: pages, annotation notes, the form block
     assert texts[-3:] == [
         "margin note one",
@@ -869,4 +874,30 @@ def test_extras_absent_changes_nothing():
     pdf = build_pdf(PAGES).decode("latin-1")
     res = extract_document([{"kind": "pdf", "text": pdf, "media_ref": "", "offset": 0}])
     assert res["meta"]["pdf_title"] == ""
+    assert res["meta"]["pdf_outline"] == ""
     assert res["meta"]["container_format"] == ""
+
+
+def test_outline_cycle_guard():
+    """A self-referential /Next chain must degrade to the titles walked
+    before the revisit, never loop or raise (the page text still
+    extracts)."""
+    from tika_wrap_spark.core.pdfbin import RealPdf
+
+    raw = build_pdf([[(72.0, 700.0, "body text")]], outlines=[(0, "A"), (0, "B")])
+    doc = RealPdf(raw)
+    assert doc.outline_titles() == ["A", "B"]
+    # item objects are o_root+1, o_root+2; rewrite A's /Next to itself
+    # (same byte length -> xref offsets stay valid)
+    import re as _re
+
+    m = _re.search(rb"/Title \(A\) /Parent \d+ 0 R /Next (\d+) 0 R", raw)
+    assert m
+    self_num = _re.search(rb"(\d+) 0 obj\n<< /Title \(A\)", raw).group(1)
+    assert len(self_num) == len(m.group(1))
+    looped = raw[: m.start(1)] + self_num + raw[m.end(1):]
+    assert RealPdf(looped).outline_titles() == ["A"]
+    res = extract_document(
+        [{"kind": "pdf", "text": looped.decode("latin-1"), "media_ref": "", "offset": 0}]
+    )
+    assert res["parse_ok"] and res["meta"]["pdf_outline"] == "A"

@@ -147,6 +147,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     pdf1_dims: tuple[float, float] | None = None  # first pdf's first page
     pdf_crypt = ""  # first encrypted pdf's crypt method (rc4/aesv2/aesv3)
     pdf_title = ""  # first XMP /Metadata dc:title (Tika dc:title analog)
+    pdf_outline = ""  # first pdf's bookmark titles, pre-order, ' / '-joined
     media1_dims: tuple[int, int] | None = None  # first parseable image's w,h
     media1_exif: dict[str, str] = {}  # first image member's EXIF (JPEG APP1)
     container_format = ""  # 'ooxml' if any archive carries the marker member
@@ -169,7 +170,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         parse embedded content", /root/reference/README.md:25; zip smoke
         inputs at example/demo1.cpp:48-49)."""
         nonlocal n_pages, n_blocks, n_media, n_containers, n_entries
-        nonlocal depth_max, title, pdf1_dims, pdf_crypt, pdf_title
+        nonlocal depth_max, title, pdf1_dims, pdf_crypt, pdf_title, pdf_outline
         nonlocal media1_dims, container_format
         nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
         if kind in _CHARSET_SNIFF_KINDS:
@@ -215,13 +216,17 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             annots: list[str] = []
             fields: list[tuple[str, str]] = []
             if is_real_pdf_text(text):
-                pages, crypt, attachments, annots, fields, xmp = (
+                pages, crypt, attachments, annots, fields, xmp, toc = (
                     parse_real_pdf_text_full(text)
                 )
                 if crypt and not pdf_crypt:
                     pdf_crypt = crypt
                 if xmp and not pdf_title:
                     pdf_title = xmp
+                if toc and not pdf_outline:
+                    # Tika surfaces bookmarks as document structure
+                    # metadata, not body text — mirror that shape
+                    pdf_outline = " / ".join(toc)
             else:
                 pages = parse_pdf_pages(text)
             if pdf1_dims is None:
@@ -376,6 +381,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "html_title": title,
         "pdf_crypt": pdf_crypt,
         "pdf_title": pdf_title,
+        "pdf_outline": pdf_outline,
         "pdf_page1_w": "" if pdf1_dims is None else "%.1f" % pdf1_dims[0],
         "pdf_page1_h": "" if pdf1_dims is None else "%.1f" % pdf1_dims[1],
         "media1_w": "" if media1_dims is None else _stringify(media1_dims[0]),

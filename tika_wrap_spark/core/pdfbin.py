@@ -1176,6 +1176,41 @@ class RealPdf:
             raw = raw.replace(ent, ch)
         return raw
 
+    def outline_titles(self) -> list[str]:
+        """Pre-order /Title strings of the catalog's document outline
+        (PDF 32000-1 §12.3.3 — the /Outlines /First → /Next sibling
+        chain with /First child recursion; Tika surfaces bookmarks as
+        document metadata). Depth/cycle/count-guarded: a malformed or
+        self-referential chain degrades to fewer titles, never an
+        error."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            return []
+        outlines = self.resolve(root.get("Outlines"))
+        if not isinstance(outlines, dict):
+            return []
+        out: list[str] = []
+        seen: set[int] = set()
+
+        def walk(node_ref: object, depth: int) -> None:
+            while node_ref is not None and depth <= 8 and len(out) < 256:
+                if isinstance(node_ref, Ref):
+                    if node_ref[0] in seen:
+                        return
+                    seen.add(node_ref[0])
+                node = self.resolve(node_ref)
+                if not isinstance(node, dict):
+                    return
+                title = self._text_string(self.resolve(node.get("Title")))
+                if title:
+                    out.append(title)
+                if node.get("First") is not None:
+                    walk(node.get("First"), depth + 1)
+                node_ref = node.get("Next")
+
+        walk(outlines.get("First"), 0)
+        return out
+
     def embedded_files(self) -> list[tuple[str, bytes]]:
         """Attachments from the catalog's /Names /EmbeddedFiles name tree
         (PDF 32000-1 §7.7.4 name dictionary, §7.11.4 embedded file
@@ -1925,14 +1960,17 @@ def parse_real_pdf_text_full(
     list[str],
     list[tuple[str, str]],
     str,
+    list[str],
 ]:
     """Bytes-as-text bridge returning
-    (pages, crypt_method, attachments, annotations, form_fields, xmp_title):
-    attachments are the /EmbeddedFiles payloads as latin-1 bytes-as-text
-    (the shape the extraction core recurses like archive members),
-    annotations the page-ordered /Annots /Contents strings, form_fields
-    the filled /AcroForm (/T, /V) pairs, xmp_title the /Metadata
-    dc:title — the beyond-page-text surfaces Tika's PDFParser emits."""
+    (pages, crypt_method, attachments, annotations, form_fields,
+    xmp_title, outline_titles): attachments are the /EmbeddedFiles
+    payloads as latin-1 bytes-as-text (the shape the extraction core
+    recurses like archive members), annotations the page-ordered /Annots
+    /Contents strings, form_fields the filled /AcroForm (/T, /V) pairs,
+    xmp_title the /Metadata dc:title, outline_titles the pre-order
+    bookmark /Titles — the beyond-page-text surfaces Tika's PDFParser
+    emits."""
     try:
         data = text.encode("latin-1")
     except UnicodeEncodeError:
@@ -1955,6 +1993,7 @@ def parse_real_pdf_text_full(
         annots,
         doc.acroform_fields(),
         doc.xmp_title(),
+        doc.outline_titles(),
     )
 
 
@@ -2052,6 +2091,7 @@ def build_pdf(
     annotations: list[tuple[int, str]] | None = None,
     form_fields: list[tuple[str, str]] | None = None,
     xmp_title: str | None = None,
+    outlines: list[tuple[int, str]] | None = None,
 ) -> bytes:
     """Build a real, deterministic, parser-valid PDF from (x, y, text) runs.
 
@@ -2337,6 +2377,49 @@ def build_pdf(
             b" /AcroForm << /Fields [%s] >>"
             % b" ".join(b"%d 0 R" % n for n in field_nums)
         )
+    if outlines:
+        # document outline (§12.3.3): pre-order (level, title) rows become
+        # the /First /Next sibling chain with /First child links; levels
+        # deeper than parent+1 clamp to parent+1 (pre-order stays valid)
+        o_root = max(objects) + 1
+        nums = [o_root + 1 + k for k in range(len(outlines))]
+        levels: list[int] = []
+        for lvl, _t in outlines:
+            levels.append(min(max(lvl, 0), (levels[-1] + 1) if levels else 0))
+        parent: list[int] = []  # object num of each item's parent node
+        first: dict[int, int] = {}
+        last: dict[int, int] = {}
+        prev: dict[int, int] = {}
+        stack: list[int] = [o_root]  # parents by level: stack[lvl] = parent
+        for k, lvl in enumerate(levels):
+            stack = stack[: lvl + 1]
+            p = stack[-1]
+            parent.append(p)
+            if p not in first:
+                first[p] = nums[k]
+            else:
+                prev[nums[k]] = last[p]
+            last[p] = nums[k]
+            stack.append(nums[k])
+        for k, (lvl, title) in enumerate(outlines):
+            num = nums[k]
+            parts = [
+                b"/Title %s" % enc_str(num, title.encode("cp1252", "replace")),
+                b"/Parent %d 0 R" % parent[k],
+            ]
+            if num in prev:
+                parts.append(b"/Prev %d 0 R" % prev[num])
+            nxt = [n for n in nums if prev.get(n) == num]
+            if nxt:
+                parts.append(b"/Next %d 0 R" % nxt[0])
+            if num in first:
+                parts.append(b"/First %d 0 R /Last %d 0 R" % (first[num], last[num]))
+            objects[num] = b"<< %s >>" % b" ".join(parts)
+        objects[o_root] = (
+            b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
+            % (first[o_root], last[o_root], len(outlines))
+        )
+        catalog_extra.append(b" /Outlines %d 0 R" % o_root)
     if xmp_title is not None:
         num = max(objects) + 1
         esc = xmp_title

@@ -248,8 +248,9 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
         )
         return build_pdf_text(pages, flate=False, tj_arrays=True, content_filter=cf)
     if form < 0.84:
-        # [0.79, 0.84): annotation + AcroForm + (half) XMP-title extras,
-        # content derived from the drawn runs / form digits — no new draws
+        # [0.79, 0.84): annotation + AcroForm + (half) XMP-title + (half)
+        # /Outlines-bookmark extras, content derived from the drawn runs /
+        # form digits — no new draws
         extras: dict = {}
         if form >= 0.79:
             first = sorted(pages[0], key=lambda r: (-r[1], r[0]))[:2]
@@ -262,6 +263,17 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
             }
             if int(form * 1e4) & 1:
                 extras["xmp_title"] = first[0][2].rstrip(".")
+            if int(form * 1e7) & 1:
+                # document outline: one top-level bookmark per page (first
+                # word of the page's top run) with one nested child under
+                # the first — titles derive from the drawn runs only
+                tops = [
+                    sorted(runs, key=lambda r: (-r[1], r[0]))[0][2].split()[0]
+                    for runs in pages
+                ]
+                toc = [(0, "Section %d: %s" % (i + 1, w)) for i, w in enumerate(tops)]
+                toc.insert(1, (1, "Detail: " + tops[0]))
+                extras["outlines"] = toc
         return build_pdf_text(
             pages, use_tm=True, encrypt="rc4-40" if form < 0.77 else None, **extras
         )
