@@ -3182,6 +3182,39 @@ def q_pdf_attach_route(spark, d):
     )
 
 
+def q_pdf_meta_stats(spark, d):
+    """PDF structure-metadata observability (final r5): tallies of docs
+    carrying an XMP dc:title (`pdf_title`) and/or a document outline
+    (`pdf_outline` — the /Outlines bookmark walk, PDF 32000-1 §12.3.3;
+    Tika surfaces both as metadata, never body text). Rows: one per
+    (has_title, has_outline) combination with doc and total-bookmark
+    counts — pins the whole builder → corpus → executor-extraction →
+    meta path for the structure surfaces. Same shape as
+    `pdf_security_stats`: one fused extraction, one partial-aggregable
+    groupBy."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    outline = meta_at("pdf_outline")
+    return (
+        ext.filter(F.col("parse_ok"))
+        .select(
+            (meta_at("pdf_title") != "").cast("int").alias("has_title"),
+            (outline != "").cast("int").alias("has_outline"),
+            F.when(outline == "", F.lit(0))
+            .otherwise(F.size(F.split(outline, " / ")))
+            .alias("n_bookmarks"),
+        )
+        .filter((F.col("has_title") == 1) | (F.col("has_outline") == 1))
+        .groupBy("has_title", "has_outline")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bookmarks").cast("long").alias("n_bookmarks"),
+        )
+    )
+
+
 def q_exif_meta(spark, d):
     """EXIF metadata surface (r5): JPEG APP1/TIFF-IFD walk
     (core/exifbin.py — the exiftool runtime dep the reference declares,

@@ -30,6 +30,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "source_vocab_overlap": (qt.q_source_vocab_overlap, qt.SQL_SOURCE_VOCAB_OVERLAP),
     "pdf_security_stats": (qt.q_pdf_security_stats, None),
     "pdf_attach_route": (qt.q_pdf_attach_route, None),
+    "pdf_meta_stats": (qt.q_pdf_meta_stats, None),
     "charset_stats": (qt.q_charset_stats, None),
     "ole_route": (qt.q_ole_route, None),
     "odf_route": (qt.q_odf_route, None),
