@@ -109,6 +109,36 @@ def test_image_header_parse_pure():
     assert image_dims(b"") is None
 
 
+def test_png_text_metadata():
+    """PNG tEXt/iTXt Title/Author parse (W3C §11.3.4, Tika PNGParser
+    metadata analog): latin-1 tEXt, utf-8 iTXt plain + zlib-compressed,
+    unknown keywords skipped, truncation degrades to the parsed prefix,
+    and the extraction meta keys surface the first PNG member's values."""
+    from tika_wrap_spark.core.extract import extract_document
+    from tika_wrap_spark.core.media import build_png, png_dims, png_text_meta
+
+    b = build_png(
+        64, 32, b"ff00",
+        texts=[("Title", "Hello Doc"), ("Author", "Ana B"), ("Comment", "skip")],
+    )
+    assert png_dims(b) == (64, 32)  # metadata chunks don't break dims
+    assert png_text_meta(b) == {"title": "Hello Doc", "author": "Ana B"}
+    for comp in (False, True):
+        b2 = build_png(8, 8, texts=[("Title", "Déjà — résumé")], itxt_compressed=comp)
+        assert png_text_meta(b2) == {"title": "Déjà — résumé"}, comp
+    two = build_png(8, 8, texts=[("Title", "keep"), ("Author", "lost")])
+    cut = two[: two.rindex(b"tEXt") - 2]  # truncate the Author chunk
+    assert png_text_meta(cut) == {"title": "keep"}
+    assert png_text_meta(b"\xff\xd8not a png") == {}
+    res = extract_document(
+        [{"kind": "media", "text": b.decode("latin-1"), "media_ref": "m.png", "offset": 0}]
+    )
+    assert res["parse_ok"]
+    assert res["meta"]["media1_png_title"] == "Hello Doc"
+    assert res["meta"]["media1_png_author"] == "Ana B"
+    assert res["meta"]["media1_w"] == "64"
+
+
 def test_gif_bmp_wav_header_parse_pure():
     """GIF / BMP dims and WAV stream parameters parse for real: crafted
     headers, stdlib-independent, total on garbage."""

@@ -24,7 +24,7 @@ from tika_wrap_spark.core.errors import ExtractError
 from tika_wrap_spark.core.exifbin import jpeg_exif_text
 from tika_wrap_spark.core.gzipbin import gunzip_text, unbz2_text, unxz_text
 from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, html_title
-from tika_wrap_spark.core.media import image_dims_text
+from tika_wrap_spark.core.media import image_dims_text, png_text_meta_text
 from tika_wrap_spark.core.olebin import ole_extract_text
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
 from tika_wrap_spark.core.pdfbin import is_real_pdf_text, parse_real_pdf_text_full
@@ -150,6 +150,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     pdf_outline = ""  # first pdf's bookmark titles, pre-order, ' / '-joined
     media1_dims: tuple[int, int] | None = None  # first parseable image's w,h
     media1_exif: dict[str, str] = {}  # first image member's EXIF (JPEG APP1)
+    media1_png_text: dict[str, str] = {}  # first PNG member's tEXt/iTXt keys
     container_format = ""  # 'ooxml' if any archive carries the marker member
     eml_subject = ""  # first message's decoded Subject (Tika dc:title analog)
     eml_from = ""
@@ -171,7 +172,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         inputs at example/demo1.cpp:48-49)."""
         nonlocal n_pages, n_blocks, n_media, n_containers, n_entries
         nonlocal depth_max, title, pdf1_dims, pdf_crypt, pdf_title, pdf_outline
-        nonlocal media1_dims, container_format
+        nonlocal media1_dims, container_format  # media1_png_text/exif mutate
         nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
@@ -197,6 +198,10 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 media1_dims = image_dims_text(text)
                 if media1_dims is not None and not media1_exif:
                     media1_exif.update(jpeg_exif_text(text))
+                if media1_dims is not None and not media1_png_text:
+                    # PNG tEXt/iTXt Title/Author (W3C §11.3.4, Tika's
+                    # PNGParser metadata analog); {} for non-PNG members
+                    media1_png_text.update(png_text_meta_text(text))
             if not media_ref and path:
                 # embedded media member: back-pointer into the archive
                 media_ref = "zip://" + "/".join(path)
@@ -388,6 +393,8 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "media1_h": "" if media1_dims is None else _stringify(media1_dims[1]),
         "media1_exif_orientation": media1_exif.get("orientation", ""),
         "media1_exif_datetime": media1_exif.get("datetime", ""),
+        "media1_png_title": media1_png_text.get("title", ""),
+        "media1_png_author": media1_png_text.get("author", ""),
         "eml_subject": eml_subject,
         "eml_from": eml_from,
         "ical_summary": ical_summary,

@@ -52,6 +52,61 @@ def png_dims(data: bytes) -> tuple[int, int] | None:
     return (w, h)
 
 
+_PNG_TEXT_KEYS = frozenset({"Title", "Author", "Description"})
+
+
+def png_text_meta(data: bytes) -> dict[str, str]:
+    """Textual metadata from PNG tEXt/iTXt chunks (W3C PNG §11.3.4 —
+    Tika's PNGParser surfaces these as document metadata). Returns the
+    first Title/Author/Description values, lower-cased keys; tEXt values
+    decode latin-1, iTXt utf-8 (zlib-inflated when the compression flag
+    is set, bomb-capped). A truncated or malformed chunk ends the walk —
+    whatever parsed before it is kept."""
+    out: dict[str, str] = {}
+    if len(data) < 24 or not data.startswith(PNG_MAGIC) or data[12:16] != b"IHDR":
+        return out
+    i = 8
+    for _ in range(64):  # chunk-count guard
+        if i + 8 > len(data):
+            break
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        ctype = data[i + 4 : i + 8]
+        if length > len(data) - i - 8 or length > 1 << 20:
+            break
+        body = data[i + 8 : i + 8 + length]
+        if ctype == b"IEND":
+            break
+        try:
+            if ctype == b"tEXt" and b"\x00" in body:
+                kw, _, val = body.partition(b"\x00")
+                key = kw.decode("latin-1", "replace")
+                if key in _PNG_TEXT_KEYS:
+                    out.setdefault(key.lower(), val.decode("latin-1", "replace"))
+            elif ctype == b"iTXt" and body.count(b"\x00") >= 4:
+                kw, _, rest = body.partition(b"\x00")
+                key = kw.decode("latin-1", "replace")
+                if key in _PNG_TEXT_KEYS and len(rest) >= 2:
+                    comp_flag, comp_method = rest[0], rest[1]
+                    _lang, _, rest2 = rest[2:].partition(b"\x00")
+                    _trans, _, val = rest2.partition(b"\x00")
+                    if comp_flag == 1 and comp_method == 0:
+                        val = zlib.decompressobj().decompress(val, 1 << 20)
+                    if comp_flag in (0, 1):
+                        out.setdefault(key.lower(), val.decode("utf-8", "replace"))
+        except (zlib.error, ValueError):
+            break
+        i += 12 + length  # length + type + body + crc
+    return out
+
+
+def png_text_meta_text(text: str) -> dict[str, str]:
+    """Bytes-as-text bridge for :func:`png_text_meta`."""
+    try:
+        return png_text_meta(text.encode("latin-1"))
+    except UnicodeEncodeError:
+        return {}
+
+
 def jpeg_dims(data: bytes) -> tuple[int, int] | None:
     """(width, height) from the first SOF segment, walking the marker
     stream; None for non-JPEG or truncated-before-SOF bytes."""
@@ -562,14 +617,41 @@ def image_dims_text(text: str) -> tuple[int, int] | None:
         return None
 
 
-def build_png(width: int, height: int, extra: bytes = b"") -> bytes:
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def build_png(
+    width: int,
+    height: int,
+    extra: bytes = b"",
+    texts: list[tuple[str, str]] | None = None,
+    itxt_compressed: bool = False,
+) -> bytes:
     """Minimal structurally-valid PNG head: magic + IHDR (correct CRC) +
-    ``extra`` filler — enough for any header-parsing consumer; the pixel
-    data is not rendered by anything in this engine."""
+    optional tEXt/iTXt metadata chunks + ``extra`` filler — enough for
+    any header-parsing consumer; the pixel data is not rendered by
+    anything in this engine. ``texts`` rows whose value is pure latin-1
+    emit tEXt; others emit iTXt (utf-8, zlib-deflated when
+    ``itxt_compressed``)."""
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    chunk = b"IHDR" + ihdr
-    crc = zlib.crc32(chunk) & 0xFFFFFFFF
-    return PNG_MAGIC + struct.pack(">I", 13) + chunk + struct.pack(">I", crc) + extra
+    out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    for key, val in texts or []:
+        try:
+            out += _png_chunk(
+                b"tEXt", key.encode("latin-1") + b"\x00" + val.encode("latin-1")
+            )
+        except UnicodeEncodeError:
+            payload = val.encode("utf-8")
+            flag = b"\x01\x00" if itxt_compressed else b"\x00\x00"
+            if itxt_compressed:
+                payload = zlib.compress(payload, 6)
+            out += _png_chunk(
+                b"iTXt",
+                key.encode("latin-1") + b"\x00" + flag + b"\x00\x00" + payload,
+            )
+    return out + extra
 
 
 def build_gif(width: int, height: int, v89: bool = True) -> bytes:

@@ -586,8 +586,25 @@ def _gen_png_payload(rng: random.Random) -> str:
                 ),
             }
         return build_jpeg(w, h, exif=exif).decode("latin-1")
+    texts = None
+    if rng.random() < 0.4:
+        # ~40% of PNG members carry tEXt/iTXt metadata (Title, half an
+        # Author too; 1-in-4 titles draw non-latin-1 text so the iTXt
+        # utf-8 path — half of those zlib-compressed — stays exercised)
+        title = _words(rng, 3).title()
+        if rng.random() < 0.25:
+            title = "Déjà — " + title
+        texts = [("Title", title)]
+        if rng.random() < 0.5:
+            texts.append(("Author", "Cam " + rng.choice(_WORDS).title()))
     filler = "".join(rng.choice("0123456789abcdef") for _ in range(rng.randint(32, 96)))
-    return build_png(w, h, filler.encode("ascii")).decode("latin-1")
+    return build_png(
+        w,
+        h,
+        filler.encode("ascii"),
+        texts=texts,
+        itxt_compressed=texts is not None and rng.random() < 0.5,
+    ).decode("latin-1")
 
 
 def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
