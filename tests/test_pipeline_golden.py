@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 120  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 121  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -57,8 +57,8 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # bad html, cut pdf, cut twc1, depth bomb, cut zip, zip crc, cut tar,
     # bad gzip, dangling-xref real pdf, gzip/xz/bz2 decompression bombs,
     # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
-    # pdf, unterminated ics, property-less msg
-    assert len(bad) == 19
+    # pdf, unterminated ics, property-less msg, truncated sqlite
+    assert len(bad) == 20
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -151,10 +151,13 @@ def test_corpus_mix_composition_pinned():
     # the ODF carve ([0.25, 0.40) of the same sub-draw) turned one raw
     # container that previously serialized as tar into an ODF real zip
     # (zip 17 -> 18, tar 6 -> 5), and the calendar/contact carve took the
-    # top of the html slice (html 151 -> 139, + ics 8 + vcf 4).
+    # top of the html slice (html 151 -> 139, + ics 8 + vcf 4). Final r5:
+    # the sqlite carve took the pdf tail, r in [0.82, 0.83)
+    # (pdf 140 -> 132, + sqlite 8).
     assert dict(kinds) == {
         "csv": 76,
-        "pdf": 140,
+        "pdf": 132,
+        "sqlite": 8,
         "html": 139,
         "xml": 12,
         "media": 59,

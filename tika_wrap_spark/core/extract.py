@@ -43,6 +43,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_OLE,
     KIND_PDF,
     KIND_RTF,
+    KIND_SQLITE,
     KIND_TAR,
     KIND_TEXT,
     KIND_VCF,
@@ -51,6 +52,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_ZIP,
     sniff_kind,
 )
+from tika_wrap_spark.core.sqlitebin import sqlite_extract_text
 
 # compressed-stream wrappers: decompress and re-sniff the inner stream
 # (each counts as one container level with a single unnamed member)
@@ -155,6 +157,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     eml_subject = ""  # first message's decoded Subject (Tika dc:title analog)
     eml_from = ""
     ical_summary = ""  # first event SUMMARY / first card FN (core/ical.py)
+    sqlite_tables = ""  # first database's user-table names, comma-joined
     charset_first = ""  # first detected non-default payload charset
     n_transcoded = 0  # payloads that went through a charset transcode
 
@@ -174,6 +177,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         nonlocal depth_max, title, pdf1_dims, pdf_crypt, pdf_title, pdf_outline
         nonlocal media1_dims, container_format  # media1_png_text/exif mutate
         nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
+        nonlocal sqlite_tables
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
             # sniffs text-family first (its magic bytes match nothing), the
@@ -321,6 +325,16 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 eml_subject = ole_meta.get("eml_subject", "")
                 eml_from = ole_meta.get("eml_from", "")
             emit(KIND_TEXT, ole_text, "")
+        elif kind == KIND_SQLITE:
+            # SQLite database (core/sqlitebin.py; Tika SQLite3Parser
+            # analog): one text block per user table — header line of
+            # column names then one comma-joined line per row in rowid
+            # order. Table names land in the sqlite_tables meta key.
+            sq_tables = sqlite_extract_text(text)
+            if not sqlite_tables:
+                sqlite_tables = ",".join(name for name, _b in sq_tables)
+            for _name, block in sq_tables:
+                emit(KIND_TEXT, block, "")
         elif kind == KIND_RTF:
             # native RTF control-word parse (core/rtf.py); Tika's RTFParser
             # analog — document text only, destination groups skipped
@@ -398,6 +412,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "eml_subject": eml_subject,
         "eml_from": eml_from,
         "ical_summary": ical_summary,
+        "sqlite_tables": sqlite_tables,
         "charset": charset_first,
         "n_transcoded": _stringify(n_transcoded),
         "kinds": ",".join(sorted(kinds_seen)),

@@ -31,6 +31,7 @@ KIND_EML = "eml"
 KIND_OLE = "ole"  # OLE2/CFB compound file (.doc/.xls), magic at offset 0
 KIND_ICS = "ics"  # iCalendar (RFC 5545), BEGIN:VCALENDAR opener
 KIND_VCF = "vcf"  # vCard (RFC 6350), BEGIN:VCARD opener
+KIND_SQLITE = "sqlite"  # SQLite database, 16-byte magic at offset 0
 
 # calendar/contact openers, matched on the lstripped-lowered head
 ICS_OPENER_TEXT = "begin:vcalendar"
@@ -38,6 +39,9 @@ VCF_OPENER_TEXT = "begin:vcard"
 
 # CFB header magic ([MS-CFB] 2.2) as bytes-as-text
 OLE_MAGIC_TEXT = "\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+# SQLite 3 header string (sqlite.org/fileformat2 §1.3) as bytes-as-text
+SQLITE_MAGIC_TEXT = "SQLite format 3\x00"
 
 # ustar magic position (bytes-as-text offset); checked against the FULL
 # payload, not the head window
@@ -100,6 +104,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       4c. head starts with 'BZh' + level 1-9      -> 'bz2'
       4d. head starts with the 8-byte CFB magic   -> 'ole' (legacy Office
          compound file: .doc/.xls route to core/olebin.py)
+      4e. head starts with 'SQLite format 3\\0'   -> 'sqlite' (database
+         file: table rows route to core/sqlitebin.py)
       5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
@@ -150,6 +156,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_BZ2
     if head.startswith(OLE_MAGIC_TEXT):
         return KIND_OLE
+    if head.startswith(SQLITE_MAGIC_TEXT):
+        return KIND_SQLITE
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
         return KIND_TAR
     for magic in _MEDIA_MAGICS:

@@ -43,6 +43,7 @@ from tika_wrap_spark.core.olebin import (
 from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.procmemo import proc_memo
 from tika_wrap_spark.core.rtf import build_rtf
+from tika_wrap_spark.core.sqlitebin import build_sqlite
 from tika_wrap_spark.core.tarbin import build_tar_text
 from tika_wrap_spark.core.zipbin import build_zip_text
 
@@ -559,6 +560,31 @@ def _gen_eml_payload(rng: random.Random, depth: int = 0) -> str:
     return build_eml(subject, from_addr, to_addr, body, html, attachments)
 
 
+def _gen_sqlite_payload(rng: random.Random) -> str:
+    """A REAL SQLite database file (bytes-as-text): 1-3 user tables of
+    word/NULL/integer cells built via the stdlib C library
+    (core/sqlitebin.py ``build_sqlite``); extraction parses the bytes back
+    with the hand-rolled b-tree reader, never the C parser."""
+    tables = []
+    for t in range(rng.randint(1, 3)):
+        tname = "%s_%d" % (rng.choice(_WORDS), t)
+        cols = ["id_n"] + [
+            "%s_%d" % (rng.choice(_WORDS), c) for c in range(rng.randint(1, 3))
+        ]
+        rows = []
+        for r_i in range(rng.randint(3, 25)):
+            vals: list = [r_i]
+            for _c in cols[1:]:
+                k = rng.random()
+                if k < 0.1:
+                    vals.append(None)
+                else:
+                    vals.append(_words(rng, rng.randint(1, 6)))
+            rows.append(tuple(vals))
+        tables.append((tname, cols, rows))
+    return build_sqlite(tables).decode("latin-1")
+
+
 def _gen_png_payload(rng: random.Random) -> str:
     """Embedded-media member bytes-as-text: a REAL image head — PNG magic +
     IHDR with seeded dims and correct chunk CRC (or, ~1 in 4, a JPEG
@@ -788,8 +814,11 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             payloads = [("vcf", _gen_vcf_payload(rng), "")]
     elif r < 0.66:  # rfc822/MIME message (message-as-container path)
         payloads = [("eml", _gen_eml_payload(rng), "")]
-    elif r < 0.83:
+    elif r < 0.82:
         payloads = [("pdf", _gen_pdf_payload(rng), "")]
+    elif r < 0.83:  # sqlite database slice (final r5; carved off the pdf
+        # tail — docs outside [0.82, 0.83) keep their payloads bit-exactly)
+        payloads = [("sqlite", _gen_sqlite_payload(rng), "")]
     elif r < 0.86:  # rtf document
         payloads = [("rtf", _gen_rtf_payload(rng), "")]
     elif r < 0.93:  # interleaved container doc (pre-flattened zip analog)
@@ -822,7 +851,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 20
+N_ADVERSARIAL = 21
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -984,6 +1013,17 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
     ).decode("latin-1")
     rows.append(
         {"doc_id": "doc_%07d" % (base + 19), "spans": _make_spans([("ole", empty_msg, "")])}
+    )
+    # truncated SQLite database: header intact, b-tree pages cut
+    # (sqlitebin bounds-check path -> 'sqlite' taxonomy class)
+    cut_db = build_sqlite(
+        [("doomed", ["id_n", "body"], [(1, "row that will never be read")])]
+    )[:300].decode("latin-1")
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 20),
+            "spans": _make_spans([("sqlite", cut_db, "")]),
+        }
     )
     return rows
 

@@ -92,6 +92,7 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
             F.lit(sn.KIND_BZ2),
         )
         .when(head.startswith(sn.OLE_MAGIC_TEXT), F.lit(sn.KIND_OLE))
+        .when(head.startswith(sn.SQLITE_MAGIC_TEXT), F.lit(sn.KIND_SQLITE))
         # ustar magic at its fixed in-header offset (1-based substring);
         # shorter payloads yield a short/empty substring -> no match, same
         # as the Python slice

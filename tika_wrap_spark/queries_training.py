@@ -2926,6 +2926,7 @@ def _error_class_col():
             F.col("error").startswith("ics:") | F.col("error").startswith("vcf:"),
             F.lit("ical"),
         )
+        .when(F.col("error").startswith("sqlite:"), F.lit("sqlite"))
         .when(
             F.col("error").contains("tag") | F.col("error").contains("comment")
             | F.col("error").contains("declaration"),
@@ -3131,6 +3132,39 @@ def q_ical_route(spark, d):
             "parse_ok",
             meta_at("kinds").alias("kinds"),
             (meta_at("ical_summary") != "").cast("int").alias("has_summary"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_sqlite_route(spark, d):
+    """SQLite database extraction tallies (final r5): database files route
+    by the 16-byte offset-0 header magic (sniffer kind 18, both forms) and
+    extract one text block per user table via the hand-rolled b-tree
+    reader (core/sqlitebin.py — Tika's SQLite3Parser analog,
+    /root/reference/src/java-env.cpp:313); table names surface in the
+    `sqlite_tables` meta key and a truncated database lands in the
+    'sqlite' error-taxonomy class, never a task failure."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    kinds = F.split(meta_at("kinds"), ",")
+    tables = meta_at("sqlite_tables")
+    return (
+        ext.filter(
+            F.array_contains(kinds, "sqlite")
+            | F.col("error").startswith("sqlite:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.when(tables == "", 0)
+            .otherwise(F.size(F.split(tables, ",")))
+            .alias("n_tables"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
         )
