@@ -135,3 +135,108 @@ class TestExtractIntegration:
             [{"kind": "media", "text": jpeg_head, "media_ref": "", "offset": 0}]
         )
         assert res["meta"]["n_transcoded"] == "0"
+
+
+class TestHtmlDeclaredCharset:
+    """<meta charset=...> declarations (WHATWG prescan / Tika
+    HtmlEncodingDetector analog): the ladder never runs on the html sniff
+    kind, so declared CJK/cp1252 pages decode via their own hook inside
+    the html route (core/charset.decode_html_charset)."""
+
+    def _wire(self, label: str, codec: str, body: str, title: str = "t") -> str:
+        page = (
+            '<!DOCTYPE html><html><head><meta charset="%s"><title>%s</title>'
+            "</head><body><div id=\"main\"><p>%s</p><p>%s</p></div></body></html>"
+            % (label, title, body, body)
+        )
+        return page.encode(codec).decode("latin-1")
+
+    def test_meta_charset_sjis(self):
+        from tika_wrap_spark.core.charset import decode_html_charset
+
+        body = "かな漢字混じりの本文です。文字コードは宣言どおりに復号します。"
+        wire = self._wire("shift_jis", "shift_jis", body, "日本語の題")
+        assert sniff_kind(wire) == "html"  # ASCII markup routes pre-decode
+        dec, codec = decode_html_charset(wire)
+        assert codec == "shift_jis" and body in dec
+        res = extract_document([{"kind": "html", "text": wire, "media_ref": "", "offset": 0}])
+        assert res["parse_ok"]
+        assert res["meta"]["charset"] == "shift_jis"
+        assert res["meta"]["n_transcoded"] == "1"
+        assert res["meta"]["html_title"] == "日本語の題"
+        assert any(body in s["text"] for s in res["spans"])
+
+    def test_http_equiv_content_type_form(self):
+        from tika_wrap_spark.core.charset import decode_html_charset
+
+        body = "数据处理管道按内容路由每个文档并递归解析。"
+        page = (
+            '<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=gb2312"></head>'
+            "<body><p>%s</p><p>%s</p></body></html>" % (body, body)
+        )
+        wire = page.encode("gbk").decode("latin-1")
+        dec, codec = decode_html_charset(wire)
+        assert codec == "gbk" and body in dec
+
+    def test_latin1_label_remaps_to_cp1252(self):
+        # WHATWG maps the latin-1 family to windows-1252: 0x93/0x94 decode
+        # as curly quotes, not C1 controls
+        from tika_wrap_spark.core.charset import decode_html_charset
+
+        wire = self._wire("iso-8859-1", "cp1252", "“quoted prose” here")
+        dec, codec = decode_html_charset(wire)
+        assert codec == "windows-1252" and "“quoted prose”" in dec
+
+    def test_ascii_utf8_declaration_is_noop(self):
+        from tika_wrap_spark.core.charset import decode_html_charset
+
+        wire = self._wire("utf-8", "utf-8", "plain ascii body")
+        assert decode_html_charset(wire) == (wire, "")
+
+    def test_unknown_label_passes_through(self):
+        from tika_wrap_spark.core.charset import decode_html_charset
+
+        wire = self._wire("utf-8", "utf-8", "body").replace("utf-8", "klingon", 1)
+        assert decode_html_charset(wire)[1] == ""
+
+    def test_bad_declaration_never_fails_document(self):
+        # declared sjis but bytes are NOT valid shift_jis: pass through
+        from tika_wrap_spark.core.charset import decode_html_charset
+
+        wire = self._wire("shift_jis", "cp1252", "prose with “bytes” éé")
+        dec, codec = decode_html_charset(wire)
+        res = extract_document([{"kind": "html", "text": wire, "media_ref": "", "offset": 0}])
+        assert res["parse_ok"]
+
+    def test_declaration_outside_prescan_window_ignored(self):
+        from tika_wrap_spark.core.charset import decode_html_charset
+
+        page = (
+            "<!DOCTYPE html><html><head>"
+            + "<!-- %s -->" % ("x" * 1100)
+            + '<meta charset="shift_jis"></head><body><p>late</p></body></html>'
+        )
+        assert decode_html_charset(page)[1] == ""
+
+    def test_real_unicode_html_untouched(self):
+        from tika_wrap_spark.core.charset import decode_html_charset
+
+        page = '<html><head><meta charset="shift_jis"></head><body><p>既に復号済み</p></body></html>'
+        assert decode_html_charset(page) == (page, "")
+
+    def test_corpus_page_roundtrip(self):
+        from tika_wrap_spark.corpus import _gen_html_charset_page
+
+        rng = random.Random(5)
+        for _ in range(8):
+            wire = _gen_html_charset_page(rng)
+            assert sniff_kind(wire) == "html"
+            res = extract_document(
+                [{"kind": "html", "text": wire, "media_ref": "", "offset": 0}]
+            )
+            assert res["parse_ok"]
+            assert res["meta"]["charset"] in (
+                "shift_jis", "gbk", "euc-jp", "windows-1252",
+            )
+            assert res["meta"]["n_transcoded"] == "1"

@@ -27,6 +27,8 @@ leading U+FEFF strip.
 
 from __future__ import annotations
 
+import re
+
 # BOM table, checked longest-first (UTF-32 BOMs contain the UTF-16 ones as
 # prefixes). Entries: (bom_bytes_as_text, python_codec, reported_name).
 _BOMS: tuple[tuple[str, str, str], ...] = (
@@ -171,6 +173,91 @@ def decode_charset(text: str) -> tuple[str, str]:
         codec, name = cjk
         return raw.decode(codec, "replace"), name
     return text, ""
+
+
+# --- HTML declared charsets (WHATWG prescan analog) -------------------
+#
+# Tika's HtmlEncodingDetector reads the <meta charset=...> declaration
+# before parsing; browsers do the same via the WHATWG "prescan the byte
+# stream" algorithm over the first 1024 bytes. The ladder above never runs
+# on the html sniff kind (markup routes by its ASCII markers before any
+# transcode), so declared-charset pages get their own decode hook, applied
+# inside the html route.
+
+# prescan window (chars == bytes for bytes-as-text payloads)
+_HTML_PRESCAN = 1024
+
+# any <meta ...> tag carrying a charset= token — covers both the html5
+# <meta charset="..."> form and the legacy http-equiv content-type form
+# (whose content attribute embeds "charset=...")
+_META_TAG_RE = re.compile(r"(?is)<meta\b[^>]*>")
+_CHARSET_TOKEN_RE = re.compile(r"""(?i)charset\s*=\s*["']?\s*([\w.:\-]+)""")
+
+# label -> (python codec, reported name); WHATWG maps the latin-1/ascii
+# family to windows-1252 (browsers and Tika both decode 0x80-0x9F as the
+# cp1252 punctuation, not C1 controls). utf-16 labels are deliberately
+# absent: a real utf-16 page never reaches the html route as bytes (the
+# ladder catches the NUL interleave first), and WHATWG itself remaps
+# utf-16 declarations.
+_HTML_CHARSETS: dict[str, tuple[str, str]] = {
+    "utf-8": ("utf-8", "utf-8"),
+    "utf8": ("utf-8", "utf-8"),
+    "shift_jis": ("shift_jis", "shift_jis"),
+    "shift-jis": ("shift_jis", "shift_jis"),
+    "sjis": ("shift_jis", "shift_jis"),
+    "x-sjis": ("shift_jis", "shift_jis"),
+    "ms_kanji": ("shift_jis", "shift_jis"),
+    "gbk": ("gbk", "gbk"),
+    "gb2312": ("gbk", "gbk"),
+    "x-gbk": ("gbk", "gbk"),
+    "gb18030": ("gb18030", "gb18030"),
+    "big5": ("big5", "big5"),
+    "euc-jp": ("euc_jp", "euc-jp"),
+    "euc-kr": ("euc_kr", "euc-kr"),
+    "windows-1252": ("cp1252", "windows-1252"),
+    "cp1252": ("cp1252", "windows-1252"),
+    "iso-8859-1": ("cp1252", "windows-1252"),
+    "latin-1": ("cp1252", "windows-1252"),
+    "us-ascii": ("cp1252", "windows-1252"),
+}
+
+
+def html_declared_charset(text: str) -> str:
+    """The first recognized charset label declared in a <meta> tag within
+    the prescan window ('' if none)."""
+    for tag in _META_TAG_RE.finditer(text[:_HTML_PRESCAN]):
+        m = _CHARSET_TOKEN_RE.search(tag.group(0))
+        if m:
+            label = m.group(1).lower()
+            if label in _HTML_CHARSETS:
+                return label
+    return ""
+
+
+def decode_html_charset(text: str) -> tuple[str, str]:
+    """Honor an html payload's declared <meta> charset.
+
+    Returns ``(decoded_text, codec_name)``; codec '' when nothing applied
+    — no declaration, unknown label, already-real-unicode payload, decode
+    failure (a bad declaration never fails the document), or a decode
+    that changes nothing (ascii bytes declared utf-8)."""
+    if not text:
+        return text, ""
+    label = html_declared_charset(text)
+    if not label:
+        return text, ""
+    try:
+        raw = text.encode("latin-1")
+    except (UnicodeEncodeError, ValueError):
+        return text, ""  # real unicode: already decoded upstream
+    codec, name = _HTML_CHARSETS[label]
+    try:
+        decoded = raw.decode(codec)
+    except (UnicodeDecodeError, ValueError):
+        return text, ""
+    if decoded == text:
+        return text, ""
+    return decoded, name
 
 
 def encode_charset(text: str, codec: str, bom: bool = True) -> str:

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from tika_wrap_spark.core.charset import decode_charset
+from tika_wrap_spark.core.charset import decode_charset, decode_html_charset
 from tika_wrap_spark.core.container import MAX_CONTAINER_DEPTH, parse_container
 from tika_wrap_spark.core.errors import ExtractError
 from tika_wrap_spark.core.exifbin import jpeg_exif_text
@@ -211,6 +211,16 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 media_ref = "zip://" + "/".join(path)
             emit(KIND_MEDIA, "", media_ref)
         elif kind == KIND_HTML:
+            # declared <meta charset=...> (WHATWG prescan / Tika
+            # HtmlEncodingDetector analog): the ladder never runs on the
+            # html kind (ASCII markup routes before any transcode), so a
+            # Shift-JIS/GBK page with a declaration decodes here
+            decoded, h_codec = decode_html_charset(text)
+            if h_codec:
+                n_transcoded += 1
+                if not charset_first:
+                    charset_first = h_codec
+                text = decoded
             if not title:
                 title = html_title(text)
             for block in extract_html_blocks(text):

@@ -161,6 +161,36 @@ def _gen_html_payload(rng: random.Random) -> str:
     )
 
 
+def _gen_html_charset_page(rng: random.Random) -> str:
+    """An html page whose body is NOT in the wire default: CJK content in
+    its declared <meta charset> (Shift-JIS / GB2312 / EUC-JP) or cp1252
+    curly-quote prose declared windows-1252. The extractor honors the
+    declaration (core/charset.decode_html_charset — Tika's
+    HtmlEncodingDetector analog) before boilerplate stripping."""
+    k = rng.random()
+    if k < 0.4:
+        lang, label, codec = "ja", "shift_jis", "shift_jis"
+    elif k < 0.7:
+        lang, label, codec = "zh", "gb2312", "gbk"
+    elif k < 0.85:
+        lang, label, codec = "ja", "euc-jp", "euc_jp"
+    else:
+        lang, label, codec = "", "windows-1252", "cp1252"
+    if lang:
+        title = _gen_cjk_text(rng, lang).split("\n", 1)[0]
+        paras = [_gen_cjk_text(rng, lang) for _ in range(rng.randint(1, 3))]
+    else:
+        title = _words(rng, 3)
+        paras = ["“%s” %s" % (_sentence(rng), _sentence(rng))
+                 for _ in range(rng.randint(1, 3))]
+    page = (
+        '<!DOCTYPE html>\n<html><head><meta charset="%s"><title>%s</title>'
+        '</head>\n<body><div id="main">%s</div></body></html>'
+        % (label, title, "".join("<p>%s</p>" % p for p in paras))
+    )
+    return page.encode(codec).decode("latin-1")
+
+
 def _escape_pdf(s: str) -> str:
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
@@ -807,6 +837,12 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             payloads = [("text", _charset_wrap(rng, payloads[0][1]), "")]
     elif r < 0.605:
         payloads = [("html", _gen_html_payload(rng), "")]
+        # declared-charset slice (final r5): ~6% of html docs arrive as a
+        # CJK/cp1252 page in its declared <meta charset>; the replace draw
+        # comes AFTER payload generation so undeclared docs keep their
+        # content byte-identically
+        if rng.random() < 0.06:
+            payloads = [("html", _gen_html_charset_page(rng), "")]
     elif r < 0.63:  # calendar/contact slice (late r5): ics ~ 3/5, vcf ~ 2/5
         if rng.random() < 0.6:
             payloads = [("ics", _gen_ics_payload(rng), "")]
