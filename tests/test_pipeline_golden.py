@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 121  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 122  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -57,8 +57,9 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # bad html, cut pdf, cut twc1, depth bomb, cut zip, zip crc, cut tar,
     # bad gzip, dangling-xref real pdf, gzip/xz/bz2 decompression bombs,
     # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
-    # pdf, unterminated ics, property-less msg, truncated sqlite
-    assert len(bad) == 20
+    # pdf, unterminated ics, property-less msg, truncated sqlite,
+    # truncated font
+    assert len(bad) == 21
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -153,7 +154,9 @@ def test_corpus_mix_composition_pinned():
     # (zip 17 -> 18, tar 6 -> 5), and the calendar/contact carve took the
     # top of the html slice (html 151 -> 139, + ics 8 + vcf 4). Final r5:
     # the sqlite carve took the pdf tail, r in [0.82, 0.83)
-    # (pdf 140 -> 132, + sqlite 8).
+    # (pdf 140 -> 132, + sqlite 8), and the font member carve ([0.975, 1)
+    # of the container member draw) shifted one container's downstream
+    # serialization draw from tar to zip (zip 18 -> 19, tar 5 -> 4).
     assert dict(kinds) == {
         "csv": 76,
         "pdf": 132,
@@ -165,9 +168,9 @@ def test_corpus_mix_composition_pinned():
         "json": 24,
         "eml": 12,
         "rtf": 15,
-        "zip": 18,
+        "zip": 19,
         "ole": 7,
-        "tar": 5,
+        "tar": 4,
         "ics": 8,
         "vcf": 4,
     }, dict(kinds)

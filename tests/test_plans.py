@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 51  # 30 + 21 adversarial
+    assert read.count() == 52  # 30 + 22 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -222,6 +222,11 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # SQLite 16-byte header string (full, truncated, shifted-off-0)
         "SQLite format 3\x00", "SQLite format 3", "SQLite format 3\x00\x04\x00",
         "xSQLite format 3\x00", "SQLite",
+        # font magics: sfnt binary version, OTTO/wOFF printable tags with
+        # and without plausible 5th bytes ("OTTO was here" prose must NOT
+        # route font; "" in a tuple-membership check must stay False)
+        "\x00\x01\x00\x00", "\x00\x01\x00", "OTTO\x00\x03", "OTTO was here",
+        "OTTO", "wOFF\x00\x01\x00\x00", "wOFFOTTO", "wOFFle prose", "wOFF",
         # TIFF magics (need the NUL/asterisk pair — 'II*'/'MM' prose must
         # NOT trip them) and ISO-BMFF 'ftyp' at its fixed offset 4
         "II*\x00", "MM\x00*", "II* prose", "MM prose", "II*\x00\x08\x00",

@@ -31,10 +31,12 @@ from tika_wrap_spark.core.pdfbin import is_real_pdf_text, parse_real_pdf_text_fu
 from tika_wrap_spark.core.eml import parse_eml
 from tika_wrap_spark.core.rtf import rtf_to_text
 from tika_wrap_spark.core.ical import parse_ical, parse_vcard
+from tika_wrap_spark.core.fontbin import font_meta_text
 from tika_wrap_spark.core.sniff import (
     KIND_BZ2,
     KIND_CSV,
     KIND_EML,
+    KIND_FONT,
     KIND_ICS,
     KIND_JSON,
     KIND_GZIP,
@@ -158,6 +160,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     eml_from = ""
     ical_summary = ""  # first event SUMMARY / first card FN (core/ical.py)
     sqlite_tables = ""  # first database's user-table names, comma-joined
+    font_meta: dict[str, str] = {}  # first font payload's naming metadata
     charset_first = ""  # first detected non-default payload charset
     n_transcoded = 0  # payloads that went through a charset transcode
 
@@ -335,6 +338,13 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 eml_subject = ole_meta.get("eml_subject", "")
                 eml_from = ole_meta.get("eml_from", "")
             emit(KIND_TEXT, ole_text, "")
+        elif kind == KIND_FONT:
+            # font file (core/fontbin.py; Tika TrueTypeParser analog):
+            # metadata-only payload — naming surfaces in the meta map,
+            # no body spans (Tika likewise emits no text for fonts)
+            fm = font_meta_text(text)
+            if not font_meta:
+                font_meta.update(fm)
         elif kind == KIND_SQLITE:
             # SQLite database (core/sqlitebin.py; Tika SQLite3Parser
             # analog): one text block per user table — header line of
@@ -423,6 +433,8 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "eml_from": eml_from,
         "ical_summary": ical_summary,
         "sqlite_tables": sqlite_tables,
+        "font_family": font_meta.get("family", ""),
+        "font_name": font_meta.get("full_name", ""),
         "charset": charset_first,
         "n_transcoded": _stringify(n_transcoded),
         "kinds": ",".join(sorted(kinds_seen)),

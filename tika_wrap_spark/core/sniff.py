@@ -32,6 +32,7 @@ KIND_OLE = "ole"  # OLE2/CFB compound file (.doc/.xls), magic at offset 0
 KIND_ICS = "ics"  # iCalendar (RFC 5545), BEGIN:VCALENDAR opener
 KIND_VCF = "vcf"  # vCard (RFC 6350), BEGIN:VCARD opener
 KIND_SQLITE = "sqlite"  # SQLite database, 16-byte magic at offset 0
+KIND_FONT = "font"  # sfnt (TrueType/OpenType) or WOFF font file
 
 # calendar/contact openers, matched on the lstripped-lowered head
 ICS_OPENER_TEXT = "begin:vcalendar"
@@ -42,6 +43,17 @@ OLE_MAGIC_TEXT = "\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
 # SQLite 3 header string (sqlite.org/fileformat2 §1.3) as bytes-as-text
 SQLITE_MAGIC_TEXT = "SQLite format 3\x00"
+
+# font magics: sfnt version 0x00010000 (TrueType outlines) is pure binary;
+# the 'OTTO' (CFF) and 'wOFF' tags are printable, so each requires its 5th
+# byte to be plausible — numTables high byte 0 for OTTO (every real font
+# has < 256 tables), and for wOFF the wrapped flavor's first byte
+# ('\x00' for 0x00010000, 'O' for OTTO). Prose starting "OTTO was..."
+# or "wOFFle..." must NOT route font.
+FONT_TTF_MAGIC_TEXT = "\x00\x01\x00\x00"
+FONT_OTTO_MAGIC_TEXT = "OTTO"
+FONT_WOFF_MAGIC_TEXT = "wOFF"
+FONT_WOFF_FLAVOR_BYTES = ("\x00", "O")
 
 # ustar magic position (bytes-as-text offset); checked against the FULL
 # payload, not the head window
@@ -106,6 +118,9 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          compound file: .doc/.xls route to core/olebin.py)
       4e. head starts with 'SQLite format 3\\0'   -> 'sqlite' (database
          file: table rows route to core/sqlitebin.py)
+      4f. head starts with sfnt 0x00010000, or 'OTTO' with a NUL 5th
+         byte, or 'wOFF' with a plausible flavor byte -> 'font'
+         (metadata-only payload: core/fontbin.py)
       5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
@@ -158,6 +173,12 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_OLE
     if head.startswith(SQLITE_MAGIC_TEXT):
         return KIND_SQLITE
+    if head.startswith(FONT_TTF_MAGIC_TEXT):
+        return KIND_FONT
+    if head.startswith(FONT_OTTO_MAGIC_TEXT) and head[4:5] == "\x00":
+        return KIND_FONT
+    if head.startswith(FONT_WOFF_MAGIC_TEXT) and head[4:5] in FONT_WOFF_FLAVOR_BYTES:
+        return KIND_FONT
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
         return KIND_TAR
     for magic in _MEDIA_MAGICS:

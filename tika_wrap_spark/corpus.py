@@ -43,6 +43,7 @@ from tika_wrap_spark.core.olebin import (
 from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.procmemo import proc_memo
 from tika_wrap_spark.core.rtf import build_rtf
+from tika_wrap_spark.core.fontbin import build_sfnt, build_woff
 from tika_wrap_spark.core.sqlitebin import build_sqlite
 from tika_wrap_spark.core.tarbin import build_tar_text
 from tika_wrap_spark.core.zipbin import build_zip_text
@@ -590,6 +591,30 @@ def _gen_eml_payload(rng: random.Random, depth: int = 0) -> str:
     return build_eml(subject, from_addr, to_addr, body, html, attachments)
 
 
+def _gen_font_payload(rng: random.Random) -> str:
+    """A REAL font file (bytes-as-text): minimal sfnt (name/head/maxp with
+    proper checksums) as TrueType or OTTO-flavored, half wrapped in a WOFF
+    container (core/fontbin.py builders). Metadata-only payload — naming
+    lands in the font_family/font_name meta keys, no body spans."""
+    family = " ".join(
+        w.capitalize() for w in (rng.choice(_WORDS), rng.choice(_WORDS))
+    )
+    sub = rng.choice(("Regular", "Bold", "Italic", "Light"))
+    version = "Version %d.%d" % (rng.randint(1, 4), rng.randint(0, 9))
+    flavor = "otf" if rng.random() < 0.35 else "ttf"
+    sfnt = build_sfnt(
+        family,
+        sub,
+        version,
+        flavor=flavor,
+        units_per_em=rng.choice((1000, 2048)),
+        n_glyphs=rng.randint(50, 900),
+    )
+    if rng.random() < 0.5:
+        return build_woff(sfnt, compress=rng.random() < 0.8).decode("latin-1")
+    return sfnt.decode("latin-1")
+
+
 def _gen_sqlite_payload(rng: random.Random) -> str:
     """A REAL SQLite database file (bytes-as-text): 1-3 user tables of
     word/NULL/integer cells built via the stdlib C library
@@ -741,8 +766,10 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
             entries.append(("member_%d.eml" % i, _gen_eml_payload(rng, depth + 1)))
         elif k < 0.95:
             entries.append(("member_%d.doc" % i, _gen_ole_payload(rng)))
-        else:
+        elif k < 0.975:
             entries.append(("member_%d.png" % i, _gen_png_payload(rng)))
+        else:  # font member (final r5, carved off the png draw's tail)
+            entries.append(("member_%d.woff" % i, _gen_font_payload(rng)))
     return _encode_archive(rng, entries)
 
 
@@ -887,7 +914,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 21
+N_ADVERSARIAL = 22
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1059,6 +1086,15 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 20),
             "spans": _make_spans([("sqlite", cut_db, "")]),
+        }
+    )
+    # truncated font: offset table intact, name table past EOF
+    # (fontbin bounds-check path -> 'font' taxonomy class)
+    cut_font = build_sfnt("Doomed Grotesk")[:40].decode("latin-1")
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 21),
+            "spans": _make_spans([("font", cut_font, "")]),
         }
     )
     return rows

@@ -93,6 +93,17 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
         )
         .when(head.startswith(sn.OLE_MAGIC_TEXT), F.lit(sn.KIND_OLE))
         .when(head.startswith(sn.SQLITE_MAGIC_TEXT), F.lit(sn.KIND_SQLITE))
+        .when(head.startswith(sn.FONT_TTF_MAGIC_TEXT), F.lit(sn.KIND_FONT))
+        .when(
+            head.startswith(sn.FONT_OTTO_MAGIC_TEXT)
+            & (F.substring(head, 5, 1) == "\x00"),
+            F.lit(sn.KIND_FONT),
+        )
+        .when(
+            head.startswith(sn.FONT_WOFF_MAGIC_TEXT)
+            & F.substring(head, 5, 1).isin(*sn.FONT_WOFF_FLAVOR_BYTES),
+            F.lit(sn.KIND_FONT),
+        )
         # ustar magic at its fixed in-header offset (1-based substring);
         # shorter payloads yield a short/empty substring -> no match, same
         # as the Python slice

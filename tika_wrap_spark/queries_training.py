@@ -2927,6 +2927,7 @@ def _error_class_col():
             F.lit("ical"),
         )
         .when(F.col("error").startswith("sqlite:"), F.lit("sqlite"))
+        .when(F.col("error").startswith("font:"), F.lit("font"))
         .when(
             F.col("error").contains("tag") | F.col("error").contains("comment")
             | F.col("error").contains("declaration"),
@@ -3167,6 +3168,34 @@ def q_sqlite_route(spark, d):
             .alias("n_tables"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_font_route(spark, d):
+    """Font-file routing tallies (final r5): sfnt (TrueType/OTTO) and WOFF
+    payloads route by their guarded magics (sniffer kind 19, both forms)
+    and surface naming metadata — `font_family`/`font_name` meta keys, no
+    body spans (core/fontbin.py — Tika's TrueTypeParser analog,
+    /root/reference/src/java-env.cpp:313); a truncated font lands in the
+    'font' error-taxonomy class. Fonts ride archives in this corpus, so
+    the filter keys on the meta/error surfaces, not top-level kinds."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("font_family") != "")
+            | F.array_contains(F.split(meta_at("kinds"), ","), "font")
+            | F.col("error").startswith("font:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            meta_at("font_family").alias("font_family"),
+            meta_at("font_name").alias("font_name"),
+            F.size("spans").alias("n_spans"),
         )
     )
 
