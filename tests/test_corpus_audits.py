@@ -119,3 +119,60 @@ def test_length_drift_scale_shape(spark, tmp_path):
     # A (all in bin0): CDF 1.0 everywhere -> max diff at bin0 = 666667
     # B: CDF 0, 1/2, 1 -> diff at bin0 = 333333, bin3 = |500000-666666|
     assert got == {"A": 1000000 - 333333, "B": 333333}
+
+
+def test_source_divergence_hand_computed(spark, tmp_path):
+    # A: "a a a b" -> a:3 b:1, n=4;  B: "b b b b" -> b:4, n=4
+    # global: a:3 b:5, N=8 -> q_a=375000, q_b=625000
+    # A: p_a=750000 -> (375000^2) div 375001 = 374999
+    #    p_b=250000 -> (375000^2) div 625001 = 224999  => chisq 599998
+    # B: p_b=1000000 -> (375000^2) div 625001 = 224999
+    d = _docs_dir(
+        spark, tmp_path, [("a a a b", "en", "A"), ("b b b b", "en", "B")]
+    )
+    got = {r["source"]: r for r in qt.q_source_divergence(spark, d).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["n_tokens"], a["n_types"]) == (4, 2)
+    assert a["chisq_q"] == 374999 + 224999
+    assert (a["top_contrib"], a["top_tok"]) == (374999, "a")
+    assert (b["n_tokens"], b["n_types"], b["chisq_q"]) == (4, 1, 224999)
+    assert b["top_tok"] == "b"
+
+
+def test_source_divergence_uniform_mix_scores_zero(spark, tmp_path):
+    # both sources share the same distribution -> p == q -> chisq 0
+    d = _docs_dir(
+        spark, tmp_path, [("w w z", "en", "A"), ("w w z", "en", "B")]
+    )
+    for r in qt.q_source_divergence(spark, d).collect():
+        assert r["chisq_q"] == 0 and r["top_contrib"] == 0
+
+
+def test_ngram_novelty_hand_computed(spark, tmp_path):
+    # ids 0..3, 8 batches -> batch = id*2. doc0 "a b c" (b0: 'a b','b c'),
+    # doc1 "a b d" (b2: 'a b','b d'), doc2 "a b" (b4: 'a b'),
+    # doc3 "x" (no bigrams -> batch 6 emits no row).
+    d = _docs_dir(
+        spark,
+        tmp_path,
+        [("a b c", "en", "A"), ("a b d", "en", "A"), ("a b", "en", "A"), ("x", "en", "A")],
+    )
+    rows = qt.q_ngram_novelty(spark, d).collect()
+    got = {r["batch"]: (r["n_bigrams"], r["n_new_types"], r["new_share_q"]) for r in rows}
+    assert got == {0: (2, 2, 1000), 2: (2, 1, 500), 4: (1, 0, 0)}
+
+
+def test_ngram_novelty_single_token_docs_contribute_nothing(spark, tmp_path):
+    # the sequence(1, 0)-is-descending guard: 1-token docs must yield no
+    # bigrams, not raise on a negative slice
+    d = _docs_dir(spark, tmp_path, [("solo", "en", "A"), ("pair of tokens", "en", "A")])
+    rows = qt.q_ngram_novelty(spark, d).collect()
+    assert sum(r["n_bigrams"] for r in rows) == 2
+
+
+def test_new_audit_plans_stay_jvm_side(spark, tmp_path):
+    d = _docs_dir(spark, tmp_path, [("a b c d", "en", "A"), ("b c d e", "en", "B")])
+    for q in (qt.q_source_divergence, qt.q_ngram_novelty):
+        plan = plans.formatted_plan(q(spark, d))
+        assert not plans.has_node(plan, "BatchEvalPython"), plan
+        assert not plans.has_node(plan, "Window"), plan

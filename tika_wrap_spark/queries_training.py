@@ -622,6 +622,179 @@ FROM agg
 """
 
 
+def q_source_divergence(spark, d):
+    """Per-source unigram-distribution divergence vs the global mix
+    (final r5): a chi-square-shaped integer statistic over quantized
+    token shares — p = floor(1e6*cnt/n_s) per source, q = floor(1e6*g/N)
+    global, contribution (p-q)^2 div (q+1) summed per source, plus the
+    single most divergent token (tie-break: min tok at the max
+    contribution). The domain-shift alarm a curator reads before mixing
+    sources — template spam or an off-distribution crawl slice shows up
+    as a big chisq_q with its signature token named. Integer-exact in
+    both engines (house rule: no libm in oracled paths). Scale shape:
+    token counts are one partial-aggregable shuffle; the global table
+    re-aggregates it (vocab-bounded); N rides a 1-row broadcast
+    crossJoin; per-source totals broadcast (dimension-sized); the argmax
+    is a second vocab-bounded pass — no windows, no all-pairs."""
+    docs = _t(spark, d, "documents")
+    toks = (
+        dd.normalized(docs)
+        .select("source", F.explode(F.split("norm", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    per = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    totals = per.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_s"))
+    glob = per.groupBy("tok").agg(F.sum("cnt").cast("long").alias("g"))
+    n_row = per.agg(F.sum("cnt").cast("long").alias("big_n"))
+    joined = (
+        per.join(glob, "tok")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("p", F.expr("(1000000 * cnt) div n_s").cast("long"))
+        .withColumn("q", F.expr("(1000000 * g) div big_n").cast("long"))
+        .withColumn(
+            "contrib", F.expr("((p - q) * (p - q)) div (q + 1)").cast("long")
+        )
+    )
+    agg = joined.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("contrib").cast("decimal(38,0)")).cast("long").alias("chisq_q"),
+        F.max("contrib").alias("top_contrib"),
+    )
+    top = (
+        joined.join(
+            agg.select("source", "top_contrib"),
+            ["source"],
+        )
+        .filter(F.col("contrib") == F.col("top_contrib"))
+        .groupBy("source")
+        .agg(F.min("tok").alias("top_tok"))
+    )
+    return agg.join(top, "source").select(
+        "source", "n_tokens", "n_types", "chisq_q", "top_contrib", "top_tok"
+    )
+
+
+SQL_SOURCE_DIVERGENCE = f"""
+WITH toks AS (
+  SELECT source, tok
+  FROM (SELECT source, unnest(str_split({_NORM_DUCK}, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), per AS (
+  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+), totals AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM per GROUP BY 1
+), gtab AS (
+  SELECT tok, CAST(sum(cnt) AS BIGINT) AS g FROM per GROUP BY 1
+), joined AS (
+  SELECT per.source, per.tok, per.cnt,
+         (1000000 * per.cnt) // totals.n_s AS p,
+         (1000000 * gtab.g) // (SELECT CAST(sum(cnt) AS BIGINT) FROM per) AS q
+  FROM per JOIN gtab USING (tok) JOIN totals USING (source)
+), contribs AS (
+  SELECT source, tok, cnt,
+         ((p - q) * (p - q)) // (q + 1) AS contrib
+  FROM joined
+), agg AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         count(*) AS n_types,
+         CAST(sum(contrib) AS BIGINT) AS chisq_q,
+         CAST(max(contrib) AS BIGINT) AS top_contrib
+  FROM contribs GROUP BY 1
+), top AS (
+  SELECT c.source, min(c.tok) AS top_tok
+  FROM contribs c JOIN agg USING (source)
+  WHERE c.contrib = agg.top_contrib
+  GROUP BY 1
+)
+SELECT source, n_tokens, n_types, chisq_q, top_contrib, top_tok
+FROM agg JOIN top USING (source)
+"""
+
+
+def q_ngram_novelty(spark, d):
+    """N-gram novelty saturation (final r5): bucket the corpus into 8
+    doc-id batches (train order without a global sort — the batch index
+    is derived arithmetically from doc_id against a 1-row max broadcast)
+    and, per batch, count bigram OCCURRENCES and the bigram TYPES whose
+    FIRST occurrence (min batch) lands there. The new-type share per
+    batch is the diminishing-returns curve curators read to decide
+    whether more data from a source still buys vocabulary — flat share =
+    novel content, collapsing share = the source is exhausted/templated.
+    Integer-exact; scale shape: bigram explode is linear, first-occurrence
+    is one partial-aggregable groupBy over bigram keys, the batch rollup
+    is 8 rows — no windows, no joins beyond the 1-row broadcast."""
+    docs = _t(spark, d, "documents")
+    max_row = docs.agg(F.max(F.col("doc_id").cast("long")).alias("max_id"))
+    toks = (
+        dd.normalized(docs)
+        .crossJoin(F.broadcast(max_row))
+        .withColumn(
+            "batch",
+            F.expr("(CAST(doc_id AS LONG) * 8) div (max_id + 1)").cast("long"),
+        )
+        .withColumn("arr", F.split("norm", " "))
+        # guard the descending-sequence edge (house rule: sequence(1, 0)
+        # is [1, 0] in Spark): docs with < 2 tokens contribute no bigrams
+        .withColumn(
+            "bigrams",
+            F.expr(
+                "CASE WHEN size(arr) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(arr) - 1), "
+                "i -> concat(arr[i - 1], ' ', arr[i])) END"
+            ),
+        )
+        .select("batch", F.explode("bigrams").alias("bg"))
+        .filter(~F.col("bg").startswith(" ") & ~F.col("bg").endswith(" "))
+    )
+    per_bg = toks.groupBy("bg").agg(
+        F.min("batch").alias("first_batch"), F.count("*").alias("cnt")
+    )
+    occ = toks.groupBy("batch").agg(F.count("*").cast("long").alias("n_bigrams"))
+    new_types = per_bg.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count("*").alias("n_new_types")
+    )
+    return (
+        occ.join(new_types, "batch", "left")
+        .withColumn("n_new_types", F.coalesce("n_new_types", F.lit(0)))
+        .withColumn(
+            "new_share_q",
+            F.expr("(1000 * n_new_types) div n_bigrams").cast("long"),
+        )
+        .orderBy("batch")
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH base AS (
+  SELECT (CAST(doc_id AS BIGINT) * 8) //
+           ((SELECT max(CAST(doc_id AS BIGINT)) FROM documents) + 1) AS batch,
+         str_split({_NORM_DUCK}, ' ') AS arr
+  FROM documents
+), toks AS (
+  -- range(1, 1) is already [] in DuckDB; only Spark needs the
+  -- descending-sequence guard (sequence(1, 0) = [1, 0])
+  SELECT batch, arr[i] || ' ' || arr[i + 1] AS bg
+  FROM base, unnest(range(1, len(arr))) AS t(i)
+  WHERE arr[i] <> '' AND arr[i + 1] <> ''
+), per_bg AS (
+  SELECT bg, min(batch) AS first_batch, count(*) AS cnt FROM toks GROUP BY 1
+), occ AS (
+  SELECT batch, CAST(count(*) AS BIGINT) AS n_bigrams FROM toks GROUP BY 1
+), new_types AS (
+  SELECT first_batch AS batch, count(*) AS n_new_types FROM per_bg GROUP BY 1
+)
+SELECT occ.batch, occ.n_bigrams,
+       coalesce(new_types.n_new_types, 0) AS n_new_types,
+       CAST((1000 * coalesce(new_types.n_new_types, 0)) // occ.n_bigrams AS BIGINT)
+         AS new_share_q
+FROM occ LEFT JOIN new_types USING (batch)
+ORDER BY batch
+"""
+
+
 def q_source_vocab_overlap(spark, d):
     """Cross-source vocabulary overlap (r5): Jaccard over the type sets of
     every source pair — the domain-similarity matrix a mixture designer

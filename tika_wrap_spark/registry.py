@@ -25,6 +25,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
     "sqlite_route": (qt.q_sqlite_route, None),
     "font_route": (qt.q_font_route, None),
+    "source_divergence": (qt.q_source_divergence, qt.SQL_SOURCE_DIVERGENCE),
+    "ngram_novelty": (qt.q_ngram_novelty, qt.SQL_NGRAM_NOVELTY),
     "lexical_diversity": (qt.q_lexical_diversity, qt.SQL_LEXICAL_DIVERSITY),
     "length_drift": (qt.q_length_drift, qt.SQL_LENGTH_DRIFT),
     "zipf_profile": (qt.q_zipf_profile, qt.SQL_ZIPF_PROFILE),
