@@ -89,6 +89,10 @@ HEADLINE = [
     "source_vocab_overlap",
     "lexical_diversity",
     "length_drift",
+    "source_divergence",
+    "ngram_novelty",
+    "sqlite_route",
+    "font_route",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,

@@ -901,3 +901,55 @@ def test_outline_cycle_guard():
         [{"kind": "pdf", "text": looped.decode("latin-1"), "media_ref": "", "offset": 0}]
     )
     assert res["parse_ok"] and res["meta"]["pdf_outline"] == "A"
+
+
+# ---------------------------------------------------------------------------
+# inline images (BI/ID/EI, §8.9.7) — post-restart r5
+# ---------------------------------------------------------------------------
+
+
+def test_inline_image_data_skipped_wholesale():
+    """The raw image data carries '(', '<' and 'BT' look-alike bytes; the
+    tokenizer must jump past EI, never parse them — text before AND after
+    the image survives, and none of the image bytes leak into runs."""
+    from tika_wrap_spark.core.pdfbin import build_pdf, parse_real_pdf_text_full
+
+    pages = [
+        [(72.0, 700.0, "before the image"), (72.0, 680.0, "after the image")],
+        [(72.0, 700.0, "second page intact")],
+    ]
+    for kw in (
+        {},
+        {"use_tm": True},
+        {"content_filter": "lzw"},
+        {"encrypt": "rc4-128"},
+        {"xref_stream": True, "tj_arrays": True},
+    ):
+        pdf = build_pdf(pages, inline_image=True, **kw).decode("latin-1")
+        parsed = parse_real_pdf_text_full(pdf)[0]
+        texts = [[t for _x, _y, t in pg] for pg in parsed]
+        assert texts == [
+            ["before the image", "after the image"],
+            ["second page intact"],
+        ], (kw, texts)
+        flat = " ".join(t for pg in texts for t in pg)
+        assert "\xff" not in flat and "BI" not in flat
+
+
+def test_inline_image_missing_ei_drops_tail_not_document():
+    """Image data with the EI sentinel cut off: the rest of that content
+    stream is unreadable by spec (data is unlabeled), so the parser skips
+    to stream end — the page's earlier text and OTHER pages survive."""
+    import re
+
+    from tika_wrap_spark.core.pdfbin import build_pdf, parse_real_pdf_text_full
+
+    pages = [[(72.0, 700.0, "kept text")], [(72.0, 700.0, "other page")]]
+    pdf = build_pdf(pages, inline_image=True, flate=False)
+    # same-length replacement: xref offsets must stay valid
+    cut = re.sub(rb" EI\nQ", b"\x01\x02\x03\x04\x05", pdf)
+    assert cut != pdf
+    parsed = parse_real_pdf_text_full(cut.decode("latin-1"))[0]
+    texts = [[t for _x, _y, t in pg] for pg in parsed]
+    assert texts[0] == ["kept text"]
+    assert texts[1] == ["other page"]

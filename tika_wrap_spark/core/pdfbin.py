@@ -1695,6 +1695,13 @@ _FAST_TM = re.compile(
 )
 _FAST_TJ = re.compile(rb"%s*Tj%s" % (_WS_C, _OPEND))
 _FAST_TJARR = re.compile(rb"%s*TJ%s" % (_WS_C, _OPEND))
+# inline-image terminator (§8.9.7): whitespace + EI + delimiter/EOF. The
+# image data after ID is raw binary that can contain bytes shaped like
+# string/dict openers or text operators — it must be skipped WHOLESALE,
+# never tokenized (PDF 2.0 added /L precisely because this scan is the
+# only heuristic for unlabeled data; a data-embedded "\sEI\s" cuts early,
+# which loses the image, never the text after it).
+_INLINE_EI = re.compile(rb"%sEI(?=%s|$)" % (_WS_C, _WS_C))
 _NUM_TOK = re.compile(rb"%s" % _NUM_C)
 
 
@@ -1880,6 +1887,13 @@ def _content_runs(
             if in_text and isinstance(stack[-1], list):
                 parts = [p for p in stack[-1] if isinstance(p, bytes)]
                 show(b"".join(parts))
+            stack.clear()
+        elif op == b"ID":
+            # inline image data (BI ... ID <binary> EI): the BI dict's
+            # name/number tokens parsed through the normal paths; from
+            # here the payload is raw binary — jump past the EI sentinel
+            ei = _INLINE_EI.search(content, i)
+            i = ei.end() if ei else n
             stack.clear()
         else:
             # any other operator: operands are consumed, text state unaffected
@@ -2092,6 +2106,7 @@ def build_pdf(
     form_fields: list[tuple[str, str]] | None = None,
     xmp_title: str | None = None,
     outlines: list[tuple[int, str]] | None = None,
+    inline_image: bool = False,
 ) -> bytes:
     """Build a real, deterministic, parser-valid PDF from (x, y, text) runs.
 
@@ -2282,6 +2297,18 @@ def build_pdf(
                 else:
                     lines.append(b"(%s) Tj" % esc)
         lines.append(b"ET")
+        if inline_image:
+            # BI/ID/EI inline image (§8.9.7) after the page text: 4x4
+            # 8-bpc grayscale whose RAW DATA deliberately carries string/
+            # operator look-alike bytes — the parser must skip it
+            # wholesale, never tokenize it
+            lines.append(b"q")
+            lines.append(
+                b"BI /W 4 /H 4 /CS /G /BPC 8 ID "
+                + b"(<BT\xff\x00)(\x01\x02\x03\x04\x05\x06\x07\x08"
+                + b" EI"
+            )
+            lines.append(b"Q")
         body = b"\n".join(lines)
         if content_filter == "lzw":
             comp = enc_stream(cont_num, _lzw_encode(body))

@@ -268,7 +268,15 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
             else "rc4-128" if form < 0.54
             else None
         )
-        return build_pdf_text(pages, encrypt=enc, attachments=_attachments())
+        return build_pdf_text(
+            pages,
+            encrypt=enc,
+            attachments=_attachments(),
+            # half this slice (a form digit, no new draws) carries a
+            # BI/ID/EI inline image whose raw data is full of string/
+            # operator look-alikes — the wholesale-skip regression surface
+            inline_image=bool(int(form * 1e8) & 1),
+        )
     if form < 0.74:
         # sub-ranges of form (again no extra rng draws): LZW / RunLength /
         # ASCII85+Flate-chain content filters, else plain uncompressed
@@ -310,7 +318,12 @@ def _gen_pdf_payload(rng: random.Random, giant: bool = False) -> str:
             pages, use_tm=True, encrypt="rc4-40" if form < 0.77 else None, **extras
         )
     if form < 0.92:
-        return build_pdf_text(pages, xref_stream=True, tj_arrays=True)
+        return build_pdf_text(
+            pages,
+            xref_stream=True,
+            tj_arrays=True,
+            inline_image=bool(int(form * 1e8) & 1),
+        )
     # CID slice: splice non-Latin words into the page text so the Type0
     # path decodes something WinAnsi never could
     cid_pages = [
