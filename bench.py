@@ -93,6 +93,7 @@ HEADLINE = [
     "ngram_novelty",
     "sqlite_route",
     "font_route",
+    "warc_route",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,

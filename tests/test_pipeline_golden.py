@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 122  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 123  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -58,8 +58,8 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # bad gzip, dangling-xref real pdf, gzip/xz/bz2 decompression bombs,
     # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
     # pdf, unterminated ics, property-less msg, truncated sqlite,
-    # truncated font
-    assert len(bad) == 21
+    # truncated font, truncated warc
+    assert len(bad) == 22
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -157,6 +157,9 @@ def test_corpus_mix_composition_pinned():
     # (pdf 140 -> 132, + sqlite 8), and the font member carve ([0.975, 1)
     # of the container member draw) shifted one container's downstream
     # serialization draw from tar to zip (zip 18 -> 19, tar 5 -> 4).
+    # The WARC carve ([0.40, 0.50) of the raw-container sub-draw) turned
+    # one zip and one tar doc into web archives (zip 19 -> 18, tar 4 -> 3,
+    # + warc 2).
     assert dict(kinds) == {
         "csv": 76,
         "pdf": 132,
@@ -168,9 +171,10 @@ def test_corpus_mix_composition_pinned():
         "json": 24,
         "eml": 12,
         "rtf": 15,
-        "zip": 19,
+        "zip": 18,
         "ole": 7,
-        "tar": 4,
+        "tar": 3,
         "ics": 8,
         "vcf": 4,
+        "warc": 2,
     }, dict(kinds)

@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 52  # 30 + 22 adversarial
+    assert read.count() == 53  # 30 + 23 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -232,6 +232,11 @@ def test_jvm_sniffer_fuzz_parity(spark):
         "II*\x00", "MM\x00*", "II* prose", "MM prose", "II*\x00\x08\x00",
         "\x00\x00\x00\x18ftypisom", "\x00\x00\x00\x18ftyp", "ftyp",
         "abcdftypXXXX", "xx\x00\x18ftypmp42",
+        # WARC version-line magic (offset-0 exact, case-sensitive; a record
+        # head also carries html/eml-shaped material the later rules would
+        # otherwise claim)
+        "WARC/1.0\r\nWARC-Type: response\r\n", "WARC/", "WARC", "warc/1.0\n",
+        " WARC/1.0\n", "WARC/1.0\r\nContent-Type: text/html\r\n\r\n<html>",
     ]
     payloads = []
     for _ in range(2000):

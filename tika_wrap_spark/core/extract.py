@@ -49,12 +49,14 @@ from tika_wrap_spark.core.sniff import (
     KIND_TAR,
     KIND_TEXT,
     KIND_VCF,
+    KIND_WARC,
     KIND_XML,
     KIND_XZ,
     KIND_ZIP,
     sniff_kind,
 )
 from tika_wrap_spark.core.sqlitebin import sqlite_extract_text
+from tika_wrap_spark.core.warcbin import parse_warc_text
 
 # compressed-stream wrappers: decompress and re-sniff the inner stream
 # (each counts as one container level with a single unnamed member)
@@ -160,6 +162,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     eml_from = ""
     ical_summary = ""  # first event SUMMARY / first card FN (core/ical.py)
     sqlite_tables = ""  # first database's user-table names, comma-joined
+    warc_target = ""  # first warc payload record's WARC-Target-URI
     font_meta: dict[str, str] = {}  # first font payload's naming metadata
     charset_first = ""  # first detected non-default payload charset
     n_transcoded = 0  # payloads that went through a charset transcode
@@ -180,7 +183,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         nonlocal depth_max, title, pdf1_dims, pdf_crypt, pdf_title, pdf_outline
         nonlocal media1_dims, container_format  # media1_png_text/exif mutate
         nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
-        nonlocal sqlite_tables
+        nonlocal sqlite_tables, warc_target
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
             # sniffs text-family first (its magic bytes match nothing), the
@@ -389,6 +392,26 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             for name, payload in eml_parts:
                 n_entries += 1
                 route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
+        elif kind == KIND_WARC:
+            # WARC web archive (core/warcbin.py; Tika WARCParser analog —
+            # the Common Crawl ingestion shape): one more container kind.
+            # Each payload-bearing record (HTTP envelope stripped) re-sniffs
+            # and recurses, so crawled html bodies run the REAL boilerplate
+            # stripper; members are named by their target URI.
+            if depth >= MAX_CONTAINER_DEPTH:
+                raise ExtractError(
+                    "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
+                )
+            records, w_meta = parse_warc_text(text)
+            n_containers += 1
+            depth_max = max(depth_max, depth + 1)
+            if not container_format:
+                container_format = KIND_WARC
+            if not warc_target:
+                warc_target = w_meta["warc_target"]
+            for name, payload in records:
+                n_entries += 1
+                route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
         elif kind == KIND_XML:
             emit(KIND_TEXT, extract_xml_text(text), "")
         else:
@@ -433,6 +456,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "eml_from": eml_from,
         "ical_summary": ical_summary,
         "sqlite_tables": sqlite_tables,
+        "warc_target": warc_target,
         "font_family": font_meta.get("family", ""),
         "font_name": font_meta.get("full_name", ""),
         "charset": charset_first,

@@ -33,6 +33,10 @@ KIND_ICS = "ics"  # iCalendar (RFC 5545), BEGIN:VCALENDAR opener
 KIND_VCF = "vcf"  # vCard (RFC 6350), BEGIN:VCARD opener
 KIND_SQLITE = "sqlite"  # SQLite database, 16-byte magic at offset 0
 KIND_FONT = "font"  # sfnt (TrueType/OpenType) or WOFF font file
+KIND_WARC = "warc"  # WARC web archive (ISO 28500), 'WARC/' at offset 0
+
+# WARC version-line magic (ISO 28500 §5.2) — exact offset 0, case-sensitive
+WARC_MAGIC_TEXT = "WARC/"
 
 # calendar/contact openers, matched on the lstripped-lowered head
 ICS_OPENER_TEXT = "begin:vcalendar"
@@ -121,6 +125,9 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       4f. head starts with sfnt 0x00010000, or 'OTTO' with a NUL 5th
          byte, or 'wOFF' with a plausible flavor byte -> 'font'
          (metadata-only payload: core/fontbin.py)
+      4g. head starts with 'WARC/'                -> 'warc' (web archive,
+         ISO 28500: records route to core/warcbin.py; MUST precede the
+         html-contains rule — response blocks carry html in the head)
       5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
@@ -179,6 +186,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_FONT
     if head.startswith(FONT_WOFF_MAGIC_TEXT) and head[4:5] in FONT_WOFF_FLAVOR_BYTES:
         return KIND_FONT
+    if head.startswith(WARC_MAGIC_TEXT):
+        return KIND_WARC
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
         return KIND_TAR
     for magic in _MEDIA_MAGICS:

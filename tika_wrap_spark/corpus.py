@@ -46,6 +46,7 @@ from tika_wrap_spark.core.rtf import build_rtf
 from tika_wrap_spark.core.fontbin import build_sfnt, build_woff
 from tika_wrap_spark.core.sqlitebin import build_sqlite
 from tika_wrap_spark.core.tarbin import build_tar_text
+from tika_wrap_spark.core.warcbin import build_warc
 from tika_wrap_spark.core.zipbin import build_zip_text
 
 # cp1252-exercising vocabulary for rtf/eml payloads (escape + charset paths)
@@ -561,6 +562,24 @@ def _gen_epub_payload(rng: random.Random) -> str:
     return build_zip_text(entries, deflate=[False] + [True] * (len(entries) - 1))
 
 
+def _gen_warc_payload(rng: random.Random) -> str:
+    """A WARC web archive (core/warcbin.py): the Common Crawl ingestion
+    shape — 2-4 ``response`` records, each a crawled page inside its HTTP
+    envelope. ~70% of bodies are html (they run the REAL boilerplate
+    stripper on extraction), the rest plain text."""
+    records = []
+    for _ in range(rng.randint(2, 4)):
+        uri = "https://%s.example.org/%s" % (
+            rng.choice(_WORDS),
+            _words(rng, 2).replace(" ", "/"),
+        )
+        if rng.random() < 0.7:
+            records.append((uri, "text/html", _gen_html_payload(rng)))
+        else:
+            records.append((uri, "text/plain", _gen_text_payload(rng)))
+    return build_warc(records)
+
+
 def _gen_rtf_payload(rng: random.Random) -> str:
     """RTF payload: 2-6 paragraphs, ~half carrying cp1252 accents (the
     ``\\'hh`` escape path), an \\info title destination the extractor must
@@ -914,7 +933,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     else:  # RAW container doc (TWC1 archive; recursive extraction path)
         # ~1-in-4 of this slice is a legacy binary Office doc; late r5:
         # the next ~12% an OpenDocument package and ~3% an EPUB (both
-        # mimetype-marker zips)
+        # mimetype-marker zips); final r5: the next ~10% a WARC web archive
         sub = rng.random()
         if sub < 0.25:
             payloads = [("ole", _gen_ole_payload(rng), "")]
@@ -922,12 +941,16 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             payloads = [("zip", _gen_odf_payload(rng), "")]
         elif sub < 0.40:
             payloads = [("zip", _gen_epub_payload(rng), "")]
+        elif sub < 0.50:  # WARC web archive (final r5; carved off the
+            # generic-container range — docs with sub >= 0.50 keep their
+            # payloads bit-exactly, the sub draw precedes generation)
+            payloads = [("warc", _gen_warc_payload(rng), "")]
         else:
             payloads = [("zip", _gen_container_payload(rng), "")]
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 22
+N_ADVERSARIAL = 23
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1108,6 +1131,17 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 21),
             "spans": _make_spans([("font", cut_font, "")]),
+        }
+    )
+    # truncated WARC: Content-Length overruns the payload (warcbin
+    # bounds-check path -> 'warc' taxonomy class)
+    cut_warc = build_warc(
+        [("https://cut.example.org/page", "text/html", "<html><body>doomed")]
+    )[:-40]
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 22),
+            "spans": _make_spans([("warc", cut_warc, "")]),
         }
     )
     return rows

@@ -104,6 +104,7 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
             & F.substring(head, 5, 1).isin(*sn.FONT_WOFF_FLAVOR_BYTES),
             F.lit(sn.KIND_FONT),
         )
+        .when(head.startswith(sn.WARC_MAGIC_TEXT), F.lit(sn.KIND_WARC))
         # ustar magic at its fixed in-header offset (1-based substring);
         # shorter payloads yield a short/empty substring -> no match, same
         # as the Python slice
