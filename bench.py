@@ -94,6 +94,7 @@ HEADLINE = [
     "sqlite_route",
     "font_route",
     "warc_route",
+    "mbox_route",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,

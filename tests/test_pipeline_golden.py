@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 123  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 124  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -58,8 +58,8 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # bad gzip, dangling-xref real pdf, gzip/xz/bz2 decompression bombs,
     # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
     # pdf, unterminated ics, property-less msg, truncated sqlite,
-    # truncated font, truncated warc
-    assert len(bad) == 22
+    # truncated font, truncated warc, empty-sender mbox
+    assert len(bad) == 23
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -159,7 +159,8 @@ def test_corpus_mix_composition_pinned():
     # serialization draw from tar to zip (zip 18 -> 19, tar 5 -> 4).
     # The WARC carve ([0.40, 0.50) of the raw-container sub-draw) turned
     # one zip and one tar doc into web archives (zip 19 -> 18, tar 4 -> 3,
-    # + warc 2).
+    # + warc 2), and the mbox carve took the eml slice tail, r in
+    # [0.655, 0.66) (eml 12 -> 10, + mbox 2).
     assert dict(kinds) == {
         "csv": 76,
         "pdf": 132,
@@ -169,7 +170,8 @@ def test_corpus_mix_composition_pinned():
         "media": 59,
         "text": 154,
         "json": 24,
-        "eml": 12,
+        "eml": 10,
+        "mbox": 2,
         "rtf": 15,
         "zip": 18,
         "ole": 7,

@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 53  # 30 + 23 adversarial
+    assert read.count() == 54  # 30 + 24 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -237,6 +237,11 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # otherwise claim)
         "WARC/1.0\r\nWARC-Type: response\r\n", "WARC/", "WARC", "warc/1.0\n",
         " WARC/1.0\n", "WARC/1.0\r\nContent-Type: text/html\r\n\r\n<html>",
+        # mbox From_ separator: needs '@' in the line AND an rfc5322
+        # corroborator; prose/near-misses must fall through
+        "From a@x Thu Jan  1 00:00:00 2026\nSubject: hi\n",
+        "From a@x Thu Jan  1\n", "From no-at-sign Thu\nSubject: hi\n",
+        "from a@x thu\nsubject: hi\n", "From a@x\n<html>",
     ]
     payloads = []
     for _ in range(2000):

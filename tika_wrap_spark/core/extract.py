@@ -29,6 +29,7 @@ from tika_wrap_spark.core.olebin import ole_extract_text
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
 from tika_wrap_spark.core.pdfbin import is_real_pdf_text, parse_real_pdf_text_full
 from tika_wrap_spark.core.eml import parse_eml
+from tika_wrap_spark.core.mbox import parse_mbox
 from tika_wrap_spark.core.rtf import rtf_to_text
 from tika_wrap_spark.core.ical import parse_ical, parse_vcard
 from tika_wrap_spark.core.fontbin import font_meta_text
@@ -41,6 +42,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_JSON,
     KIND_GZIP,
     KIND_HTML,
+    KIND_MBOX,
     KIND_MEDIA,
     KIND_OLE,
     KIND_PDF,
@@ -392,6 +394,24 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             for name, payload in eml_parts:
                 n_entries += 1
                 route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
+        elif kind == KIND_MBOX:
+            # mbox mailbox (core/mbox.py; Tika MboxParser analog): a
+            # container of rfc822 messages — each chunk routes through the
+            # SAME eml path explicitly (the separator declares the member
+            # type, as Tika's MboxParser does), so bodies/attachments
+            # recurse one level deeper
+            if depth >= MAX_CONTAINER_DEPTH:
+                raise ExtractError(
+                    "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
+                )
+            msgs = parse_mbox(text)
+            n_containers += 1
+            depth_max = max(depth_max, depth + 1)
+            if not container_format:
+                container_format = KIND_MBOX
+            for name, payload in msgs:
+                n_entries += 1
+                route(KIND_EML, payload, "", path + (name,), depth + 1)
         elif kind == KIND_WARC:
             # WARC web archive (core/warcbin.py; Tika WARCParser analog —
             # the Common Crawl ingestion shape): one more container kind.

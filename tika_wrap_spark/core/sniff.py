@@ -34,9 +34,16 @@ KIND_VCF = "vcf"  # vCard (RFC 6350), BEGIN:VCARD opener
 KIND_SQLITE = "sqlite"  # SQLite database, 16-byte magic at offset 0
 KIND_FONT = "font"  # sfnt (TrueType/OpenType) or WOFF font file
 KIND_WARC = "warc"  # WARC web archive (ISO 28500), 'WARC/' at offset 0
+KIND_MBOX = "mbox"  # mbox mailbox (RFC 4155), guarded From_ separator
 
 # WARC version-line magic (ISO 28500 §5.2) — exact offset 0, case-sensitive
 WARC_MAGIC_TEXT = "WARC/"
+
+# mbox From_ separator (RFC 4155 appendix A) — exact offset 0,
+# case-sensitive, and REQUIRES two corroborators ('@' in the separator
+# line, an rfc5322 header line in the head) so prose like
+# "From the desk of..." never misroutes
+MBOX_MAGIC_TEXT = "From "
 
 # calendar/contact openers, matched on the lstripped-lowered head
 ICS_OPENER_TEXT = "begin:vcalendar"
@@ -139,6 +146,11 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          offset-4 magic like tar's offset-257 ustar)
       6b. head starts with '{\\rtf'               -> 'rtf' (magic at offset
          0; MUST precede the json rule — an RTF head also begins '{')
+      6c. head starts with 'From ' (case-sensitive, offset 0) AND the
+         separator line carries '@' AND an rfc5322 header line follows in
+         the head window -> 'mbox' (RFC 4155 mailbox; MUST precede the
+         html rules — an early html body part could land in the head, and
+         the guards keep "From the desk of..." prose out)
       7. head (lstripped, lowercased) begins with an HTML marker -> 'html'
       8. lstripped head begins with '<?xml'       -> 'xml' (so an xhtml
          document with an xml prolog classifies xml — deterministic pin)
@@ -198,6 +210,12 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
     if head.startswith("{\\rtf"):
         return KIND_RTF
     lowered = head.lstrip().lower()
+    if (
+        head.startswith(MBOX_MAGIC_TEXT)
+        and "@" in head.split("\n", 1)[0]
+        and any(c in lowered for c in _EML_CORROBORATORS)
+    ):
+        return KIND_MBOX
     for marker in _HTML_MARKERS:
         if lowered.startswith(marker):
             return KIND_HTML

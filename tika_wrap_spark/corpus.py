@@ -46,6 +46,7 @@ from tika_wrap_spark.core.rtf import build_rtf
 from tika_wrap_spark.core.fontbin import build_sfnt, build_woff
 from tika_wrap_spark.core.sqlitebin import build_sqlite
 from tika_wrap_spark.core.tarbin import build_tar_text
+from tika_wrap_spark.core.mbox import build_mbox
 from tika_wrap_spark.core.warcbin import build_warc
 from tika_wrap_spark.core.zipbin import build_zip_text
 
@@ -623,6 +624,18 @@ def _gen_eml_payload(rng: random.Random, depth: int = 0) -> str:
     return build_eml(subject, from_addr, to_addr, body, html, attachments)
 
 
+def _gen_mbox_payload(rng: random.Random) -> str:
+    """An mbox mailbox of 2-3 messages (core/mbox.py), each drawn from the
+    SAME rfc822 generator the eml slice uses (depth=1 keeps attachments
+    one level shallower — the mailbox itself costs a container level);
+    the From_ separator line carries the envelope sender."""
+    msgs = []
+    for _ in range(rng.randint(2, 3)):
+        sender = "%s@%s.example" % (rng.choice(_WORDS), rng.choice(_WORDS))
+        msgs.append((sender, _gen_eml_payload(rng, depth=1)))
+    return build_mbox(msgs)
+
+
 def _gen_font_payload(rng: random.Random) -> str:
     """A REAL font file (bytes-as-text): minimal sfnt (name/head/maxp with
     proper checksums) as TrueType or OTTO-flavored, half wrapped in a WOFF
@@ -907,8 +920,11 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             payloads = [("ics", _gen_ics_payload(rng), "")]
         else:
             payloads = [("vcf", _gen_vcf_payload(rng), "")]
-    elif r < 0.66:  # rfc822/MIME message (message-as-container path)
+    elif r < 0.655:  # rfc822/MIME message (message-as-container path)
         payloads = [("eml", _gen_eml_payload(rng), "")]
+    elif r < 0.66:  # mbox mailbox (final r5; carved off the eml slice tail
+        # — docs outside [0.655, 0.66) keep their payloads bit-exactly)
+        payloads = [("mbox", _gen_mbox_payload(rng), "")]
     elif r < 0.82:
         payloads = [("pdf", _gen_pdf_payload(rng), "")]
     elif r < 0.83:  # sqlite database slice (final r5; carved off the pdf
@@ -950,7 +966,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 23
+N_ADVERSARIAL = 24
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1142,6 +1158,20 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 22),
             "spans": _make_spans([("warc", cut_warc, "")]),
+        }
+    )
+    # mbox with an EMPTY envelope sender in the From_ separator (the '@'
+    # sniff corroborator sits after the double space, so the payload still
+    # routes mbox; parse_mbox raise path -> 'mbox' taxonomy class)
+    bad_mbox = (
+        "From  doomed@example.invalid Thu Jan  1 00:00:00 2026\n"
+        "From: doomed@example.invalid\n"
+        "Subject: empty envelope sender\n\nbody line\n"
+    )
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 23),
+            "spans": _make_spans([("mbox", bad_mbox, "")]),
         }
     )
     return rows

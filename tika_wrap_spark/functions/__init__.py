@@ -120,6 +120,15 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
             F.lit(sn.KIND_MEDIA),
         )
         .when(head.startswith("{\\rtf"), F.lit(sn.KIND_RTF))
+        # mbox From_ separator with its two corroborators ('@' in the
+        # separator line, an rfc5322 header in the head) — before the html
+        # rules, mirroring the Python rule order
+        .when(
+            head.startswith(sn.MBOX_MAGIC_TEXT)
+            & first_line.contains("@")
+            & eml_corr,
+            F.lit(sn.KIND_MBOX),
+        )
         .when(html_marker, F.lit(sn.KIND_HTML))
         .when(lowered.startswith("<?xml"), F.lit(sn.KIND_XML))
         .when(lowered.contains("<html"), F.lit(sn.KIND_HTML))

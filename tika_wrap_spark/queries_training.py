@@ -3102,6 +3102,7 @@ def _error_class_col():
         .when(F.col("error").startswith("sqlite:"), F.lit("sqlite"))
         .when(F.col("error").startswith("font:"), F.lit("font"))
         .when(F.col("error").startswith("warc:"), F.lit("warc"))
+        .when(F.col("error").startswith("mbox:"), F.lit("mbox"))
         .when(
             F.col("error").contains("tag") | F.col("error").contains("comment")
             | F.col("error").contains("declaration"),
@@ -3375,6 +3376,39 @@ def q_warc_route(spark, d):
             F.try_element_at("meta", F.lit("n_container_entries"))
             .cast("int")
             .alias("n_records"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_mbox_route(spark, d):
+    """mbox mailbox extraction tallies (final r5): mailboxes route by the
+    guarded From_ separator (offset-0 'From ' + '@' in the separator line
+    + an rfc5322 header corroborator — sniffer kind 21, both forms) and
+    extract as a container of rfc822 messages, each routed through the
+    SAME eml core (core/mbox.py — Tika's MboxParser analog,
+    /root/reference/src/java-env.cpp:313-314); the first message's
+    subject/sender land in the shared eml_subject/eml_from meta keys and
+    an empty envelope sender lands in the 'mbox' error-taxonomy class."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("container_format") == "mbox")
+            | F.col("error").startswith("mbox:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            meta_at("eml_subject").alias("first_subject"),
+            F.try_element_at("meta", F.lit("n_containers"))
+            .cast("int")
+            .alias("n_containers"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
         )

@@ -24,6 +24,7 @@ from tika_wrap_spark import queries_training as qt
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
     "warc_route": (qt.q_warc_route, None),
+    "mbox_route": (qt.q_mbox_route, None),
     "sqlite_route": (qt.q_sqlite_route, None),
     "font_route": (qt.q_font_route, None),
     "source_divergence": (qt.q_source_divergence, qt.SQL_SOURCE_DIVERGENCE),
