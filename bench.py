@@ -95,6 +95,7 @@ HEADLINE = [
     "font_route",
     "warc_route",
     "mbox_route",
+    "plist_route",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,

@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 124  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 125  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -58,8 +58,8 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # bad gzip, dangling-xref real pdf, gzip/xz/bz2 decompression bombs,
     # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
     # pdf, unterminated ics, property-less msg, truncated sqlite,
-    # truncated font, truncated warc, empty-sender mbox
-    assert len(bad) == 23
+    # truncated font, truncated warc, empty-sender mbox, truncated plist
+    assert len(bad) == 24
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -160,7 +160,8 @@ def test_corpus_mix_composition_pinned():
     # The WARC carve ([0.40, 0.50) of the raw-container sub-draw) turned
     # one zip and one tar doc into web archives (zip 19 -> 18, tar 4 -> 3,
     # + warc 2), and the mbox carve took the eml slice tail, r in
-    # [0.655, 0.66) (eml 12 -> 10, + mbox 2).
+    # [0.655, 0.66) (eml 12 -> 10, + mbox 2); the plist carve took the rtf
+    # slice tail, r in [0.855, 0.86) (rtf 15 -> 12, + plist 3).
     assert dict(kinds) == {
         "csv": 76,
         "pdf": 132,
@@ -172,7 +173,8 @@ def test_corpus_mix_composition_pinned():
         "json": 24,
         "eml": 10,
         "mbox": 2,
-        "rtf": 15,
+        "rtf": 12,
+        "plist": 3,
         "zip": 18,
         "ole": 7,
         "tar": 3,

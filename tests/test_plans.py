@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 54  # 30 + 24 adversarial
+    assert read.count() == 55  # 30 + 25 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -242,6 +242,8 @@ def test_jvm_sniffer_fuzz_parity(spark):
         "From a@x Thu Jan  1 00:00:00 2026\nSubject: hi\n",
         "From a@x Thu Jan  1\n", "From no-at-sign Thu\nSubject: hi\n",
         "from a@x thu\nsubject: hi\n", "From a@x\n<html>",
+        # binary-plist magic (offset-0 exact) + near-misses
+        "bplist00", "bplist0", "xbplist00", "bplist00\xd1\x01\x02",
     ]
     payloads = []
     for _ in range(2000):

@@ -46,6 +46,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_MEDIA,
     KIND_OLE,
     KIND_PDF,
+    KIND_PLIST,
     KIND_RTF,
     KIND_SQLITE,
     KIND_TAR,
@@ -57,6 +58,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_ZIP,
     sniff_kind,
 )
+from tika_wrap_spark.core.plistbin import plist_extract_text
 from tika_wrap_spark.core.sqlitebin import sqlite_extract_text
 from tika_wrap_spark.core.warcbin import parse_warc_text
 
@@ -164,6 +166,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     eml_from = ""
     ical_summary = ""  # first event SUMMARY / first card FN (core/ical.py)
     sqlite_tables = ""  # first database's user-table names, comma-joined
+    plist_keys = ""  # first binary plist's top-level dict keys
     warc_target = ""  # first warc payload record's WARC-Target-URI
     font_meta: dict[str, str] = {}  # first font payload's naming metadata
     charset_first = ""  # first detected non-default payload charset
@@ -185,7 +188,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         nonlocal depth_max, title, pdf1_dims, pdf_crypt, pdf_title, pdf_outline
         nonlocal media1_dims, container_format  # media1_png_text/exif mutate
         nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
-        nonlocal sqlite_tables, warc_target
+        nonlocal sqlite_tables, warc_target, plist_keys
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
             # sniffs text-family first (its magic bytes match nothing), the
@@ -360,6 +363,15 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 sqlite_tables = ",".join(name for name, _b in sq_tables)
             for _name, block in sq_tables:
                 emit(KIND_TEXT, block, "")
+        elif kind == KIND_PLIST:
+            # Apple binary property list (core/plistbin.py; Tika
+            # PListParser analog): the object graph flattens to one
+            # keypath-per-line text block; top-level dict keys land in the
+            # plist_keys meta key
+            p_text, p_keys = plist_extract_text(text)
+            if not plist_keys:
+                plist_keys = p_keys
+            emit(KIND_TEXT, p_text, "")
         elif kind == KIND_RTF:
             # native RTF control-word parse (core/rtf.py); Tika's RTFParser
             # analog — document text only, destination groups skipped
@@ -476,6 +488,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "eml_from": eml_from,
         "ical_summary": ical_summary,
         "sqlite_tables": sqlite_tables,
+        "plist_keys": plist_keys,
         "warc_target": warc_target,
         "font_family": font_meta.get("family", ""),
         "font_name": font_meta.get("full_name", ""),

@@ -35,6 +35,10 @@ KIND_SQLITE = "sqlite"  # SQLite database, 16-byte magic at offset 0
 KIND_FONT = "font"  # sfnt (TrueType/OpenType) or WOFF font file
 KIND_WARC = "warc"  # WARC web archive (ISO 28500), 'WARC/' at offset 0
 KIND_MBOX = "mbox"  # mbox mailbox (RFC 4155), guarded From_ separator
+KIND_PLIST = "plist"  # Apple binary property list, 'bplist00' at offset 0
+
+# binary-plist magic (CFBinaryPList header comment) — exact offset 0
+PLIST_MAGIC_TEXT = "bplist00"
 
 # WARC version-line magic (ISO 28500 §5.2) — exact offset 0, case-sensitive
 WARC_MAGIC_TEXT = "WARC/"
@@ -135,6 +139,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       4g. head starts with 'WARC/'                -> 'warc' (web archive,
          ISO 28500: records route to core/warcbin.py; MUST precede the
          html-contains rule — response blocks carry html in the head)
+      4h. head starts with 'bplist00'             -> 'plist' (Apple binary
+         property list: object graph routes to core/plistbin.py)
       5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
@@ -200,6 +206,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_FONT
     if head.startswith(WARC_MAGIC_TEXT):
         return KIND_WARC
+    if head.startswith(PLIST_MAGIC_TEXT):
+        return KIND_PLIST
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
         return KIND_TAR
     for magic in _MEDIA_MAGICS:

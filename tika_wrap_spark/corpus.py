@@ -41,6 +41,7 @@ from tika_wrap_spark.core.olebin import (
     build_xls,
 )
 from tika_wrap_spark.core.pdfbin import build_pdf_text
+from tika_wrap_spark.core.plistbin import build_bplist
 from tika_wrap_spark.core.procmemo import proc_memo
 from tika_wrap_spark.core.rtf import build_rtf
 from tika_wrap_spark.core.fontbin import build_sfnt, build_woff
@@ -636,6 +637,28 @@ def _gen_mbox_payload(rng: random.Random) -> str:
     return build_mbox(msgs)
 
 
+def _gen_plist_payload(rng: random.Random) -> str:
+    """An Apple binary property list (core/plistbin.py; builder twin =
+    stdlib plistlib, so the corpus cross-validates the hand-rolled
+    reader): a bundle-info-shaped dict — strings, ints, reals, bools, a
+    word array, and half the time a nested dict with a data blob."""
+    obj = {
+        "CFBundleName": _words(rng, 2),
+        "CFBundleVersion": "%d.%d.%d"
+        % (rng.randint(0, 9), rng.randint(0, 20), rng.randint(0, 99)),
+        "BuildNumber": rng.randint(1, 10**6),
+        "Ratio": round(rng.uniform(0, 4), 4),
+        "Enabled": rng.random() < 0.5,
+        "Keywords": [rng.choice(_WORDS) for _ in range(rng.randint(2, 6))],
+    }
+    if rng.random() < 0.5:
+        obj["Payload"] = {
+            "notes": _sentence(rng),
+            "blob": bytes(rng.randrange(256) for _ in range(rng.randint(4, 24))),
+        }
+    return build_bplist(obj).decode("latin-1")
+
+
 def _gen_font_payload(rng: random.Random) -> str:
     """A REAL font file (bytes-as-text): minimal sfnt (name/head/maxp with
     proper checksums) as TrueType or OTTO-flavored, half wrapped in a WOFF
@@ -930,8 +953,11 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     elif r < 0.83:  # sqlite database slice (final r5; carved off the pdf
         # tail — docs outside [0.82, 0.83) keep their payloads bit-exactly)
         payloads = [("sqlite", _gen_sqlite_payload(rng), "")]
-    elif r < 0.86:  # rtf document
+    elif r < 0.855:  # rtf document
         payloads = [("rtf", _gen_rtf_payload(rng), "")]
+    elif r < 0.86:  # binary plist (final r5; carved off the rtf slice tail
+        # — docs outside [0.855, 0.86) keep their payloads bit-exactly)
+        payloads = [("plist", _gen_plist_payload(rng), "")]
     elif r < 0.93:  # interleaved container doc (pre-flattened zip analog)
         payloads = []
         media_n = 0
@@ -966,7 +992,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 24
+N_ADVERSARIAL = 25
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1172,6 +1198,15 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 23),
             "spans": _make_spans([("mbox", bad_mbox, "")]),
+        }
+    )
+    # truncated binary plist: magic intact, trailer cut (plistbin
+    # bounds-check path -> 'plist' taxonomy class)
+    cut_plist = build_bplist({"doomed": ["never", "read"]})[:-12].decode("latin-1")
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 24),
+            "spans": _make_spans([("plist", cut_plist, "")]),
         }
     )
     return rows

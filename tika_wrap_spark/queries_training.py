@@ -3103,6 +3103,7 @@ def _error_class_col():
         .when(F.col("error").startswith("font:"), F.lit("font"))
         .when(F.col("error").startswith("warc:"), F.lit("warc"))
         .when(F.col("error").startswith("mbox:"), F.lit("mbox"))
+        .when(F.col("error").startswith("plist:"), F.lit("plist"))
         .when(
             F.col("error").contains("tag") | F.col("error").contains("comment")
             | F.col("error").contains("declaration"),
@@ -3409,6 +3410,39 @@ def q_mbox_route(spark, d):
             F.try_element_at("meta", F.lit("n_containers"))
             .cast("int")
             .alias("n_containers"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_plist_route(spark, d):
+    """Binary property-list extraction tallies (final r5): bplist00
+    payloads route by the offset-0 magic (sniffer kind 22, both forms)
+    and flatten to one keypath-per-line text block via the hand-rolled
+    object-table reader (core/plistbin.py — Tika's PListParser analog,
+    /root/reference/src/java-env.cpp:313; the builder twin is stdlib
+    plistlib, so tests cross-validate the reader against the reference
+    implementation itself). Top-level dict keys land in the `plist_keys`
+    meta key; a truncated plist lands in the 'plist' taxonomy class."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    keys = meta_at("plist_keys")
+    return (
+        ext.filter(
+            F.array_contains(F.split(meta_at("kinds"), ","), "plist")
+            | F.col("error").startswith("plist:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.when(keys == "", 0)
+            .otherwise(F.size(F.split(keys, ",")))
+            .alias("n_top_keys"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
         )

@@ -25,6 +25,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
     "warc_route": (qt.q_warc_route, None),
     "mbox_route": (qt.q_mbox_route, None),
+    "plist_route": (qt.q_plist_route, None),
     "sqlite_route": (qt.q_sqlite_route, None),
     "font_route": (qt.q_font_route, None),
     "source_divergence": (qt.q_source_divergence, qt.SQL_SOURCE_DIVERGENCE),
