@@ -172,7 +172,17 @@ def test_ngram_novelty_single_token_docs_contribute_nothing(spark, tmp_path):
 
 def test_new_audit_plans_stay_jvm_side(spark, tmp_path):
     d = _docs_dir(spark, tmp_path, [("a b c d", "en", "A"), ("b c d e", "en", "B")])
-    for q in (qt.q_source_divergence, qt.q_ngram_novelty):
-        plan = plans.formatted_plan(q(spark, d))
-        assert not plans.has_node(plan, "BatchEvalPython"), plan
-        assert not plans.has_node(plan, "Window"), plan
+    plan = plans.formatted_plan(qt.q_source_divergence(spark, d))
+    assert not plans.has_node(plan, "BatchEvalPython"), plan
+    assert not plans.has_node(plan, "Window"), plan
+    # ngram_novelty deliberately carries exactly TWO windows: the bigram
+    # build is posexplode + lead() (a transform(sequence(...)) lambda
+    # referencing the token array inlines the regex-normalize chain PER
+    # ELEMENT — finding 28, 14 s -> 0.8 s at sf0.1), and first-occurrence
+    # is min(batch) OVER the bigram mid-grain (a window BLOCKS the
+    # finding-27 aggregate fold that would double the corpus scan). No
+    # lambda-built n-grams may reappear here.
+    plan = plans.formatted_plan(qt.q_ngram_novelty(spark, d))
+    assert not plans.has_node(plan, "BatchEvalPython"), plan
+    assert plans.count_node(plan, "Window") == 2, plan
+    assert "transform(sequence" not in plan, plan

@@ -61,7 +61,14 @@ def doc_tokens(df: DataFrame) -> DataFrame:
 
 def doc_ngrams(df: DataFrame, n: int = 2) -> DataFrame:
     """Distinct word n-gram shingles per doc, built JVM-side with
-    transform(sequence(...)) — no Python."""
+    transform(sequence(...)) — no Python.
+
+    Scale note (BENCH.md finding 28): the lambda's ``slice(w, ...)``
+    reference inlines ``w``'s normalize+split chain per element (~3
+    normalize copies in the plan). Bounded here (shingle inputs are
+    normalized docs, measured ≤1 s at sf0.1); an operator over LONG raw
+    text must build adjacent n-grams with posexplode + lead() instead
+    (see queries_training.q_ngram_novelty)."""
     # Spark sequence(1, 0) yields DESCENDING [1, 0] (implicit step -1), unlike
     # DuckDB generate_series(1, 0) = [] — guard the empty case explicitly or
     # short docs emit spurious grams / crash slice() with start 0.

@@ -723,9 +723,17 @@ def q_ngram_novelty(spark, d):
     batch is the diminishing-returns curve curators read to decide
     whether more data from a source still buys vocabulary — flat share =
     novel content, collapsing share = the source is exhausted/templated.
-    Integer-exact; scale shape: bigram explode is linear, first-occurrence
-    is one partial-aggregable groupBy over bigram keys, the batch rollup
-    is 8 rows — no windows, no joins beyond the 1-row broadcast."""
+    Integer-exact.
+
+    Scale shape (finding 27): the occurrence grain and the first-occurrence
+    grain must NOT each derive from the exploded bigrams — Catalyst folds
+    the two aggregates into independent corpus scans, doubling the explode
+    (measured 15 s -> 8 s at sf0.1). ONE linear chain instead: explode
+    once, reduce to the (bigram, batch) mid-grain (partial-aggregable,
+    bounded by types x 8), take min-batch as a WINDOW over the mid-grain
+    (windows block the aggregate fold), then the 8-row batch rollup reads
+    both measures off the same rows. Exactly one documents scan,
+    plan-pinned in tests/test_corpus_audits.py."""
     docs = _t(spark, d, "documents")
     max_row = docs.agg(F.max(F.col("doc_id").cast("long")).alias("max_id"))
     toks = (
@@ -736,29 +744,34 @@ def q_ngram_novelty(spark, d):
             F.expr("(CAST(doc_id AS LONG) * 8) div (max_id + 1)").cast("long"),
         )
         .withColumn("arr", F.split("norm", " "))
-        # guard the descending-sequence edge (house rule: sequence(1, 0)
-        # is [1, 0] in Spark): docs with < 2 tokens contribute no bigrams
-        .withColumn(
-            "bigrams",
-            F.expr(
-                "CASE WHEN size(arr) < 2 THEN array() ELSE "
-                "transform(sequence(1, size(arr) - 1), "
-                "i -> concat(arr[i - 1], ' ', arr[i])) END"
-            ),
+        # bigrams via posexplode + lead() over the doc, NOT a
+        # transform(sequence(...)) lambda: a lambda body referencing `arr`
+        # inlines arr's regex-normalize chain PER ELEMENT (finding 28 —
+        # the optimized plan showed 9 regexp_replace copies and the stage
+        # cost 14 s at sf0.1 vs 0.6 s for this form). The per-doc window
+        # shuffle is linear and skew-bounded; the inline re-eval is
+        # quadratic CPU in doc length.
+        .select(
+            "doc_id", "batch", F.posexplode("arr").alias("pos", "tok")
         )
-        .select("batch", F.explode("bigrams").alias("bg"))
-        .filter(~F.col("bg").startswith(" ") & ~F.col("bg").endswith(" "))
     )
-    per_bg = toks.groupBy("bg").agg(
-        F.min("batch").alias("first_batch"), F.count("*").alias("cnt")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    toks = (
+        toks.withColumn("nxt", F.lead("tok").over(wdoc))
+        .filter(F.col("nxt").isNotNull() & (F.col("tok") != "") & (F.col("nxt") != ""))
+        .select("batch", F.concat_ws(" ", "tok", "nxt").alias("bg"))
     )
-    occ = toks.groupBy("batch").agg(F.count("*").cast("long").alias("n_bigrams"))
-    new_types = per_bg.groupBy(F.col("first_batch").alias("batch")).agg(
-        F.count("*").alias("n_new_types")
-    )
+    mid = toks.groupBy("bg", "batch").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("bg")
+    mid = mid.withColumn("first_batch", F.min("batch").over(w))
     return (
-        occ.join(new_types, "batch", "left")
-        .withColumn("n_new_types", F.coalesce("n_new_types", F.lit(0)))
+        mid.groupBy("batch")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("batch") == F.col("first_batch"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new_types"),
+        )
         .withColumn(
             "new_share_q",
             F.expr("(1000 * n_new_types) div n_bigrams").cast("long"),
