@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 125  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 126  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -58,8 +58,9 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # bad gzip, dangling-xref real pdf, gzip/xz/bz2 decompression bombs,
     # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
     # pdf, unterminated ics, property-less msg, truncated sqlite,
-    # truncated font, truncated warc, empty-sender mbox, truncated plist
-    assert len(bad) == 24
+    # truncated font, truncated warc, empty-sender mbox, truncated plist,
+    # truncated ar
+    assert len(bad) == 25
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -161,7 +162,9 @@ def test_corpus_mix_composition_pinned():
     # one zip and one tar doc into web archives (zip 19 -> 18, tar 4 -> 3,
     # + warc 2), and the mbox carve took the eml slice tail, r in
     # [0.655, 0.66) (eml 12 -> 10, + mbox 2); the plist carve took the rtf
-    # slice tail, r in [0.855, 0.86) (rtf 15 -> 12, + plist 3).
+    # slice tail, r in [0.855, 0.86) (rtf 15 -> 12, + plist 3). The ar/.deb
+    # carve ([0.50, 0.56) of the raw-container sub-draw) turned one zip and
+    # one tar doc into ar archives (zip 18 -> 17, tar 3 -> 2, + ar 2).
     assert dict(kinds) == {
         "csv": 76,
         "pdf": 132,
@@ -175,9 +178,10 @@ def test_corpus_mix_composition_pinned():
         "mbox": 2,
         "rtf": 12,
         "plist": 3,
-        "zip": 18,
+        "zip": 17,
         "ole": 7,
-        "tar": 3,
+        "tar": 2,
+        "ar": 2,
         "ics": 8,
         "vcf": 4,
         "warc": 2,

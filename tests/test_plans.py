@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 55  # 30 + 25 adversarial
+    assert read.count() == 56  # 30 + 26 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -244,6 +244,9 @@ def test_jvm_sniffer_fuzz_parity(spark):
         "from a@x thu\nsubject: hi\n", "From a@x\n<html>",
         # binary-plist magic (offset-0 exact) + near-misses
         "bplist00", "bplist0", "xbplist00", "bplist00\xd1\x01\x02",
+        # ar global magic (offset-0 exact, includes the newline) + near-misses
+        "!<arch>\n", "!<arch>", "!<archive>\n", "x!<arch>\n",
+        "!<arch>\ndebian-binary   ",
     ]
     payloads = []
     for _ in range(2000):

@@ -34,6 +34,7 @@ from tika_wrap_spark.core.rtf import rtf_to_text
 from tika_wrap_spark.core.ical import parse_ical, parse_vcard
 from tika_wrap_spark.core.fontbin import font_meta_text
 from tika_wrap_spark.core.sniff import (
+    KIND_AR,
     KIND_BZ2,
     KIND_CSV,
     KIND_EML,
@@ -69,6 +70,7 @@ _WRAPPER_DECODERS = {
     KIND_XZ: (unxz_text, "xz"),
     KIND_BZ2: (unbz2_text, "bz2"),
 }
+from tika_wrap_spark.core.arbin import parse_ar_text
 from tika_wrap_spark.core.tarbin import parse_tar_text
 
 # container member marking an OOXML-analog archive (real OOXML is zip with
@@ -84,6 +86,11 @@ ODF_MARKER = "mimetype"
 _ODF_MIME_PREFIX = "application/vnd.oasis.opendocument."
 _ODF_SUBKINDS = {"text": "odt", "spreadsheet": "ods", "presentation": "odp"}
 _EPUB_MIME = "application/epub+zip"
+
+# Debian package marker (deb(5)): an ar archive whose first member is the
+# ``debian-binary`` version text; control.tar.gz / data.tar.xz members
+# recurse through the existing wrapper/tar paths
+DEB_MARKER = "debian-binary"
 
 
 def _package_format(entries: list[tuple[str, str]]) -> str:
@@ -292,14 +299,17 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                     route(
                         sniff_kind(payload, ""), payload, "", path + (name,), depth + 1
                     )
-        elif kind in (KIND_ZIP, KIND_TAR):
+        elif kind in (KIND_ZIP, KIND_TAR, KIND_AR):
             if depth >= MAX_CONTAINER_DEPTH:
                 raise ExtractError(
                     "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
                 )
-            entries = (
-                parse_container(text) if kind == KIND_ZIP else parse_tar_text(text)
-            )
+            if kind == KIND_ZIP:
+                entries = parse_container(text)
+            elif kind == KIND_TAR:
+                entries = parse_tar_text(text)
+            else:  # ar archive (.a/.deb): core/arbin.py common-format walk
+                entries = parse_ar_text(text)
             n_containers += 1
             depth_max = max(depth_max, depth + 1)
             pkg = _package_format(entries)
@@ -310,6 +320,14 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 # the mimetype member is package metadata, not content —
                 # Tika likewise never emits it as an embedded resource
                 entries = [e for e in entries if e[0] != ODF_MARKER]
+            elif kind == KIND_AR and any(
+                name == DEB_MARKER for name, _p in entries
+            ):
+                # Debian package: the ar members (control.tar.gz /
+                # data.tar.xz) recurse through the wrapper+tar paths; the
+                # subkind tag makes deb tallies queryable without re-sniffing
+                if not container_format:
+                    container_format = "deb"
             elif not container_format:
                 container_format = kind
             for name, payload in entries:

@@ -36,6 +36,10 @@ KIND_FONT = "font"  # sfnt (TrueType/OpenType) or WOFF font file
 KIND_WARC = "warc"  # WARC web archive (ISO 28500), 'WARC/' at offset 0
 KIND_MBOX = "mbox"  # mbox mailbox (RFC 4155), guarded From_ separator
 KIND_PLIST = "plist"  # Apple binary property list, 'bplist00' at offset 0
+KIND_AR = "ar"  # Unix ar archive (.a/.deb), '!<arch>\n' at offset 0
+
+# ar global magic (SysV/GNU/BSD common archive format) — exact offset 0
+AR_MAGIC_TEXT = "!<arch>\n"
 
 # binary-plist magic (CFBinaryPList header comment) — exact offset 0
 PLIST_MAGIC_TEXT = "bplist00"
@@ -141,6 +145,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          html-contains rule — response blocks carry html in the head)
       4h. head starts with 'bplist00'             -> 'plist' (Apple binary
          property list: object graph routes to core/plistbin.py)
+      4i. head starts with '!<arch>\\n'           -> 'ar' (Unix ar archive
+         incl. Debian .deb: members route to core/arbin.py and recurse)
       5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
@@ -208,6 +214,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_WARC
     if head.startswith(PLIST_MAGIC_TEXT):
         return KIND_PLIST
+    if head.startswith(AR_MAGIC_TEXT):
+        return KIND_AR
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
         return KIND_TAR
     for magic in _MEDIA_MAGICS:

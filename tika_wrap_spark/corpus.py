@@ -40,6 +40,7 @@ from tika_wrap_spark.core.olebin import (
     build_ppt,
     build_xls,
 )
+from tika_wrap_spark.core.arbin import build_ar_text
 from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.plistbin import build_bplist
 from tika_wrap_spark.core.procmemo import proc_memo
@@ -582,6 +583,56 @@ def _gen_warc_payload(rng: random.Random) -> str:
     return build_warc(records)
 
 
+def _gen_ar_payload(rng: random.Random) -> str:
+    """A Unix ar archive (core/arbin.py). ~60% are Debian .deb packages —
+    ``debian-binary`` version text + ``control.tar.gz`` (a real control
+    file) + ``data.tar.xz`` (packaged doc files) so the members recurse
+    through the existing gzip/xz wrapper and tar paths; the rest are plain
+    archives whose >16-char member names exercise the GNU ``//``
+    long-name table."""
+    if rng.random() < 0.6:  # Debian package shape
+        pkg = rng.choice(_WORDS)
+        control = (
+            "Package: %s\nVersion: 1.%d.%d\nArchitecture: all\n"
+            "Maintainer: %s <%s@example.org>\nDescription: %s\n"
+            % (
+                pkg,
+                rng.randint(0, 9),
+                rng.randint(0, 99),
+                rng.choice(_WORDS).title(),
+                rng.choice(_WORDS),
+                _sentence(rng),
+            )
+        )
+        data_entries = []
+        for d in range(rng.randint(1, 3)):
+            data_entries.append(
+                (
+                    "usr/share/doc/%s/notes_%d.txt" % (pkg, d),
+                    _gen_text_payload(rng),
+                )
+            )
+        return build_ar_text(
+            [
+                ("debian-binary", "2.0\n"),
+                ("control.tar.gz", gzip_text(build_tar_text([("control", control)]))),
+                ("data.tar.xz", xz_text(build_tar_text(data_entries))),
+            ]
+        )
+    entries = []
+    for m in range(rng.randint(2, 4)):
+        name = (
+            "a_very_long_member_name_%d.log" % m  # > 16 chars: GNU // table
+            if m == 0
+            else "member_%d.txt" % m
+        )
+        payload = (
+            _gen_csv_payload(rng) if rng.random() < 0.3 else _gen_text_payload(rng)
+        )
+        entries.append((name, payload))
+    return build_ar_text(entries)
+
+
 def _gen_rtf_payload(rng: random.Random) -> str:
     """RTF payload: 2-6 paragraphs, ~half carrying cp1252 accents (the
     ``\\'hh`` escape path), an \\info title destination the extractor must
@@ -987,12 +1038,16 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             # generic-container range — docs with sub >= 0.50 keep their
             # payloads bit-exactly, the sub draw precedes generation)
             payloads = [("warc", _gen_warc_payload(rng), "")]
+        elif sub < 0.56:  # Unix ar / Debian .deb (carved off the
+            # generic-container range — docs with sub >= 0.56 keep their
+            # payloads bit-exactly, the sub draw precedes generation)
+            payloads = [("ar", _gen_ar_payload(rng), "")]
         else:
             payloads = [("zip", _gen_container_payload(rng), "")]
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 25
+N_ADVERSARIAL = 26
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1207,6 +1262,18 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 24),
             "spans": _make_spans([("plist", cut_plist, "")]),
+        }
+    )
+    # truncated ar archive: global magic + member header intact, member
+    # data cut (arbin bounds-check path -> 'archive' taxonomy class via
+    # the 'ar:' error prefix)
+    cut_ar = build_ar_text(
+        [("debian-binary", "2.0\n"), ("doomed.txt", "x" * 400)]
+    )[:-200]
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 25),
+            "spans": _make_spans([("ar", cut_ar, "")]),
         }
     )
     return rows

@@ -106,6 +106,7 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
         )
         .when(head.startswith(sn.WARC_MAGIC_TEXT), F.lit(sn.KIND_WARC))
         .when(head.startswith(sn.PLIST_MAGIC_TEXT), F.lit(sn.KIND_PLIST))
+        .when(head.startswith(sn.AR_MAGIC_TEXT), F.lit(sn.KIND_AR))
         # ustar magic at its fixed in-header offset (1-based substring);
         # shorter payloads yield a short/empty substring -> no match, same
         # as the Python slice

@@ -3089,6 +3089,7 @@ def _error_class_col():
         .when(
             F.col("error").startswith("zip:")
             | F.col("error").startswith("tar:")
+            | F.col("error").startswith("ar:")
             | F.col("error").startswith("gzip:")
             | F.col("error").startswith("xz:")
             | F.col("error").startswith("bz2:"),
@@ -3390,6 +3391,41 @@ def q_warc_route(spark, d):
             F.try_element_at("meta", F.lit("n_container_entries"))
             .cast("int")
             .alias("n_records"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_ar_route(spark, d):
+    """Unix ar / Debian .deb extraction tallies: ar archives route by the
+    offset-0 '!<arch>\\n' global magic (sniffer kind 23, both forms) and
+    extract as one more container kind (core/arbin.py — Tika's
+    commons-compress ArArchiveInputStream analog,
+    /root/reference/src/java-env.cpp:313-314). A .deb's control.tar.gz /
+    data.tar.xz members recurse through the existing gzip/xz wrapper and
+    tar paths — the deepest container chain in the corpus (ar -> wrapper ->
+    tar -> text) — and the ``debian-binary`` marker lands the 'deb' subkind
+    in container_format; a truncated member lands an 'ar:' error in the
+    'archive' taxonomy class, never a task failure."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    fmt = meta_at("container_format")
+    return (
+        ext.filter(
+            fmt.isin("ar", "deb") | F.col("error").startswith("ar:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            fmt.alias("container_format"),
+            F.try_element_at("meta", F.lit("container_depth"))
+            .cast("int")
+            .alias("container_depth"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
         )
