@@ -96,6 +96,8 @@ HEADLINE = [
     "warc_route",
     "mbox_route",
     "plist_route",
+    "ar_route",
+    "cpio_route",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,

@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 126  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 127  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -60,7 +60,7 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # pdf, unterminated ics, property-less msg, truncated sqlite,
     # truncated font, truncated warc, empty-sender mbox, truncated plist,
     # truncated ar
-    assert len(bad) == 25
+    assert len(bad) == 26
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -164,7 +164,9 @@ def test_corpus_mix_composition_pinned():
     # [0.655, 0.66) (eml 12 -> 10, + mbox 2); the plist carve took the rtf
     # slice tail, r in [0.855, 0.86) (rtf 15 -> 12, + plist 3). The ar/.deb
     # carve ([0.50, 0.56) of the raw-container sub-draw) turned one zip and
-    # one tar doc into ar archives (zip 18 -> 17, tar 3 -> 2, + ar 2).
+    # one tar doc into ar archives (zip 18 -> 17, tar 3 -> 2, + ar 2); the
+    # cpio carve ([0.56, 0.60) of the same sub-draw) turned one more zip
+    # doc into a cpio archive (zip 17 -> 16, + cpio 1).
     assert dict(kinds) == {
         "csv": 76,
         "pdf": 132,
@@ -178,10 +180,11 @@ def test_corpus_mix_composition_pinned():
         "mbox": 2,
         "rtf": 12,
         "plist": 3,
-        "zip": 17,
+        "zip": 16,
         "ole": 7,
         "tar": 2,
         "ar": 2,
+        "cpio": 1,
         "ics": 8,
         "vcf": 4,
         "warc": 2,

@@ -36,6 +36,7 @@ from tika_wrap_spark.core.fontbin import font_meta_text
 from tika_wrap_spark.core.sniff import (
     KIND_AR,
     KIND_BZ2,
+    KIND_CPIO,
     KIND_CSV,
     KIND_EML,
     KIND_FONT,
@@ -71,6 +72,7 @@ _WRAPPER_DECODERS = {
     KIND_BZ2: (unbz2_text, "bz2"),
 }
 from tika_wrap_spark.core.arbin import parse_ar_text
+from tika_wrap_spark.core.cpiobin import parse_cpio_text
 from tika_wrap_spark.core.tarbin import parse_tar_text
 
 # container member marking an OOXML-analog archive (real OOXML is zip with
@@ -299,7 +301,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                     route(
                         sniff_kind(payload, ""), payload, "", path + (name,), depth + 1
                     )
-        elif kind in (KIND_ZIP, KIND_TAR, KIND_AR):
+        elif kind in (KIND_ZIP, KIND_TAR, KIND_AR, KIND_CPIO):
             if depth >= MAX_CONTAINER_DEPTH:
                 raise ExtractError(
                     "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
@@ -308,8 +310,10 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 entries = parse_container(text)
             elif kind == KIND_TAR:
                 entries = parse_tar_text(text)
-            else:  # ar archive (.a/.deb): core/arbin.py common-format walk
+            elif kind == KIND_AR:  # ar (.a/.deb): core/arbin.py walk
                 entries = parse_ar_text(text)
+            else:  # cpio newc/crc: core/cpiobin.py walk
+                entries = parse_cpio_text(text)
             n_containers += 1
             depth_max = max(depth_max, depth + 1)
             pkg = _package_format(entries)

@@ -37,9 +37,16 @@ KIND_WARC = "warc"  # WARC web archive (ISO 28500), 'WARC/' at offset 0
 KIND_MBOX = "mbox"  # mbox mailbox (RFC 4155), guarded From_ separator
 KIND_PLIST = "plist"  # Apple binary property list, 'bplist00' at offset 0
 KIND_AR = "ar"  # Unix ar archive (.a/.deb), '!<arch>\n' at offset 0
+KIND_CPIO = "cpio"  # cpio newc/crc archive, guarded '07070x' at offset 0
 
 # ar global magic (SysV/GNU/BSD common archive format) — exact offset 0
 AR_MAGIC_TEXT = "!<arch>\n"
+
+# cpio SVR4 portable magics (newc / crc) — exact offset 0, GUARDED by the
+# next 8 chars (the ino field) being hex, so a digits-opener prose/csv
+# line never misroutes
+CPIO_MAGIC_TEXTS = ("070701", "070702")
+CPIO_HEX_CHARS = "0123456789abcdefABCDEF"
 
 # binary-plist magic (CFBinaryPList header comment) — exact offset 0
 PLIST_MAGIC_TEXT = "bplist00"
@@ -147,6 +154,9 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          property list: object graph routes to core/plistbin.py)
       4i. head starts with '!<arch>\\n'           -> 'ar' (Unix ar archive
          incl. Debian .deb: members route to core/arbin.py and recurse)
+      4j. head starts with '070701'/'070702' AND chars [6:14] are all hex
+         -> 'cpio' (SVR4 newc/crc archive: members route to
+         core/cpiobin.py; the hex guard keeps digits-opener prose out)
       5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
@@ -216,6 +226,12 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_PLIST
     if head.startswith(AR_MAGIC_TEXT):
         return KIND_AR
+    if (
+        head[:6] in CPIO_MAGIC_TEXTS
+        and len(head) >= 14
+        and all(c in CPIO_HEX_CHARS for c in head[6:14])
+    ):
+        return KIND_CPIO
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
         return KIND_TAR
     for magic in _MEDIA_MAGICS:

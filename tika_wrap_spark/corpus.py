@@ -41,6 +41,7 @@ from tika_wrap_spark.core.olebin import (
     build_xls,
 )
 from tika_wrap_spark.core.arbin import build_ar_text
+from tika_wrap_spark.core.cpiobin import build_cpio_text
 from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.plistbin import build_bplist
 from tika_wrap_spark.core.procmemo import proc_memo
@@ -633,6 +634,24 @@ def _gen_ar_payload(rng: random.Random) -> str:
     return build_ar_text(entries)
 
 
+def _gen_cpio_payload(rng: random.Random) -> str:
+    """A cpio newc archive (core/cpiobin.py): 2-4 regular-file members with
+    nested paths mixing text/csv payloads; ~1/3 carry a nested tar member
+    so the cpio path exercises container recursion."""
+    entries = []
+    for m in range(rng.randint(2, 4)):
+        if m == 0 and rng.random() < 0.33:
+            inner = build_tar_text(
+                [("bundle/inner_%d.txt" % m, _gen_text_payload(rng))]
+            )
+            entries.append(("payload/bundle.tar", inner))
+        elif rng.random() < 0.3:
+            entries.append(("data/table_%d.csv" % m, _gen_csv_payload(rng)))
+        else:
+            entries.append(("etc/notes_%d.txt" % m, _gen_text_payload(rng)))
+    return build_cpio_text(entries)
+
+
 def _gen_rtf_payload(rng: random.Random) -> str:
     """RTF payload: 2-6 paragraphs, ~half carrying cp1252 accents (the
     ``\\'hh`` escape path), an \\info title destination the extractor must
@@ -1042,12 +1061,16 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             # generic-container range — docs with sub >= 0.56 keep their
             # payloads bit-exactly, the sub draw precedes generation)
             payloads = [("ar", _gen_ar_payload(rng), "")]
+        elif sub < 0.60:  # cpio newc archive (carved off the
+            # generic-container range — docs with sub >= 0.60 keep their
+            # payloads bit-exactly, the sub draw precedes generation)
+            payloads = [("cpio", _gen_cpio_payload(rng), "")]
         else:
             payloads = [("zip", _gen_container_payload(rng), "")]
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 26
+N_ADVERSARIAL = 27
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1274,6 +1297,16 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 25),
             "spans": _make_spans([("ar", cut_ar, "")]),
+        }
+    )
+    # truncated cpio archive: entry header intact, data cut before the
+    # TRAILER!!! terminator (cpiobin bounds-check path -> 'archive'
+    # taxonomy class via the 'cpio:' error prefix)
+    cut_cpio = build_cpio_text([("doomed/d.txt", "y" * 400)])[:-200]
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 26),
+            "spans": _make_spans([("cpio", cut_cpio, "")]),
         }
     )
     return rows

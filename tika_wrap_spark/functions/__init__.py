@@ -107,6 +107,14 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
         .when(head.startswith(sn.WARC_MAGIC_TEXT), F.lit(sn.KIND_WARC))
         .when(head.startswith(sn.PLIST_MAGIC_TEXT), F.lit(sn.KIND_PLIST))
         .when(head.startswith(sn.AR_MAGIC_TEXT), F.lit(sn.KIND_AR))
+        # cpio: 6-char magic + 8 hex chars (ino field) — the substring is
+        # shorter than 8 on short payloads, so the anchored regex fails,
+        # matching the Python len guard
+        .when(
+            F.substring(head, 1, 6).isin(*sn.CPIO_MAGIC_TEXTS)
+            & F.substring(head, 7, 8).rlike("^[0-9a-fA-F]{8}$"),
+            F.lit(sn.KIND_CPIO),
+        )
         # ustar magic at its fixed in-header offset (1-based substring);
         # shorter payloads yield a short/empty substring -> no match, same
         # as the Python slice

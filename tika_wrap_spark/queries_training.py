@@ -3090,6 +3090,7 @@ def _error_class_col():
             F.col("error").startswith("zip:")
             | F.col("error").startswith("tar:")
             | F.col("error").startswith("ar:")
+            | F.col("error").startswith("cpio:")
             | F.col("error").startswith("gzip:")
             | F.col("error").startswith("xz:")
             | F.col("error").startswith("bz2:"),
@@ -3423,6 +3424,41 @@ def q_ar_route(spark, d):
             "doc_id",
             "parse_ok",
             fmt.alias("container_format"),
+            F.try_element_at("meta", F.lit("container_depth"))
+            .cast("int")
+            .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_cpio_route(spark, d):
+    """cpio archive extraction tallies: SVR4 newc/crc archives route by the
+    guarded offset-0 '07070x' magic (sniffer kind 24, both forms — the
+    next 8 chars must be hex so digits-opener prose never misroutes) and
+    extract as one more container kind (core/cpiobin.py — Tika's
+    commons-compress CpioArchiveInputStream analog,
+    /root/reference/src/java-env.cpp:313-314); members re-sniff and
+    recurse like zip/tar/ar entries; a truncated entry lands a 'cpio:'
+    error in the 'archive' taxonomy class, never a task failure."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("container_format") == "cpio")
+            | F.col("error").startswith("cpio:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.try_element_at("meta", F.lit("n_container_entries"))
+            .cast("int")
+            .alias("n_members"),
             F.try_element_at("meta", F.lit("container_depth"))
             .cast("int")
             .alias("container_depth"),
