@@ -98,6 +98,7 @@ HEADLINE = [
     "plist_route",
     "ar_route",
     "cpio_route",
+    "z_route",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,

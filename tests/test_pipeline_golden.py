@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 127  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 128  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -60,7 +60,7 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # pdf, unterminated ics, property-less msg, truncated sqlite,
     # truncated font, truncated warc, empty-sender mbox, truncated plist,
     # truncated ar
-    assert len(bad) == 26
+    assert len(bad) == 27
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -166,7 +166,9 @@ def test_corpus_mix_composition_pinned():
     # carve ([0.50, 0.56) of the raw-container sub-draw) turned one zip and
     # one tar doc into ar archives (zip 18 -> 17, tar 3 -> 2, + ar 2); the
     # cpio carve ([0.56, 0.60) of the same sub-draw) turned one more zip
-    # doc into a cpio archive (zip 17 -> 16, + cpio 1).
+    # doc into a cpio archive (zip 17 -> 16, + cpio 1). The compress .Z
+    # carve is a trailing post-generation wrap draw on the text-family
+    # slice (~2%): text 154 -> 152, + z 2 (other docs byte-identical).
     assert dict(kinds) == {
         "csv": 76,
         "pdf": 132,
@@ -174,8 +176,9 @@ def test_corpus_mix_composition_pinned():
         "html": 139,
         "xml": 12,
         "media": 59,
-        "text": 154,
+        "text": 152,
         "json": 24,
+        "z": 2,
         "eml": 10,
         "mbox": 2,
         "rtf": 12,

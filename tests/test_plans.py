@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 57  # 30 + 27 adversarial
+    assert read.count() == 58  # 30 + 28 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -252,6 +252,8 @@ def test_jvm_sniffer_fuzz_parity(spark):
         "070701", "070702", "07070100000001", "070702deadBEEF",
         "070701 was the year", "0707012,totals\n1,2", "070701abcdefg1",
         "07070", "x070701", "070703" + "0" * 8,
+        # compress .Z magic (offset-0 exact, binary 2nd byte) + near-misses
+        "\x1f\x9d", "\x1f\x9d\x90", "\x1f", "x\x1f\x9d", "\x1f\x9c",
     ]
     payloads = []
     for _ in range(2000):

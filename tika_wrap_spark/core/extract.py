@@ -22,7 +22,7 @@ from tika_wrap_spark.core.charset import decode_charset, decode_html_charset
 from tika_wrap_spark.core.container import MAX_CONTAINER_DEPTH, parse_container
 from tika_wrap_spark.core.errors import ExtractError
 from tika_wrap_spark.core.exifbin import jpeg_exif_text
-from tika_wrap_spark.core.gzipbin import gunzip_text, unbz2_text, unxz_text
+from tika_wrap_spark.core.gzipbin import gunzip_text, unbz2_text, unxz_text, unz_text
 from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, html_title
 from tika_wrap_spark.core.media import image_dims_text, png_text_meta_text
 from tika_wrap_spark.core.olebin import ole_extract_text
@@ -57,6 +57,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_WARC,
     KIND_XML,
     KIND_XZ,
+    KIND_Z,
     KIND_ZIP,
     sniff_kind,
 )
@@ -70,6 +71,7 @@ _WRAPPER_DECODERS = {
     KIND_GZIP: (gunzip_text, "gz"),
     KIND_XZ: (unxz_text, "xz"),
     KIND_BZ2: (unbz2_text, "bz2"),
+    KIND_Z: (unz_text, "z"),
 }
 from tika_wrap_spark.core.arbin import parse_ar_text
 from tika_wrap_spark.core.cpiobin import parse_cpio_text

@@ -1,5 +1,6 @@
 """Real compressed-stream wrapper decode: gzip (RFC 1952), xz, bz2 —
-pure stdlib (zlib / lzma / bz2).
+pure stdlib (zlib / lzma / bz2) — and UNIX compress ``.Z`` (LZW), a
+hand-rolled variable-width decoder/encoder pair.
 
 These are the wrapper shapes a real corpus carries around tar streams and
 single documents (.tar.gz / .tar.xz / .log.bz2 ...). gzip uses ``zlib``
@@ -23,6 +24,13 @@ from tika_wrap_spark.core.errors import ExtractError
 MAGIC = b"\x1f\x8b"
 XZ_MAGIC = b"\xfd7zXZ\x00"
 BZ2_MAGIC = b"BZh"
+Z_MAGIC = b"\x1f\x9d"
+
+# .Z LZW parameters (ncompress): initial code width, CLEAR code, first
+# free code in block mode
+_Z_INIT_BITS = 9
+_Z_CLEAR = 256
+_Z_FIRST = 257
 
 # decompression-bomb guard: one member may inflate to at most this many
 # bytes (the reference's Tika applies analogous zip-bomb limits)
@@ -118,6 +126,186 @@ def bz2_bytes(data: bytes) -> bytes:
     return _bz2.compress(data, compresslevel=1)
 
 
+def unz(data: bytes) -> bytes:
+    """UNIX compress ``.Z`` decode — variable-width LZW, 9..max_bits code
+    widths, LSB-first bit packing, block mode (CLEAR code 256), and the
+    historical 8-code group alignment: on every width change (and after a
+    CLEAR) the bit cursor rounds up to the next multiple of n_bits*8 bits,
+    mirroring the reference compressor's buffer-flush padding. Algorithm
+    per the public ncompress/gzip ``unlzw`` shape (Tika reads .Z via
+    commons-compress ZCompressorInputStream — the reference reaches it
+    through Tika, /root/reference/src/java-env.cpp:313-314).
+    """
+    if not data.startswith(Z_MAGIC):
+        raise ExtractError("z: bad magic")
+    if len(data) < 3:
+        raise ExtractError("z: truncated header")
+    flags = data[2]
+    if flags & 0x60:
+        raise ExtractError("z: unsupported flag bits 0x%02x" % (flags & 0x60))
+    max_bits = flags & 0x1F
+    block_mode = bool(flags & 0x80)
+    if not _Z_INIT_BITS <= max_bits <= 16:
+        raise ExtractError("z: bad max code width %d" % max_bits)
+    maxmax = 1 << max_bits
+    buf = data[3:]
+    total_bits = len(buf) * 8
+    n_bits = _Z_INIT_BITS
+    # reference-faithful: the initial (and post-CLEAR) maxcode is
+    # 2^9-1 even when max_bits == 9 — gzip's unlzw then drifts to 10-bit
+    # reads once the table fills, and this decoder matches it bit-for-bit
+    maxcode = (1 << n_bits) - 1
+    free_ent = _Z_FIRST if block_mode else _Z_CLEAR
+    prefix = [0] * maxmax
+    suffix = bytearray(maxmax)
+    for i in range(256):
+        suffix[i] = i
+    oldcode = -1
+    finchar = 0
+    posbits = 0
+    # 8-code group alignment is RELATIVE to the last width change / CLEAR
+    # (the reference unlzw restarts its read buffer there), not absolute
+    origin = 0
+    out = bytearray()
+    stack = bytearray()
+    while True:
+        if free_ent > maxcode:
+            nb8 = n_bits << 3
+            rel = posbits - origin
+            posbits = origin + ((rel + nb8 - 1) // nb8) * nb8
+            origin = posbits
+            n_bits += 1
+            maxcode = maxmax if n_bits == max_bits else (1 << n_bits) - 1
+        if posbits + n_bits > total_bits:
+            break
+        bytepos = posbits >> 3
+        chunk = int.from_bytes(buf[bytepos : bytepos + 3], "little")
+        code = (chunk >> (posbits & 7)) & ((1 << n_bits) - 1)
+        posbits += n_bits
+        if oldcode == -1:
+            if code >= 256:
+                raise ExtractError("z: first code %d is not a literal" % code)
+            finchar = code
+            oldcode = code
+            out.append(code)
+            continue
+        if code == _Z_CLEAR and block_mode:
+            free_ent = _Z_FIRST - 1
+            nb8 = n_bits << 3
+            rel = posbits - origin
+            posbits = origin + ((rel + nb8 - 1) // nb8) * nb8
+            origin = posbits
+            n_bits = _Z_INIT_BITS
+            maxcode = (1 << n_bits) - 1
+            continue
+        incode = code
+        del stack[:]
+        if code >= free_ent:  # KwKwK: the code being defined right now
+            if code > free_ent:
+                raise ExtractError("z: corrupt stream (code %d beyond table)" % code)
+            stack.append(finchar)
+            code = oldcode
+        while code >= 256:
+            stack.append(suffix[code])
+            code = prefix[code]
+        finchar = suffix[code]
+        stack.append(finchar)
+        out.extend(reversed(stack))
+        if len(out) > MAX_INFLATED:
+            raise ExtractError("z: inflated payload exceeds %d bytes" % MAX_INFLATED)
+        if free_ent < maxmax:
+            prefix[free_ent] = oldcode
+            suffix[free_ent] = finchar
+            free_ent += 1
+        oldcode = incode
+    return bytes(out)
+
+
+def z_bytes(data: bytes, max_bits: int = 16) -> bytes:
+    """Deterministic UNIX compress ``.Z`` framing (block mode) — the
+    test/corpus builder twin of :func:`unz`. Emits codes LSB-first,
+    widens one step AHEAD of the decoder's table (the historical
+    ``free_ent >= MAXCODE(n_bits)+1`` rule), pads to the 8-code group
+    boundary on every width change, and emits CLEAR + full reset whenever
+    the code table fills. Output is validated against the system
+    ``gzip -dc`` (which embeds the reference unlzw) in tests.
+
+    max_bits 9 is refused: once the 512-entry table fills, the reference
+    decoder drifts to 10-bit reads (its widen check has no == max_bits
+    guard at the initial width), a degenerate shape no real compressor
+    emits — the decoder above follows the reference; the builder simply
+    never produces it."""
+    if not 10 <= max_bits <= 16:
+        raise ValueError("max_bits must be in 10..16")
+    out = bytearray(Z_MAGIC)
+    out.append(0x80 | max_bits)
+    if not data:
+        return bytes(out)
+    maxmax = 1 << max_bits
+    n_bits = _Z_INIT_BITS
+    free_ent = _Z_FIRST
+    table: dict[tuple[int, int], int] = {}
+    acc = 0
+    nacc = 0
+    totbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc, totbits
+        acc |= code << nacc
+        nacc += n_bits
+        totbits += n_bits
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    origin = 0
+
+    def pad_group() -> None:
+        # flush to the 8-code (n_bits-byte) boundary with zero bits — the
+        # decoder's posbits round-up skips them. Alignment is RELATIVE to
+        # the last width change / CLEAR (the unlzw buffer-restart rule).
+        nonlocal acc, nacc, totbits, origin
+        nb8 = n_bits << 3
+        pad = (-(totbits - origin)) % nb8
+        totbits += pad
+        nacc += pad
+        origin = totbits
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    ent = data[0]
+    for c in data[1:]:
+        key = (ent, c)
+        nxt = table.get(key)
+        if nxt is not None:
+            ent = nxt
+            continue
+        if free_ent > (1 << n_bits) and n_bits < max_bits:
+            pad_group()
+            n_bits += 1
+        emit(ent)
+        if free_ent < maxmax:
+            table[key] = free_ent
+            free_ent += 1
+        else:
+            emit(_Z_CLEAR)
+            pad_group()
+            n_bits = _Z_INIT_BITS
+            free_ent = _Z_FIRST
+            table.clear()
+        ent = c
+    if free_ent > (1 << n_bits) and n_bits < max_bits:
+        pad_group()
+        n_bits += 1
+    emit(ent)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
 def _text_bridge(fn, what: str):
     def wrapped(text: str) -> str:
         try:
@@ -134,6 +322,7 @@ def _text_bridge(fn, what: str):
 gunzip_text = _text_bridge(gunzip, "gzip")
 unxz_text = _text_bridge(unxz, "xz")
 unbz2_text = _text_bridge(unbz2, "bz2")
+unz_text = _text_bridge(unz, "z")
 
 
 def gzip_text(text: str) -> str:
@@ -146,3 +335,7 @@ def xz_text(text: str) -> str:
 
 def bz2_text(text: str) -> str:
     return bz2_bytes(text.encode("latin-1")).decode("latin-1")
+
+
+def z_text(text: str, max_bits: int = 16) -> str:
+    return z_bytes(text.encode("latin-1"), max_bits).decode("latin-1")

@@ -22,6 +22,7 @@ KIND_ZIP = "zip"
 KIND_GZIP = "gzip"
 KIND_XZ = "xz"
 KIND_BZ2 = "bz2"
+KIND_Z = "z"  # UNIX compress .Z (LZW), '\x1f\x9d' at offset 0
 KIND_TAR = "tar"
 KIND_XML = "xml"
 KIND_JSON = "json"
@@ -140,6 +141,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       4. head starts with '\\x1f\\x8b'            -> 'gzip' (RFC 1952 wrapper)
       4b. head starts with '\\xfd7zXZ\\x00'       -> 'xz'
       4c. head starts with 'BZh' + level 1-9      -> 'bz2'
+      4c2. head starts with '\\x1f\\x9d'          -> 'z' (UNIX compress
+         LZW wrapper: decode in core/gzipbin.py, inner stream re-sniffs)
       4d. head starts with the 8-byte CFB magic   -> 'ole' (legacy Office
          compound file: .doc/.xls route to core/olebin.py)
       4e. head starts with 'SQLite format 3\\0'   -> 'sqlite' (database
@@ -210,6 +213,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
     # the JVM substring comparison has no such quirk, keep them identical
     if head.startswith("BZh") and len(head) > 3 and head[3] in "123456789":
         return KIND_BZ2
+    if head.startswith("\x1f\x9d"):
+        return KIND_Z
     if head.startswith(OLE_MAGIC_TEXT):
         return KIND_OLE
     if head.startswith(SQLITE_MAGIC_TEXT):

@@ -30,7 +30,7 @@ from tika_wrap_spark.core.charset import encode_charset
 from tika_wrap_spark.core.container import build_container
 from tika_wrap_spark.core.eml import build_eml
 from tika_wrap_spark.core.extract import extract_document
-from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text
+from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text, z_text
 from tika_wrap_spark.core.ical import build_ics, build_vcf
 from tika_wrap_spark.core.media import build_jpeg, build_png
 from tika_wrap_spark.core.olebin import (
@@ -831,10 +831,10 @@ def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
     parses — REAL PK-zip bytes (~40%; seeded per-member stored/deflate
     mix, 1-in-5 of those a zip64 layout and 1-in-5 a streamed
     data-descriptor layout), REAL ustar tar (~15%), tar wrapped in a REAL
-    gzip / xz / bz2 stream (~6/3/3% — the .tar.gz/.tar.xz/.tar.bz2 paths:
-    decompress -> re-sniff -> tar recursion), or the TWC1 analog dialect
-    (rest). All route through the same recursive member walk (zipbin /
-    tarbin / gzipbin / container)."""
+    gzip / xz / bz2 / compress-LZW stream (~6/3/3/2% — the
+    .tar.gz/.tar.xz/.tar.bz2/.tar.Z paths: decompress -> re-sniff -> tar
+    recursion), or the TWC1 analog dialect (rest). All route through the
+    same recursive member walk (zipbin / tarbin / gzipbin / container)."""
     r = rng.random()
     if r < 0.4:
         return build_zip_text(
@@ -851,6 +851,10 @@ def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
         return xz_text(build_tar_text(entries))
     if r < 0.67:
         return bz2_text(build_tar_text(entries))
+    if r < 0.69:  # tar.Z (UNIX compress LZW wrapper) — carved off the
+        # TWC1 range; archives with r >= 0.69 keep their serialization
+        # bit-exactly (z_text makes no rng draws)
+        return z_text(build_tar_text(entries))
     return build_container(entries)
 
 
@@ -1000,6 +1004,13 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
         # keep their pre-r5 content byte-identically
         if rng.random() < 0.18:
             payloads = [("text", _charset_wrap(rng, payloads[0][1]), "")]
+        # compress slice (continuation r5): ~2% of text-family docs arrive
+        # as a .log.Z / .csv.Z LZW stream (the single-document wrapper
+        # path — decode, re-sniff, recurse). The wrap draw is the LAST
+        # draw of this branch and comes AFTER payload generation, so
+        # unwrapped docs keep their content byte-identically.
+        if rng.random() < 0.02:
+            payloads = [("z", z_text(payloads[0][1]), "")]
     elif r < 0.605:
         payloads = [("html", _gen_html_payload(rng), "")]
         # declared-charset slice (final r5): ~6% of html docs arrive as a
@@ -1070,7 +1081,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 27
+N_ADVERSARIAL = 28
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1307,6 +1318,18 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 26),
             "spans": _make_spans([("cpio", cut_cpio, "")]),
+        }
+    )
+    # corrupt .Z compress stream: valid magic + flags, then a first code
+    # outside the literal range (0x1ff at 9 bits) — unz's
+    # first-code-must-be-a-literal check -> 'z:' prefix in the 'archive'
+    # taxonomy class (a merely-truncated .Z decodes short by design: the
+    # format carries no trailer, exactly like the reference decoder)
+    bad_z = "\x1f\x9d\x90\xff\xff\xff\xff"
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 27),
+            "spans": _make_spans([("z", bad_z, "")]),
         }
     )
     return rows

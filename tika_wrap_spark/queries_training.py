@@ -3093,7 +3093,8 @@ def _error_class_col():
             | F.col("error").startswith("cpio:")
             | F.col("error").startswith("gzip:")
             | F.col("error").startswith("xz:")
-            | F.col("error").startswith("bz2:"),
+            | F.col("error").startswith("bz2:")
+            | F.col("error").startswith("z:"),
             F.lit("archive"),
         )
         .when(
@@ -3452,6 +3453,42 @@ def q_cpio_route(spark, d):
         ext.filter(
             (meta_at("container_format") == "cpio")
             | F.col("error").startswith("cpio:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.try_element_at("meta", F.lit("n_container_entries"))
+            .cast("int")
+            .alias("n_members"),
+            F.try_element_at("meta", F.lit("container_depth"))
+            .cast("int")
+            .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_z_route(spark, d):
+    """UNIX compress .Z wrapper tallies: streams route by the offset-0
+    '\\x1f\\x9d' magic (sniffer kind 25, both forms) and decode through a
+    hand-rolled variable-width LZW with the reference decoder's 8-code
+    group alignment (core/gzipbin.py unz — Tika's commons-compress
+    ZCompressorInputStream analog,
+    /root/reference/src/java-env.cpp:313-314; the builder twin is
+    cross-validated against the system gzip -dc). The inner stream
+    re-sniffs and recurses (the corpus carries tar.Z); a corrupt stream
+    lands a 'z:' error in the 'archive' taxonomy class, never a task
+    failure."""
+    from tika_wrap_spark.pipeline import extract_in_memory  # noqa: PLC0415
+
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = extract_in_memory(spark, _corpus_df(spark, d))
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("container_format") == "z") | F.col("error").startswith("z:")
         )
         .select(
             "doc_id",

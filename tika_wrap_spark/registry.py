@@ -23,6 +23,7 @@ from tika_wrap_spark import queries_training as qt
 
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
+    "z_route": (qt.q_z_route, None),
     "ar_route": (qt.q_ar_route, None),
     "cpio_route": (qt.q_cpio_route, None),
     "warc_route": (qt.q_warc_route, None),
