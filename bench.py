@@ -99,6 +99,8 @@ HEADLINE = [
     "ar_route",
     "cpio_route",
     "z_route",
+    "url_domain_stats",
+    "xml_route",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,

@@ -108,6 +108,32 @@ class TestHtml:
             == "x A Ω y"
         )
 
+    def test_xml_root_tag(self):
+        from tika_wrap_spark.core.extract import extract_document
+        from tika_wrap_spark.core.html import xml_root_tag
+
+        assert xml_root_tag('<?xml version="1.0"?><doc>x</doc>') == "doc"
+        assert xml_root_tag('<?xml version="1.0"?>\n<rss version="2.0">') == "rss"
+        assert (
+            xml_root_tag("<?xml?><!-- c --><!DOCTYPE svg><svg viewBox='0'/>")
+            == "svg"
+        )
+        assert xml_root_tag("<?xml?><atom:feed>") == "feed"  # prefix drops
+        assert xml_root_tag('<?xml version="1.0"?>') == ""  # no element
+        assert xml_root_tag("<?xml") == ""  # unterminated prolog
+        # the meta key lands from the first xml payload
+        res = extract_document(
+            [
+                {
+                    "kind": "text",
+                    "text": '<?xml version="1.0"?><feed><entry>x</entry></feed>',
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ]
+        )
+        assert res["meta"]["xml_root"] == "feed"
+
     def test_blocks_in_document_order(self):
         html = (
             "<html><body>"

@@ -23,7 +23,12 @@ from tika_wrap_spark.core.container import MAX_CONTAINER_DEPTH, parse_container
 from tika_wrap_spark.core.errors import ExtractError
 from tika_wrap_spark.core.exifbin import jpeg_exif_text
 from tika_wrap_spark.core.gzipbin import gunzip_text, unbz2_text, unxz_text, unz_text
-from tika_wrap_spark.core.html import extract_html_blocks, extract_xml_text, html_title
+from tika_wrap_spark.core.html import (
+    extract_html_blocks,
+    extract_xml_text,
+    html_title,
+    xml_root_tag,
+)
 from tika_wrap_spark.core.media import image_dims_text, png_text_meta_text
 from tika_wrap_spark.core.olebin import ole_extract_text
 from tika_wrap_spark.core.pdf import page_dims, pages_to_texts, parse_pdf_pages
@@ -180,6 +185,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     plist_keys = ""  # first binary plist's top-level dict keys
     warc_target = ""  # first warc payload record's WARC-Target-URI
     font_meta: dict[str, str] = {}  # first font payload's naming metadata
+    xml_root = ""  # first xml payload's root element (Tika subkind signal)
     charset_first = ""  # first detected non-default payload charset
     n_transcoded = 0  # payloads that went through a charset transcode
 
@@ -199,7 +205,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         nonlocal depth_max, title, pdf1_dims, pdf_crypt, pdf_title, pdf_outline
         nonlocal media1_dims, container_format  # media1_png_text/exif mutate
         nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
-        nonlocal sqlite_tables, warc_target, plist_keys
+        nonlocal sqlite_tables, warc_target, plist_keys, xml_root
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
             # sniffs text-family first (its magic bytes match nothing), the
@@ -469,6 +475,10 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 n_entries += 1
                 route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
         elif kind == KIND_XML:
+            # root element = the subkind Tika's XML detectors read (svg ->
+            # image/svg+xml, rss/feed -> syndication) before generic parse
+            if not xml_root:
+                xml_root = xml_root_tag(text)
             emit(KIND_TEXT, extract_xml_text(text), "")
         else:
             # text family: json/csv/plain keep their raw payload (Tika's
@@ -516,6 +526,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "warc_target": warc_target,
         "font_family": font_meta.get("family", ""),
         "font_name": font_meta.get("full_name", ""),
+        "xml_root": xml_root,
         "charset": charset_first,
         "n_transcoded": _stringify(n_transcoded),
         "kinds": ",".join(sorted(kinds_seen)),

@@ -99,6 +99,43 @@ def extract_xml_text(xml: str) -> str:
     return _normalize_ws(_decode_entities(_XML_TAG_RE.sub(" ", xml)))
 
 
+_XML_ROOT_RE = None  # compiled lazily below (module import order)
+
+
+def xml_root_tag(xml: str) -> str:
+    """Root element name of an XML document, lowercased — the subkind
+    signal Tika's XML detectors read (``svg`` -> image/svg+xml, ``rss`` /
+    ``feed`` -> the syndication types) before handing generic XML to the
+    text parser. Skips the prolog, comments, PIs, and DOCTYPE; returns ''
+    when no element opens in the head."""
+    global _XML_ROOT_RE
+    if _XML_ROOT_RE is None:
+        import re as _re
+
+        _XML_ROOT_RE = _re.compile(r"<([A-Za-z_][\w.\-:]*)")
+    pos = 0
+    n = len(xml)
+    while pos < n:
+        lt = xml.find("<", pos)
+        if lt < 0:
+            return ""
+        nxt = xml[lt + 1 : lt + 2]
+        if nxt in ("?", "!"):
+            # prolog / PI / comment / DOCTYPE: skip to its closing '>'
+            gt = xml.find(">", lt + 1)
+            if gt < 0:
+                return ""
+            pos = gt + 1
+            continue
+        m = _XML_ROOT_RE.match(xml, lt)
+        if not m:
+            return ""
+        name = m.group(1)
+        # namespace prefixes drop (Tika matches local names)
+        return name.rsplit(":", 1)[-1].lower() if ":" in name else name.lower()
+    return ""
+
+
 def html_title(html: str) -> str:
     """First ``<title>`` text, whitespace-normalized and entity-decoded —
     the per-format metadata Tika surfaces as ``dc:title`` (the reference's

@@ -997,7 +997,18 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
         elif sub < 0.92:
             payloads = [("text", _gen_json_payload(rng), "")]
         else:
-            payloads = [("text", _gen_xml_payload(rng), "")]
+            xmlp = _gen_xml_payload(rng)
+            # xml subkind variety (continuation r5): rewrite the root
+            # element on ~3/4 of top-level xml docs — rss / atom feed /
+            # svg, the Tika-detected syndication/image subkinds. The pick
+            # derives from the payload LENGTH, not an rng draw, so no
+            # downstream draw shifts anywhere (shared-generator rule).
+            root = ("doc", "rss", "feed", "svg")[len(xmlp) % 4]
+            if root != "doc":
+                xmlp = xmlp.replace("<doc>", "<%s>" % root, 1).replace(
+                    "</doc>", "</%s>" % root, 1
+                )
+            payloads = [("text", xmlp, "")]
         # charset slice: ~18% of text-family docs arrive re-encoded (BOM'd
         # UTF-16/32/8, heuristic BOM-less UTF-16, Shift-JIS/GBK CJK pages);
         # the wrap draw comes AFTER payload generation so unwrapped docs

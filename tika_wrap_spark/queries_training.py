@@ -622,6 +622,88 @@ FROM agg
 """
 
 
+def q_url_domain_stats(spark, d):
+    """Per-domain URL audit (continuation r5) — the link-census a web
+    curator runs before domain-level filtering (blocklists, per-domain
+    caps a la C4/RefinedWeb): extract every URL, parse the host, strip
+    the www. label, reduce to the registrable domain, and tally urls /
+    distinct docs / distinct hosts / https share per domain. The
+    synthetic documents carry no URLs, so both engines append the SAME
+    two doc_id-derived links first (the text_scrub injection pattern) —
+    extraction, parsing, and tallies are then verified engine-exact.
+    Scale shape: one linear regexp explode, one partial-aggregable
+    groupBy on a low-cardinality key (distinct counts bounded by hosts
+    per domain, never corpus size); no joins, no windows."""
+    docs = _t(spark, d, "documents")
+    withu = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://www.h"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" and http://cdn"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/"),
+        ).alias("text"),
+    )
+    urls = withu.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(text, 'https?://[a-z0-9.]+/[a-z0-9/]*', 0)"
+            )
+        ).alias("url"),
+    )
+    host = F.regexp_extract("url", "https?://([a-z0-9.]+)/", 1)
+    parsed = urls.select(
+        "doc_id",
+        "url",
+        F.regexp_extract(host, "([a-z0-9]+\\.[a-z]+)$", 1).alias("domain"),
+        F.regexp_replace(host, "^www\\.", "").alias("host"),
+    )
+    return parsed.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum(F.col("url").startswith("https://").cast("long"))
+        .cast("long")
+        .alias("n_https"),
+    )
+
+
+SQL_URL_DOMAIN_STATS = """
+WITH withu AS (
+  SELECT doc_id,
+         text || ' see https://www.h' || CAST(doc_id % 23 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id % 7 AS VARCHAR)
+              || ' and http://cdn' || CAST(doc_id % 5 AS VARCHAR)
+              || '.example.org/' AS text
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, 'https?://[a-z0-9.]+/[a-z0-9/]*')) AS url
+  FROM withu
+), parsed AS (
+  SELECT doc_id, url,
+         regexp_extract(regexp_extract(url, 'https?://([a-z0-9.]+)/', 1),
+                        '([a-z0-9]+\\.[a-z]+)$', 1) AS domain,
+         regexp_replace(regexp_extract(url, 'https?://([a-z0-9.]+)/', 1),
+                        '^www\\.', '') AS host
+  FROM u
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(sum(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_https
+FROM parsed
+GROUP BY domain
+"""
+
+
 def q_source_divergence(spark, d):
     """Per-source unigram-distribution divergence vs the global mix
     (final r5): a chi-square-shaped integer statistic over quantized
@@ -3532,6 +3614,28 @@ def q_z_route(spark, d):
             .alias("container_depth"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_xml_route(spark, d):
+    """XML subkind tallies (continuation r5): the root element of the
+    first xml payload — the signal Tika's XML detectors read to refine
+    application/xml into image/svg+xml / application/rss+xml /
+    application/atom+xml before the generic parse (the reference reaches
+    those detectors through QMimeDatabase + Tika,
+    /root/reference/src/java-env.cpp:233-242) — surfaced as the
+    ``xml_root`` meta key and tallied per root over the extract-once
+    store. One pruned scan + one partial-aggregable groupBy."""
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(meta_at("xml_root") != "")
+        .groupBy(meta_at("xml_root").alias("xml_root"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("spans")).cast("long").alias("n_spans"),
+            F.min("doc_id").alias("first_doc"),
         )
     )
 
