@@ -101,6 +101,7 @@ HEADLINE = [
     "z_route",
     "url_domain_stats",
     "xml_route",
+    "dbf_route",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,

@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 58  # 30 + 28 adversarial
+    assert read.count() == 59  # 30 + 29 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -254,6 +254,14 @@ def test_jvm_sniffer_fuzz_parity(spark):
         "07070", "x070701", "070703" + "0" * 8,
         # compress .Z magic (offset-0 exact, binary 2nd byte) + near-misses
         "\x1f\x9d", "\x1f\x9d\x90", "\x1f", "x\x1f\x9d", "\x1f\x9c",
+        # dbf guard set: \x03 + month/day bytes + type letter at offset 43
+        # — bad month, bad day, bad type letter, short payloads must all
+        # fall through in BOTH forms (ascii('') = 0 on the JVM side)
+        "\x03\x7c\x06\x0f" + "\x00" * 39 + "C" + "\x00" * 20,
+        "\x03\x7c\x0d\x0f" + "\x00" * 39 + "C" + "\x00" * 20,
+        "\x03\x7c\x06\x20" + "\x00" * 39 + "C" + "\x00" * 20,
+        "\x03\x7c\x06\x0f" + "\x00" * 39 + "Q" + "\x00" * 20,
+        "\x03\x7c\x06\x0f", "\x03", "\x03 prose never starts with this",
     ]
     payloads = []
     for _ in range(2000):

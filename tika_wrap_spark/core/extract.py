@@ -61,6 +61,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_VCF,
     KIND_WARC,
     KIND_XML,
+    KIND_DBF,
     KIND_XZ,
     KIND_Z,
     KIND_ZIP,
@@ -80,6 +81,7 @@ _WRAPPER_DECODERS = {
 }
 from tika_wrap_spark.core.arbin import parse_ar_text
 from tika_wrap_spark.core.cpiobin import parse_cpio_text
+from tika_wrap_spark.core.dbfbin import dbf_extract_text
 from tika_wrap_spark.core.tarbin import parse_tar_text
 
 # container member marking an OOXML-analog archive (real OOXML is zip with
@@ -182,6 +184,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     eml_from = ""
     ical_summary = ""  # first event SUMMARY / first card FN (core/ical.py)
     sqlite_tables = ""  # first database's user-table names, comma-joined
+    dbf_fields = ""  # first dBase table's field names, comma-joined
     plist_keys = ""  # first binary plist's top-level dict keys
     warc_target = ""  # first warc payload record's WARC-Target-URI
     font_meta: dict[str, str] = {}  # first font payload's naming metadata
@@ -205,7 +208,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         nonlocal depth_max, title, pdf1_dims, pdf_crypt, pdf_title, pdf_outline
         nonlocal media1_dims, container_format  # media1_png_text/exif mutate
         nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
-        nonlocal sqlite_tables, warc_target, plist_keys, xml_root
+        nonlocal sqlite_tables, warc_target, plist_keys, xml_root, dbf_fields
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
             # sniffs text-family first (its magic bytes match nothing), the
@@ -393,6 +396,15 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 sqlite_tables = ",".join(name for name, _b in sq_tables)
             for _name, block in sq_tables:
                 emit(KIND_TEXT, block, "")
+        elif kind == KIND_DBF:
+            # dBase table (core/dbfbin.py; Tika DBFParser analog): one
+            # csv-shaped text block — field-name header line then one
+            # comma-joined line per active record. Field names land in
+            # the dbf_fields meta key.
+            d_text, d_fields = dbf_extract_text(text)
+            if not dbf_fields:
+                dbf_fields = d_fields
+            emit(KIND_TEXT, d_text, "")
         elif kind == KIND_PLIST:
             # Apple binary property list (core/plistbin.py; Tika
             # PListParser analog): the object graph flattens to one
@@ -522,6 +534,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "eml_from": eml_from,
         "ical_summary": ical_summary,
         "sqlite_tables": sqlite_tables,
+        "dbf_fields": dbf_fields,
         "plist_keys": plist_keys,
         "warc_target": warc_target,
         "font_family": font_meta.get("family", ""),

@@ -39,6 +39,13 @@ KIND_MBOX = "mbox"  # mbox mailbox (RFC 4155), guarded From_ separator
 KIND_PLIST = "plist"  # Apple binary property list, 'bplist00' at offset 0
 KIND_AR = "ar"  # Unix ar archive (.a/.deb), '!<arch>\n' at offset 0
 KIND_CPIO = "cpio"  # cpio newc/crc archive, guarded '07070x' at offset 0
+KIND_DBF = "dbf"  # dBase table, guarded 0x03 version byte at offset 0
+
+# dbf guard set: the \x03 version byte (a control char no prose starts
+# with), a plausible YY MM DD last-update stamp, and the first field
+# descriptor's type letter at its fixed offset 43
+DBF_FIELD_TYPE_CHARS = "CNFLDM"
+DBF_TYPE_OFFSET = 43
 
 # ar global magic (SysV/GNU/BSD common archive format) — exact offset 0
 AR_MAGIC_TEXT = "!<arch>\n"
@@ -160,6 +167,10 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       4j. head starts with '070701'/'070702' AND chars [6:14] are all hex
          -> 'cpio' (SVR4 newc/crc archive: members route to
          core/cpiobin.py; the hex guard keeps digits-opener prose out)
+      4k. head[0] == '\\x03' AND head[2]/head[3] are a plausible month/day
+         AND head[43] is an xBase field-type letter -> 'dbf' (dBase table:
+         rows route to core/dbfbin.py; \\x03 is a control char no text
+         document opens with, the date/type guards keep other binary out)
       5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
@@ -237,6 +248,14 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         and all(c in CPIO_HEX_CHARS for c in head[6:14])
     ):
         return KIND_CPIO
+    if (
+        head[:1] == "\x03"
+        and len(head) > DBF_TYPE_OFFSET
+        and 1 <= ord(head[2]) <= 12
+        and 1 <= ord(head[3]) <= 31
+        and head[DBF_TYPE_OFFSET] in DBF_FIELD_TYPE_CHARS
+    ):
+        return KIND_DBF
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
         return KIND_TAR
     for magic in _MEDIA_MAGICS:

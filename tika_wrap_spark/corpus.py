@@ -41,6 +41,7 @@ from tika_wrap_spark.core.olebin import (
     build_xls,
 )
 from tika_wrap_spark.core.arbin import build_ar_text
+from tika_wrap_spark.core.dbfbin import build_dbf_text
 from tika_wrap_spark.core.cpiobin import build_cpio_text
 from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.plistbin import build_bplist
@@ -652,6 +653,21 @@ def _gen_cpio_payload(rng: random.Random) -> str:
     return build_cpio_text(entries)
 
 
+def _gen_dbf_payload(rng: random.Random) -> str:
+    """A dBase III+ table (core/dbfbin.py): 3-5 named fields, 3-10 word
+    records, ~1/4 of tables carrying one deleted ('*'-flagged) record the
+    extractor must skip."""
+    n_fields = rng.randint(3, 5)
+    names = ["F%d_%s" % (i, _WORDS[rng.randrange(len(_WORDS))].upper()[:6])
+             for i in range(n_fields)]
+    rows = [
+        [_WORDS[rng.randrange(len(_WORDS))] for _ in range(n_fields)]
+        for _ in range(rng.randint(3, 10))
+    ]
+    deleted = {rng.randrange(len(rows))} if rng.random() < 0.25 else set()
+    return build_dbf_text(names, rows, deleted)
+
+
 def _gen_rtf_payload(rng: random.Random) -> str:
     """RTF payload: 2-6 paragraphs, ~half carrying cp1252 accents (the
     ``\\'hh`` escape path), an \\info title destination the extractor must
@@ -992,8 +1008,14 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
         sub = rng.random()
         if sub < 0.70:
             payloads = [("text", _gen_text_payload(rng), "")]
-        elif sub < 0.82:
+        elif sub < 0.80:
             payloads = [("text", _gen_csv_payload(rng), "")]
+        elif sub < 0.82:  # dBase table (continuation r5; carved off the
+            # csv slice tail — docs outside [0.80, 0.82) keep their
+            # payloads bit-exactly, the sub draw precedes generation).
+            # dbf docs skip the charset/z wrap draws below (binary tables
+            # are neither transcoded nor wrapper-compressed in the mix).
+            payloads = [("dbf", _gen_dbf_payload(rng), "")]
         elif sub < 0.92:
             payloads = [("text", _gen_json_payload(rng), "")]
         else:
@@ -1013,14 +1035,14 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
         # UTF-16/32/8, heuristic BOM-less UTF-16, Shift-JIS/GBK CJK pages);
         # the wrap draw comes AFTER payload generation so unwrapped docs
         # keep their pre-r5 content byte-identically
-        if rng.random() < 0.18:
+        if payloads[0][0] == "text" and rng.random() < 0.18:
             payloads = [("text", _charset_wrap(rng, payloads[0][1]), "")]
         # compress slice (continuation r5): ~2% of text-family docs arrive
         # as a .log.Z / .csv.Z LZW stream (the single-document wrapper
         # path — decode, re-sniff, recurse). The wrap draw is the LAST
         # draw of this branch and comes AFTER payload generation, so
         # unwrapped docs keep their content byte-identically.
-        if rng.random() < 0.02:
+        if payloads[0][0] == "text" and rng.random() < 0.02:
             payloads = [("z", z_text(payloads[0][1]), "")]
     elif r < 0.605:
         payloads = [("html", _gen_html_payload(rng), "")]
@@ -1092,7 +1114,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 28
+N_ADVERSARIAL = 29
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1341,6 +1363,17 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 27),
             "spans": _make_spans([("z", bad_z, "")]),
+        }
+    )
+    # truncated dBase table: header promises more records than the payload
+    # carries (dbfbin record-overrun check -> 'dbf' taxonomy class)
+    cut_dbf = build_dbf_text(
+        ["ID", "NAME"], [[str(i), "row_%d" % i] for i in range(8)]
+    )[:-40]
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 28),
+            "spans": _make_spans([("dbf", cut_dbf, "")]),
         }
     )
     return rows

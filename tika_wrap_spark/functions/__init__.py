@@ -116,6 +116,19 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
             & F.substring(head, 7, 8).rlike("^[0-9a-fA-F]{8}$"),
             F.lit(sn.KIND_CPIO),
         )
+        # dbf: \x03 version byte + plausible month/day bytes + an xBase
+        # field-type letter at the first descriptor's fixed offset; short
+        # payloads yield empty substrings (ascii('') = 0, '' not in the
+        # type set), matching the Python len guard
+        .when(
+            (F.substring(head, 1, 1) == "\x03")
+            & F.ascii(F.substring(head, 3, 1)).between(1, 12)
+            & F.ascii(F.substring(head, 4, 1)).between(1, 31)
+            & F.substring(head, sn.DBF_TYPE_OFFSET + 1, 1).isin(
+                *list(sn.DBF_FIELD_TYPE_CHARS)
+            ),
+            F.lit(sn.KIND_DBF),
+        )
         # ustar magic at its fixed in-header offset (1-based substring);
         # shorter payloads yield a short/empty substring -> no match, same
         # as the Python slice

@@ -3140,9 +3140,41 @@ def _extracted_df(spark, d):
     )
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
-        run_extraction(spark, _corpus_df(spark, d), out)
-        with open(marker, "w") as f:
-            f.write("ok")
+        # cross-process guard: one builder at a time (the driver runs
+        # queries sequentially — this only matters for concurrent dev
+        # sessions). mkdir is atomic; a second process waits for the
+        # marker, then falls through to a resumed (idempotent) build if
+        # the first builder died and left a stale lock.
+        import time  # noqa: PLC0415
+
+        lock = out + ".lock"
+        try:
+            os.mkdir(lock)
+            owner = True
+        except FileExistsError:
+            owner = False
+            for _ in range(180):  # a build takes well under 3 min; a
+                # stale lock (crashed builder) falls through to a
+                # resumed idempotent build
+                if os.path.exists(marker):
+                    break
+                time.sleep(1)
+        if not os.path.exists(marker):
+            try:
+                run_extraction(spark, _corpus_df(spark, d), out)
+                with open(marker, "w") as f:
+                    f.write("ok")
+            finally:
+                if owner:
+                    try:
+                        os.rmdir(lock)
+                    except OSError:
+                        pass
+        elif owner:
+            try:
+                os.rmdir(lock)
+            except OSError:
+                pass
     return read_extracted(spark, out)
 
 
@@ -3255,6 +3287,7 @@ def _error_class_col():
             F.lit("ical"),
         )
         .when(F.col("error").startswith("sqlite:"), F.lit("sqlite"))
+        .when(F.col("error").startswith("dbf:"), F.lit("dbf"))
         .when(F.col("error").startswith("font:"), F.lit("font"))
         .when(F.col("error").startswith("warc:"), F.lit("warc"))
         .when(F.col("error").startswith("mbox:"), F.lit("mbox"))
@@ -3612,6 +3645,33 @@ def q_z_route(spark, d):
             F.try_element_at("meta", F.lit("container_depth"))
             .cast("int")
             .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_dbf_route(spark, d):
+    """dBase table extraction tallies (continuation r5): .dbf files route
+    by the guarded 0x03 version byte (sniffer kind 26, both forms — a
+    plausible last-update date and an xBase field-type letter at offset
+    43 keep other binary out) and extract as one csv-shaped text block
+    per table (core/dbfbin.py — Tika's DBFParser analog,
+    /root/reference/src/java-env.cpp:313-314); deleted records skip; a
+    truncated table lands a 'dbf:' error in its own taxonomy class,
+    never a task failure. One pruned store scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("dbf_fields") != "") | F.col("error").startswith("dbf:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            meta_at("dbf_fields").alias("dbf_fields"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
         )
