@@ -102,6 +102,7 @@ HEADLINE = [
     "url_domain_stats",
     "xml_route",
     "dbf_route",
+    "tnef_route",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,

@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 129  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 130  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -60,7 +60,7 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # pdf, unterminated ics, property-less msg, truncated sqlite,
     # truncated font, truncated warc, empty-sender mbox, truncated plist,
     # truncated ar
-    assert len(bad) == 28
+    assert len(bad) == 29
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -170,10 +170,12 @@ def test_corpus_mix_composition_pinned():
     # carve is a trailing post-generation wrap draw on the text-family
     # slice (~2%): text 154 -> 152, + z 2 (other docs byte-identical).
     # The dBase carve took the csv slice tail, sub in [0.80, 0.82)
-    # (csv 76 -> 74, + dbf 2).
+    # (csv 76 -> 74, + dbf 2); the TNEF carve took the eml slice tail,
+    # r in [0.652, 0.655) (eml 10 -> 9, + tnef 1).
     assert dict(kinds) == {
         "csv": 74,
         "dbf": 2,
+        "tnef": 1,
         "pdf": 132,
         "sqlite": 8,
         "html": 139,
@@ -182,7 +184,7 @@ def test_corpus_mix_composition_pinned():
         "text": 152,
         "json": 24,
         "z": 2,
-        "eml": 10,
+        "eml": 9,
         "mbox": 2,
         "rtf": 12,
         "plist": 3,

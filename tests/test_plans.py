@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 59  # 30 + 29 adversarial
+    assert read.count() == 60  # 30 + 30 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -262,6 +262,9 @@ def test_jvm_sniffer_fuzz_parity(spark):
         "\x03\x7c\x06\x20" + "\x00" * 39 + "C" + "\x00" * 20,
         "\x03\x7c\x06\x0f" + "\x00" * 39 + "Q" + "\x00" * 20,
         "\x03\x7c\x06\x0f", "\x03", "\x03 prose never starts with this",
+        # TNEF signature (offset-0 exact, binary) + near-misses
+        "\x78\x9f\x3e\x22", "\x78\x9f\x3e\x22\x01\x00", "\x78\x9f\x3e",
+        "x\x78\x9f\x3e\x22", "\x78\x9f",
     ]
     payloads = []
     for _ in range(2000):

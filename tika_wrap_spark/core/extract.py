@@ -62,6 +62,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_WARC,
     KIND_XML,
     KIND_DBF,
+    KIND_TNEF,
     KIND_XZ,
     KIND_Z,
     KIND_ZIP,
@@ -82,6 +83,7 @@ _WRAPPER_DECODERS = {
 from tika_wrap_spark.core.arbin import parse_ar_text
 from tika_wrap_spark.core.cpiobin import parse_cpio_text
 from tika_wrap_spark.core.dbfbin import dbf_extract_text
+from tika_wrap_spark.core.tnefbin import tnef_extract
 from tika_wrap_spark.core.tarbin import parse_tar_text
 
 # container member marking an OOXML-analog archive (real OOXML is zip with
@@ -446,6 +448,28 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 eml_subject = eml_meta.get("eml_subject", "")
                 eml_from = eml_meta.get("eml_from", "")
             for name, payload in eml_parts:
+                n_entries += 1
+                route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
+        elif kind == KIND_TNEF:
+            # TNEF winmail.dat (core/tnefbin.py; Tika TNEFParser analog):
+            # the message subject shares the eml meta key, the plain body
+            # emits as text, and each attachment payload re-sniffs and
+            # recurses like an archive member — the
+            # winmail.dat-hides-the-real-attachment case
+            if depth >= MAX_CONTAINER_DEPTH:
+                raise ExtractError(
+                    "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
+                )
+            _t_class, t_subject, t_body, t_atts = tnef_extract(text)
+            n_containers += 1
+            depth_max = max(depth_max, depth + 1)
+            if not container_format:
+                container_format = KIND_TNEF
+            if not eml_subject:
+                eml_subject = t_subject
+            if t_body:
+                emit(KIND_TEXT, t_body, "")
+            for name, payload in t_atts:
                 n_entries += 1
                 route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
         elif kind == KIND_MBOX:

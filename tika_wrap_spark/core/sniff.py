@@ -40,6 +40,10 @@ KIND_PLIST = "plist"  # Apple binary property list, 'bplist00' at offset 0
 KIND_AR = "ar"  # Unix ar archive (.a/.deb), '!<arch>\n' at offset 0
 KIND_CPIO = "cpio"  # cpio newc/crc archive, guarded '07070x' at offset 0
 KIND_DBF = "dbf"  # dBase table, guarded 0x03 version byte at offset 0
+KIND_TNEF = "tnef"  # TNEF winmail.dat, 0x223E9F78 LE signature at offset 0
+
+# TNEF signature bytes-as-text (MS-OXTNEF §2.1)
+TNEF_MAGIC_TEXT = "\x78\x9f\x3e\x22"
 
 # dbf guard set: the \x03 version byte (a control char no prose starts
 # with), a plausible YY MM DD last-update stamp, and the first field
@@ -171,6 +175,9 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          AND head[43] is an xBase field-type letter -> 'dbf' (dBase table:
          rows route to core/dbfbin.py; \\x03 is a control char no text
          document opens with, the date/type guards keep other binary out)
+      4l. head starts with the TNEF signature 0x223E9F78 (LE) -> 'tnef'
+         (winmail.dat: subject/body surface, attachments recurse through
+         core/tnefbin.py)
       5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
@@ -256,6 +263,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         and head[DBF_TYPE_OFFSET] in DBF_FIELD_TYPE_CHARS
     ):
         return KIND_DBF
+    if head.startswith(TNEF_MAGIC_TEXT):
+        return KIND_TNEF
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
         return KIND_TAR
     for magic in _MEDIA_MAGICS:

@@ -42,6 +42,7 @@ from tika_wrap_spark.core.olebin import (
 )
 from tika_wrap_spark.core.arbin import build_ar_text
 from tika_wrap_spark.core.dbfbin import build_dbf_text
+from tika_wrap_spark.core.tnefbin import build_tnef_text
 from tika_wrap_spark.core.cpiobin import build_cpio_text
 from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.plistbin import build_bplist
@@ -653,6 +654,24 @@ def _gen_cpio_payload(rng: random.Random) -> str:
     return build_cpio_text(entries)
 
 
+def _gen_tnef_payload(rng: random.Random) -> str:
+    """A TNEF winmail.dat stream (core/tnefbin.py): subject + plain body
+    + 1-2 attachments mixing text/csv/pdf so the attachment recursion
+    exercises real member routing."""
+    subject = _sentence(rng).rstrip(".")[:60]
+    body = "\n".join(_sentence(rng) for _ in range(rng.randint(2, 5)))
+    atts = []
+    for a in range(rng.randint(1, 2)):
+        k = rng.random()
+        if k < 0.4:
+            atts.append(("table_%d.csv" % a, _gen_csv_payload(rng)))
+        elif k < 0.7:
+            atts.append(("notes_%d.txt" % a, _gen_text_payload(rng)))
+        else:
+            atts.append(("doc_%d.pdf" % a, _gen_pdf_payload(rng)))
+    return build_tnef_text(subject, body, atts)
+
+
 def _gen_dbf_payload(rng: random.Random) -> str:
     """A dBase III+ table (core/dbfbin.py): 3-5 named fields, 3-10 word
     records, ~1/4 of tables carrying one deleted ('*'-flagged) record the
@@ -1057,8 +1076,12 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             payloads = [("ics", _gen_ics_payload(rng), "")]
         else:
             payloads = [("vcf", _gen_vcf_payload(rng), "")]
-    elif r < 0.655:  # rfc822/MIME message (message-as-container path)
+    elif r < 0.652:  # rfc822/MIME message (message-as-container path)
         payloads = [("eml", _gen_eml_payload(rng), "")]
+    elif r < 0.655:  # TNEF winmail.dat (continuation r5; carved off the
+        # eml slice tail — docs outside [0.652, 0.655) keep their
+        # payloads bit-exactly, the r draw precedes generation)
+        payloads = [("tnef", _gen_tnef_payload(rng), "")]
     elif r < 0.66:  # mbox mailbox (final r5; carved off the eml slice tail
         # — docs outside [0.655, 0.66) keep their payloads bit-exactly)
         payloads = [("mbox", _gen_mbox_payload(rng), "")]
@@ -1114,7 +1137,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 29
+N_ADVERSARIAL = 30
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1374,6 +1397,17 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 28),
             "spans": _make_spans([("dbf", cut_dbf, "")]),
+        }
+    )
+    # corrupted TNEF stream: one attachment-data byte flipped so the
+    # attribute checksum fails (tnefbin verify path -> 'tnef' taxonomy
+    # class) — the checksum is the format's only integrity device
+    good_tnef = build_tnef_text("doomed", "body", [("a.txt", "x" * 200)])
+    bad_tnef = good_tnef[:-50] + chr(ord(good_tnef[-50]) ^ 0x01) + good_tnef[-49:]
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 29),
+            "spans": _make_spans([("tnef", bad_tnef, "")]),
         }
     )
     return rows

@@ -129,6 +129,7 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
             ),
             F.lit(sn.KIND_DBF),
         )
+        .when(head.startswith(sn.TNEF_MAGIC_TEXT), F.lit(sn.KIND_TNEF))
         # ustar magic at its fixed in-header offset (1-based substring);
         # shorter payloads yield a short/empty substring -> no match, same
         # as the Python slice

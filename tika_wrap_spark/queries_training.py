@@ -3288,6 +3288,7 @@ def _error_class_col():
         )
         .when(F.col("error").startswith("sqlite:"), F.lit("sqlite"))
         .when(F.col("error").startswith("dbf:"), F.lit("dbf"))
+        .when(F.col("error").startswith("tnef:"), F.lit("tnef"))
         .when(F.col("error").startswith("font:"), F.lit("font"))
         .when(F.col("error").startswith("warc:"), F.lit("warc"))
         .when(F.col("error").startswith("mbox:"), F.lit("mbox"))
@@ -3645,6 +3646,38 @@ def q_z_route(spark, d):
             F.try_element_at("meta", F.lit("container_depth"))
             .cast("int")
             .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_tnef_route(spark, d):
+    """TNEF winmail.dat extraction tallies (continuation r5): streams
+    route by the offset-0 0x223E9F78 signature (sniffer kind 27, both
+    forms) and extract through the MS-OXTNEF attribute walk
+    (core/tnefbin.py — Tika's TNEFParser analog,
+    /root/reference/src/java-env.cpp:313-314): subject shares the eml
+    meta key, the plain body emits as text, attachments re-sniff and
+    recurse like archive members; a checksum-corrupt stream lands a
+    'tnef:' error in its own taxonomy class, never a task failure. One
+    pruned store scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("container_format") == "tnef")
+            | F.col("error").startswith("tnef:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            meta_at("eml_subject").alias("subject"),
+            F.try_element_at("meta", F.lit("n_container_entries"))
+            .cast("int")
+            .alias("n_attachments"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
         )

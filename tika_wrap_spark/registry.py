@@ -25,6 +25,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
     "url_domain_stats": (qt.q_url_domain_stats, qt.SQL_URL_DOMAIN_STATS),
     "dbf_route": (qt.q_dbf_route, None),
+    "tnef_route": (qt.q_tnef_route, None),
     "xml_route": (qt.q_xml_route, None),
     "z_route": (qt.q_z_route, None),
     "ar_route": (qt.q_ar_route, None),
