@@ -103,6 +103,9 @@ HEADLINE = [
     "xml_route",
     "dbf_route",
     "tnef_route",
+    "lz4_route",
+    "line_dedup",
+    "readability",
 ]
 
 # docs in the synthetic interleaved corpus for the throughput measurement,

@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 130  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 131  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -59,8 +59,8 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
     # pdf, unterminated ics, property-less msg, truncated sqlite,
     # truncated font, truncated warc, empty-sender mbox, truncated plist,
-    # truncated ar
-    assert len(bad) == 29
+    # truncated ar, corrupt lz4 frame
+    assert len(bad) == 30
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 

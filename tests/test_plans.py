@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 60  # 30 + 30 adversarial
+    assert read.count() == 61  # 30 + 31 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -265,6 +265,9 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # TNEF signature (offset-0 exact, binary) + near-misses
         "\x78\x9f\x3e\x22", "\x78\x9f\x3e\x22\x01\x00", "\x78\x9f\x3e",
         "x\x78\x9f\x3e\x22", "\x78\x9f",
+        # LZ4 frame magic 0x184D2204 LE (offset-0 exact) + near-misses
+        "\x04\x22\x4d\x18", "\x04\x22\x4d\x18\x64\x40", "\x04\x22\x4d",
+        "x\x04\x22\x4d\x18", "\x04\x22", "\x18\x4d\x22\x04",
     ]
     payloads = []
     for _ in range(2000):

@@ -334,3 +334,63 @@ def test_gopher_repetition_matches_hand_computation(spark):
     assert got[2]["dup5_chars"] == 0
     assert got[3]["top2_chars"] == got[3]["top3_chars"] == 0
     assert got[4]["n_toks"] == 0 and got[4]["dup5_share_q"] == 0
+
+
+def test_line_dedup_counts_cross_doc_boilerplate(spark, tmp_path):
+    """A footer line planted in 3 docs counts as duplicate occurrences;
+    a unique long line does not; short lines are ignored entirely."""
+    from tika_wrap_spark.queries_training import q_line_dedup
+
+    footer = "all rights reserved by example corp"
+    rows = [
+        (0, f"unique alpha content line one\n{footer}\nok", "en", "web", 1),
+        (1, f"unique beta content line two\n{footer}", "en", "web", 1),
+        (2, f"{footer}\nshort", "en", "books", 1),
+        (3, "totally original essay paragraph here", "en", "books", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["source"]: r for r in q_line_dedup(spark, str(tmp_path)).collect()}
+    # web: 4 kept lines (2 unique + 2 footer; 'ok' is under the length bar)
+    assert got["web"]["n_lines"] == 4
+    assert got["web"]["n_dup_lines"] == 2
+    assert got["web"]["n_dup_contents"] == 1
+    assert got["web"]["dup_q"] == 500
+    # books: footer + essay kept, 'short' dropped
+    assert got["books"]["n_lines"] == 2
+    assert got["books"]["n_dup_lines"] == 1
+    assert got["books"]["dup_q"] == 500
+
+
+def test_readability_hand_computation(spark, tmp_path):
+    """FK milli-grade matches the hand-computed integer formula, and a
+    long-word document grades above a terse one."""
+    from tika_wrap_spark.queries_training import q_readability
+
+    terse = "He ran. She saw. It is."  # short words, many sentences
+    dense = (
+        "Extraordinarily complicated administrative responsibilities "
+        "necessitate comprehensive organizational documentation"
+    )
+    rows = [(0, terse, "en", "a", 1), (1, dense, "en", "b", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["source"]: r for r in q_readability(spark, str(tmp_path)).collect()}
+
+    def fk(words, sentences, syll):
+        return (390 * words) // sentences + (11800 * syll) // words - 15590
+
+    # terse: norm = 'he ran. she saw. it is.' -> 6 words, 3 sentences;
+    # vowel groups: he(1) ran(1) she(1) saw(1) it(1) is(1) = 6
+    assert got["a"]["mean_fk_milli"] == fk(6, 3, 6)
+    # dense: 8 words, 1 sentence (no terminal punct -> floor 1 applies to
+    # count 0), syllable groups counted by the [aeiouy]+ runs
+    dense_syll = len(
+        [g for g in __import__("re").findall(r"[aeiouy]+", dense.lower())]
+    )
+    assert got["b"]["mean_fk_milli"] == fk(8, 1, dense_syll)
+    assert got["b"]["mean_fk_milli"] > got["a"]["mean_fk_milli"]

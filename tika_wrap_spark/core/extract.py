@@ -65,9 +65,11 @@ from tika_wrap_spark.core.sniff import (
     KIND_TNEF,
     KIND_XZ,
     KIND_Z,
+    KIND_LZ4,
     KIND_ZIP,
     sniff_kind,
 )
+from tika_wrap_spark.core.lz4bin import unlz4_text
 from tika_wrap_spark.core.plistbin import plist_extract_text
 from tika_wrap_spark.core.sqlitebin import sqlite_extract_text
 from tika_wrap_spark.core.warcbin import parse_warc_text
@@ -79,6 +81,7 @@ _WRAPPER_DECODERS = {
     KIND_XZ: (unxz_text, "xz"),
     KIND_BZ2: (unbz2_text, "bz2"),
     KIND_Z: (unz_text, "z"),
+    KIND_LZ4: (unlz4_text, "lz4"),
 }
 from tika_wrap_spark.core.arbin import parse_ar_text
 from tika_wrap_spark.core.cpiobin import parse_cpio_text

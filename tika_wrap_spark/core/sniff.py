@@ -23,6 +23,7 @@ KIND_GZIP = "gzip"
 KIND_XZ = "xz"
 KIND_BZ2 = "bz2"
 KIND_Z = "z"  # UNIX compress .Z (LZW), '\x1f\x9d' at offset 0
+KIND_LZ4 = "lz4"  # LZ4 frame, 0x184D2204 LE at offset 0
 KIND_TAR = "tar"
 KIND_XML = "xml"
 KIND_JSON = "json"
@@ -44,6 +45,9 @@ KIND_TNEF = "tnef"  # TNEF winmail.dat, 0x223E9F78 LE signature at offset 0
 
 # TNEF signature bytes-as-text (MS-OXTNEF §2.1)
 TNEF_MAGIC_TEXT = "\x78\x9f\x3e\x22"
+
+# LZ4 frame magic, 0x184D2204 little-endian (bytes-as-text latin-1)
+LZ4_MAGIC_TEXT = "\x04\x22\x4d\x18"
 
 # dbf guard set: the \x03 version byte (a control char no prose starts
 # with), a plausible YY MM DD last-update stamp, and the first field
@@ -154,6 +158,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       4c. head starts with 'BZh' + level 1-9      -> 'bz2'
       4c2. head starts with '\\x1f\\x9d'          -> 'z' (UNIX compress
          LZW wrapper: decode in core/gzipbin.py, inner stream re-sniffs)
+      4c3. head starts with 0x184D2204 LE         -> 'lz4' (LZ4 frame
+         wrapper: decode in core/lz4bin.py, inner stream re-sniffs)
       4d. head starts with the 8-byte CFB magic   -> 'ole' (legacy Office
          compound file: .doc/.xls route to core/olebin.py)
       4e. head starts with 'SQLite format 3\\0'   -> 'sqlite' (database
@@ -233,6 +239,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_BZ2
     if head.startswith("\x1f\x9d"):
         return KIND_Z
+    if head.startswith(LZ4_MAGIC_TEXT):
+        return KIND_LZ4
     if head.startswith(OLE_MAGIC_TEXT):
         return KIND_OLE
     if head.startswith(SQLITE_MAGIC_TEXT):

@@ -31,6 +31,7 @@ from tika_wrap_spark.core.container import build_container
 from tika_wrap_spark.core.eml import build_eml
 from tika_wrap_spark.core.extract import extract_document
 from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text, z_text
+from tika_wrap_spark.core.lz4bin import lz4_text
 from tika_wrap_spark.core.ical import build_ics, build_vcf
 from tika_wrap_spark.core.media import build_jpeg, build_png
 from tika_wrap_spark.core.olebin import (
@@ -866,10 +867,11 @@ def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
     parses — REAL PK-zip bytes (~40%; seeded per-member stored/deflate
     mix, 1-in-5 of those a zip64 layout and 1-in-5 a streamed
     data-descriptor layout), REAL ustar tar (~15%), tar wrapped in a REAL
-    gzip / xz / bz2 / compress-LZW stream (~6/3/3/2% — the
-    .tar.gz/.tar.xz/.tar.bz2/.tar.Z paths: decompress -> re-sniff -> tar
-    recursion), or the TWC1 analog dialect (rest). All route through the
-    same recursive member walk (zipbin / tarbin / gzipbin / container)."""
+    gzip / xz / bz2 / compress-LZW / LZ4-frame stream (~6/3/3/1/1% — the
+    .tar.gz/.tar.xz/.tar.bz2/.tar.Z/.tar.lz4 paths: decompress ->
+    re-sniff -> tar recursion), or the TWC1 analog dialect (rest). All
+    route through the same recursive member walk (zipbin / tarbin /
+    gzipbin / lz4bin / container)."""
     r = rng.random()
     if r < 0.4:
         return build_zip_text(
@@ -886,10 +888,15 @@ def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
         return xz_text(build_tar_text(entries))
     if r < 0.67:
         return bz2_text(build_tar_text(entries))
-    if r < 0.69:  # tar.Z (UNIX compress LZW wrapper) — carved off the
-        # TWC1 range; archives with r >= 0.69 keep their serialization
-        # bit-exactly (z_text makes no rng draws)
+    if r < 0.68:  # tar.Z (UNIX compress LZW wrapper) — carved off the
+        # TWC1 range; archives outside [0.67, 0.69) keep their
+        # serialization bit-exactly (z_text makes no rng draws)
         return z_text(build_tar_text(entries))
+    if r < 0.69:  # tar.lz4 (LZ4 frame wrapper, continuation r5) — carved
+        # off the tar.Z sub-range [0.67, 0.69): the SAME r draw decides,
+        # so archives outside [0.68, 0.69) keep their serialization
+        # bit-exactly (lz4_text makes no rng draws)
+        return lz4_text(build_tar_text(entries))
     return build_container(entries)
 
 
@@ -901,7 +908,8 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
     (mimetype marker + content.xml; odt/ods/odp ~ 2:1:1) — the
     zip-that-is-a-document case. Every archive (any
     nesting level, any shape) draws its serialization from _encode_archive's
-    six-way real-zip / real-tar / tar.gz / tar.xz / tar.bz2 / TWC1 mix."""
+    seven-way real-zip / real-tar / tar.gz / tar.xz / tar.bz2 / tar.Z-or-
+    tar.lz4 / TWC1 mix."""
     entries: list[tuple[str, str]] = []
     if depth == 0 and rng.random() < 0.2:  # document-shaped archive
         shape = rng.random()
@@ -1057,12 +1065,18 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
         if payloads[0][0] == "text" and rng.random() < 0.18:
             payloads = [("text", _charset_wrap(rng, payloads[0][1]), "")]
         # compress slice (continuation r5): ~2% of text-family docs arrive
-        # as a .log.Z / .csv.Z LZW stream (the single-document wrapper
-        # path — decode, re-sniff, recurse). The wrap draw is the LAST
-        # draw of this branch and comes AFTER payload generation, so
-        # unwrapped docs keep their content byte-identically.
-        if payloads[0][0] == "text" and rng.random() < 0.02:
-            payloads = [("z", z_text(payloads[0][1]), "")]
+        # wrapper-compressed (the single-document wrapper path — decode,
+        # re-sniff, recurse): half as a .log.Z / .csv.Z LZW stream, half
+        # as an .lz4 frame (the LZ4 half is carved out of the SAME wrap
+        # draw's [0.01, 0.02) sub-range, so .Z docs and unwrapped docs
+        # keep their content byte-identically). The wrap draw is the LAST
+        # draw of this branch and comes AFTER payload generation.
+        if payloads[0][0] == "text":
+            w = rng.random()
+            if w < 0.01:
+                payloads = [("z", z_text(payloads[0][1]), "")]
+            elif w < 0.02:
+                payloads = [("lz4", lz4_text(payloads[0][1]), "")]
     elif r < 0.605:
         payloads = [("html", _gen_html_payload(rng), "")]
         # declared-charset slice (final r5): ~6% of html docs arrive as a
@@ -1137,7 +1151,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 30
+N_ADVERSARIAL = 31
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1408,6 +1422,17 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 29),
             "spans": _make_spans([("tnef", bad_tnef, "")]),
+        }
+    )
+    # corrupt LZ4 frame: a flipped content-checksum byte (unlz4's xxh32
+    # verify path -> 'lz4:' prefix in the 'archive' taxonomy class; the
+    # strict decoder also catches truncated blocks and bad header HC)
+    good_lz4 = lz4_text("doomed lz4 payload " * 40)
+    bad_lz4 = good_lz4[:-1] + chr(ord(good_lz4[-1]) ^ 0xFF)
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 30),
+            "spans": _make_spans([("lz4", bad_lz4, "")]),
         }
     )
     return rows

@@ -92,6 +92,7 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
             F.lit(sn.KIND_BZ2),
         )
         .when(head.startswith("\x1f\x9d"), F.lit(sn.KIND_Z))
+        .when(head.startswith(sn.LZ4_MAGIC_TEXT), F.lit(sn.KIND_LZ4))
         .when(head.startswith(sn.OLE_MAGIC_TEXT), F.lit(sn.KIND_OLE))
         .when(head.startswith(sn.SQLITE_MAGIC_TEXT), F.lit(sn.KIND_SQLITE))
         .when(head.startswith(sn.FONT_TTF_MAGIC_TEXT), F.lit(sn.KIND_FONT))

@@ -500,6 +500,171 @@ FROM per_source
 """
 
 
+LINE_DEDUP_MIN_CHARS = 10  # C4-style: only lines this long count as content
+
+
+def q_line_dedup(spark, d):
+    """C4-style duplicate-line audit (continuation r5): split every
+    document into trimmed lines, keep the content-bearing ones (>=
+    ``LINE_DEDUP_MIN_CHARS`` chars), and measure per source how much of
+    the corpus is boilerplate — lines whose exact content recurs in >= 2
+    distinct documents corpus-wide (nav bars, cookie banners, footer
+    legalese: the material C4's line-level dedup strips before training).
+    Output per source: kept line occurrences, duplicate occurrences,
+    distinct duplicated contents, and the duplicate share quantized to
+    thousandths. Scale shape: one linear explode, then ALL joins/aggs run
+    at line-TYPE grain (doc-grain -> (line, source) -> line rollups, each
+    partial-aggregable), so a hot line ("Home") costs one aggregated row
+    per source, never an occurrence-level join — the same
+    postings-not-pairs rule the dedup family follows — and every
+    shuffle/join key is the line's md5 DIGEST, not the line itself, so
+    shuffle row width is 32 chars regardless of line length (both
+    engines key on the digest, so the comparison is exact). Integer-exact
+    in both engines (count/sum + integer div only)."""
+    docs = _t(spark, d, "documents")
+    lines = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", "\n")).alias("raw")
+        )
+        .select("doc_id", "source", F.trim("raw").alias("line"))
+        .filter(F.length("line") >= LINE_DEDUP_MIN_CHARS)
+        .select(
+            "doc_id", "source", F.md5(F.col("line").cast("binary")).alias("fp")
+        )
+    )
+    per_doc = lines.groupBy("fp", "source", "doc_id").agg(
+        F.count("*").alias("occ")
+    )
+    per_src = per_doc.groupBy("fp", "source").agg(
+        F.sum("occ").cast("long").alias("occ"),
+        F.count("*").alias("n_docs_src"),
+    )
+    per_line = per_src.groupBy("fp").agg(
+        F.sum("n_docs_src").cast("long").alias("n_docs_total")
+    )
+    dup = F.col("n_docs_total") >= 2
+    return (
+        per_src.join(per_line, "fp")
+        .groupBy("source")
+        .agg(
+            F.sum("occ").cast("long").alias("n_lines"),
+            F.sum(F.when(dup, F.col("occ")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_lines"),
+            F.sum(F.when(dup, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_contents"),
+        )
+        .withColumn(
+            "dup_q", F.expr("(1000 * n_dup_lines) div n_lines").cast("long")
+        )
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH lines AS (
+  SELECT doc_id, source, md5(trim(l)) AS fp
+  FROM (SELECT doc_id, source, unnest(str_split(text, chr(10))) AS l
+        FROM documents)
+  WHERE length(trim(l)) >= {LINE_DEDUP_MIN_CHARS}
+), per_doc AS (
+  SELECT fp, source, doc_id, count(*) AS occ FROM lines GROUP BY 1, 2, 3
+), per_src AS (
+  SELECT fp, source, CAST(sum(occ) AS BIGINT) AS occ,
+         count(*) AS n_docs_src
+  FROM per_doc GROUP BY 1, 2
+), per_line AS (
+  SELECT fp, CAST(sum(n_docs_src) AS BIGINT) AS n_docs_total
+  FROM per_src GROUP BY 1
+)
+SELECT s.source,
+       CAST(sum(s.occ) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN p.n_docs_total >= 2 THEN s.occ ELSE 0 END)
+            AS BIGINT) AS n_dup_lines,
+       CAST(sum(CASE WHEN p.n_docs_total >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_contents,
+       (1000 * CAST(sum(CASE WHEN p.n_docs_total >= 2 THEN s.occ ELSE 0 END)
+                    AS BIGINT))
+         // CAST(sum(s.occ) AS BIGINT) AS dup_q
+FROM per_src s JOIN per_line p USING (fp)
+GROUP BY 1
+"""
+
+
+def q_readability(spark, d):
+    """Flesch-Kincaid-style readability grade per (source, lang)
+    (continuation r5), in the house integer-exact surrogate form: grade
+    x1000 = (390 * words) div sentences + (11800 * syllable_groups) div
+    words - 15590 — the standard FK coefficients (0.39 / 11.8 / 15.59)
+    scaled to milli-grades with integer division in BOTH engines.
+    Sentences = terminal-punct count via translate-delete (no regex
+    drift); syllable groups = maximal [aeiouy]+ runs on the normalized
+    lowercase text (the classic vowel-group syllable estimator). The
+    curation read: a source whose mean grade collapses toward 0 is
+    listicle/fragment spam, one that explodes is OCR noise or legalese —
+    the quality-mix dial next to [[text_quality]]'s surface features.
+    Scale shape: per-doc projections (codegen'd, linear) + one
+    partial-aggregable shuffle to the (source, lang) grain."""
+    docs = dd.normalized(_t(spark, d, "documents")).filter(F.col("norm") != "")
+    vrep = F.regexp_replace(F.col("norm"), "[aeiouy]+", "V")
+    feats = docs.select(
+        "source",
+        "lang",
+        F.size(F.split("norm", " ")).cast("long").alias("words"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            (
+                F.length("text") - F.length(F.translate("text", ".!?", ""))
+            ).cast("long"),
+        ).alias("sentences"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            (F.length(vrep) - F.length(F.replace(vrep, F.lit("V"), F.lit("")))).cast(
+                "long"
+            ),
+        ).alias("syll"),
+    ).withColumn(
+        "fk_milli",
+        F.expr(
+            "(390 * words) div sentences + (11800 * syll) div words - 15590"
+        ).cast("long"),
+    )
+    return feats.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(fk_milli) div count(*)").cast("long").alias("mean_fk_milli"),
+        F.min("fk_milli").cast("long").alias("min_fk_milli"),
+        F.max("fk_milli").cast("long").alias("max_fk_milli"),
+    )
+
+
+SQL_READABILITY = f"""
+WITH feats AS (
+  SELECT source, lang,
+         CAST(array_length(str_split({_NORM_DUCK}, ' ')) AS BIGINT) AS words,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(length(text) - length(translate(text, '.!?', ''))
+                       AS BIGINT)) AS sentences,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(length(regexp_replace({_NORM_DUCK}, '[aeiouy]+', 'V', 'g'))
+                       - length(replace(regexp_replace({_NORM_DUCK},
+                                                       '[aeiouy]+', 'V', 'g'),
+                                        'V', '')) AS BIGINT)) AS syll
+  FROM documents
+  WHERE {_NORM_DUCK} <> ''
+), fk AS (
+  SELECT source, lang,
+         (390 * words) // sentences + (11800 * syll) // words - 15590
+           AS fk_milli
+  FROM feats
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(fk_milli) AS BIGINT) // count(*) AS mean_fk_milli,
+       CAST(min(fk_milli) AS BIGINT) AS min_fk_milli,
+       CAST(max(fk_milli) AS BIGINT) AS max_fk_milli
+FROM fk GROUP BY 1, 2
+"""
+
+
 ZIPF_TOP = 16  # rank checkpoints: head coverage window for the profile
 
 
@@ -3090,7 +3255,7 @@ def _corpus_df(spark, d):
 # bump when a corpus/extraction change isn't visible in the 40-doc canary
 # (e.g. a rare-kind-only behavior change) — the store key below hashes the
 # canary docs so most semantic changes invalidate automatically
-_EXTRACT_STORE_VERSION = "1"
+_EXTRACT_STORE_VERSION = "2"  # r5 continuation: lz4 wrapper slices
 
 
 def _extract_store_key(n_docs: int) -> str:
@@ -3265,7 +3430,8 @@ def _error_class_col():
             | F.col("error").startswith("gzip:")
             | F.col("error").startswith("xz:")
             | F.col("error").startswith("bz2:")
-            | F.col("error").startswith("z:"),
+            | F.col("error").startswith("z:")
+            | F.col("error").startswith("lz4:"),
             F.lit("archive"),
         )
         .when(
@@ -3636,6 +3802,42 @@ def q_z_route(spark, d):
     return (
         ext.filter(
             (meta_at("container_format") == "z") | F.col("error").startswith("z:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.try_element_at("meta", F.lit("n_container_entries"))
+            .cast("int")
+            .alias("n_members"),
+            F.try_element_at("meta", F.lit("container_depth"))
+            .cast("int")
+            .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_lz4_route(spark, d):
+    """LZ4 frame wrapper tallies: streams route by the offset-0
+    0x184D2204 LE magic (sniffer kind 28, both forms) and decode through
+    a hand-rolled LZ4 block codec + xxHash32 frame checksums
+    (core/lz4bin.py — Tika's commons-compress
+    FramedLZ4CompressorInputStream analog,
+    /root/reference/src/java-env.cpp:313-314; builder AND decoder are
+    cross-validated against the system lz4 CLI in both directions,
+    including block-linked and checksummed layouts). The inner stream
+    re-sniffs and recurses (the corpus carries tar.lz4); a corrupt frame
+    lands an 'lz4:' error in the 'archive' taxonomy class, never a task
+    failure. One pruned store scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("container_format") == "lz4")
+            | F.col("error").startswith("lz4:")
         )
         .select(
             "doc_id",

@@ -23,6 +23,9 @@ from tika_wrap_spark import queries_training as qt
 
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
+    "lz4_route": (qt.q_lz4_route, None),
+    "line_dedup": (qt.q_line_dedup, qt.SQL_LINE_DEDUP),
+    "readability": (qt.q_readability, qt.SQL_READABILITY),
     "url_domain_stats": (qt.q_url_domain_stats, qt.SQL_URL_DOMAIN_STATS),
     "dbf_route": (qt.q_dbf_route, None),
     "tnef_route": (qt.q_tnef_route, None),
