@@ -104,6 +104,8 @@ HEADLINE = [
     "dbf_route",
     "tnef_route",
     "lz4_route",
+    "midi_route",
+    "sevenz_route",
     "line_dedup",
     "readability",
 ]

@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 131  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 133  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -59,8 +59,8 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
     # pdf, unterminated ics, property-less msg, truncated sqlite,
     # truncated font, truncated warc, empty-sender mbox, truncated plist,
-    # truncated ar, corrupt lz4 frame
-    assert len(bad) == 30
+    # truncated ar, corrupt lz4 frame, truncated midi, CRC-corrupt 7z
+    assert len(bad) == 32
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -172,6 +172,14 @@ def test_corpus_mix_composition_pinned():
     # The dBase carve took the csv slice tail, sub in [0.80, 0.82)
     # (csv 76 -> 74, + dbf 2); the TNEF carve took the eml slice tail,
     # r in [0.652, 0.655) (eml 10 -> 9, + tnef 1).
+    # Continuation r5: the MIDI carve took the json slice tail, sub in
+    # [0.90, 0.92) (json 24 -> 21, + midi 3); the LZ4 carves reuse the
+    # .Z wrap draw's [0.01, 0.02) sub-range and the tar.Z serialization's
+    # [0.68, 0.69) sub-range — both seed-42 wrap hits fall in the .Z half,
+    # so the lz4 kind appears only via adversarial/organic draws at other
+    # seeds (composition here unchanged).
+    # The 7z carve ([0.60, 0.63) of the raw-container sub-draw) turned one
+    # tar-serialized container doc into a 7z archive (tar 2 -> 1, + 7z 1).
     assert dict(kinds) == {
         "csv": 74,
         "dbf": 2,
@@ -182,7 +190,8 @@ def test_corpus_mix_composition_pinned():
         "xml": 12,
         "media": 59,
         "text": 152,
-        "json": 24,
+        "json": 21,
+        "midi": 3,
         "z": 2,
         "eml": 9,
         "mbox": 2,
@@ -190,7 +199,8 @@ def test_corpus_mix_composition_pinned():
         "plist": 3,
         "zip": 16,
         "ole": 7,
-        "tar": 2,
+        "tar": 1,
+        "7z": 1,
         "ar": 2,
         "cpio": 1,
         "ics": 8,

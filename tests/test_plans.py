@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 61  # 30 + 31 adversarial
+    assert read.count() == 63  # 30 + 33 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -268,6 +268,14 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # LZ4 frame magic 0x184D2204 LE (offset-0 exact) + near-misses
         "\x04\x22\x4d\x18", "\x04\x22\x4d\x18\x64\x40", "\x04\x22\x4d",
         "x\x04\x22\x4d\x18", "\x04\x22", "\x18\x4d\x22\x04",
+        # SMF magic: 'MThd' needs the NUL header-length guard byte —
+        # 'MThd'-opener prose must NOT route midi in either form
+        "MThd\x00\x00\x00\x06\x00\x01", "MThd is how midi files start",
+        "MThd", "MTh", "xMThd\x00", "MThd\x01\x00",
+        # 7z signature (offset-0 exact, binary tail) + near-misses — '7z'
+        # alone is plausible prose and must fall through
+        "7z\xbc\xaf\x27\x1c", "7z\xbc\xaf\x27\x1c\x00\x04", "7z\xbc\xaf",
+        "7z is a compressor", "x7z\xbc\xaf\x27\x1c", "7z",
     ]
     payloads = []
     for _ in range(2000):

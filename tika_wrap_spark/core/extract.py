@@ -66,10 +66,14 @@ from tika_wrap_spark.core.sniff import (
     KIND_XZ,
     KIND_Z,
     KIND_LZ4,
+    KIND_MIDI,
+    KIND_SEVENZ,
     KIND_ZIP,
     sniff_kind,
 )
 from tika_wrap_spark.core.lz4bin import unlz4_text
+from tika_wrap_spark.core.midibin import midi_extract_text_str
+from tika_wrap_spark.core.sevenzip import parse_7z_text
 from tika_wrap_spark.core.plistbin import plist_extract_text
 from tika_wrap_spark.core.sqlitebin import sqlite_extract_text
 from tika_wrap_spark.core.warcbin import parse_warc_text
@@ -190,6 +194,8 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     ical_summary = ""  # first event SUMMARY / first card FN (core/ical.py)
     sqlite_tables = ""  # first database's user-table names, comma-joined
     dbf_fields = ""  # first dBase table's field names, comma-joined
+    midi_tracks = ""  # first MIDI file's track count (+ first track name)
+    midi_track_name = ""
     plist_keys = ""  # first binary plist's top-level dict keys
     warc_target = ""  # first warc payload record's WARC-Target-URI
     font_meta: dict[str, str] = {}  # first font payload's naming metadata
@@ -214,6 +220,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         nonlocal media1_dims, container_format  # media1_png_text/exif mutate
         nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
         nonlocal sqlite_tables, warc_target, plist_keys, xml_root, dbf_fields
+        nonlocal midi_tracks, midi_track_name
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
             # sniffs text-family first (its magic bytes match nothing), the
@@ -317,7 +324,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                     route(
                         sniff_kind(payload, ""), payload, "", path + (name,), depth + 1
                     )
-        elif kind in (KIND_ZIP, KIND_TAR, KIND_AR, KIND_CPIO):
+        elif kind in (KIND_ZIP, KIND_TAR, KIND_AR, KIND_CPIO, KIND_SEVENZ):
             if depth >= MAX_CONTAINER_DEPTH:
                 raise ExtractError(
                     "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
@@ -328,8 +335,10 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 entries = parse_tar_text(text)
             elif kind == KIND_AR:  # ar (.a/.deb): core/arbin.py walk
                 entries = parse_ar_text(text)
-            else:  # cpio newc/crc: core/cpiobin.py walk
+            elif kind == KIND_CPIO:  # cpio newc/crc: core/cpiobin.py walk
                 entries = parse_cpio_text(text)
+            else:  # 7z: core/sevenzip.py header walk + LZMA folders
+                entries = parse_7z_text(text)
             n_containers += 1
             depth_max = max(depth_max, depth + 1)
             pkg = _package_format(entries)
@@ -400,6 +409,18 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             if not sqlite_tables:
                 sqlite_tables = ",".join(name for name, _b in sq_tables)
             for _name, block in sq_tables:
+                emit(KIND_TEXT, block, "")
+        elif kind == KIND_MIDI:
+            # Standard MIDI file (core/midibin.py; Tika MidiParser
+            # analog): the six text-class meta events (text, copyright,
+            # track/instrument names, lyrics, markers) emit as one text
+            # block per carrying track; note/sysex/tempo events are
+            # walked (running status honored) but never extracted.
+            m_blocks, m_meta = midi_extract_text_str(text)
+            if not midi_tracks:
+                midi_tracks = m_meta.get("midi_tracks", "")
+                midi_track_name = m_meta.get("midi_track_name", "")
+            for block in m_blocks:
                 emit(KIND_TEXT, block, "")
         elif kind == KIND_DBF:
             # dBase table (core/dbfbin.py; Tika DBFParser analog): one
@@ -562,6 +583,8 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "ical_summary": ical_summary,
         "sqlite_tables": sqlite_tables,
         "dbf_fields": dbf_fields,
+        "midi_tracks": midi_tracks,
+        "midi_track_name": midi_track_name,
         "plist_keys": plist_keys,
         "warc_target": warc_target,
         "font_family": font_meta.get("family", ""),

@@ -24,6 +24,8 @@ KIND_XZ = "xz"
 KIND_BZ2 = "bz2"
 KIND_Z = "z"  # UNIX compress .Z (LZW), '\x1f\x9d' at offset 0
 KIND_LZ4 = "lz4"  # LZ4 frame, 0x184D2204 LE at offset 0
+KIND_MIDI = "midi"  # Standard MIDI file, 'MThd' at offset 0 (guarded)
+KIND_SEVENZ = "7z"  # 7z archive, '7z\xbc\xaf\x27\x1c' at offset 0
 KIND_TAR = "tar"
 KIND_XML = "xml"
 KIND_JSON = "json"
@@ -48,6 +50,14 @@ TNEF_MAGIC_TEXT = "\x78\x9f\x3e\x22"
 
 # LZ4 frame magic, 0x184D2204 little-endian (bytes-as-text latin-1)
 LZ4_MAGIC_TEXT = "\x04\x22\x4d\x18"
+
+# SMF MIDI magic — printable, so GUARDED by the header-length high byte
+# (a real MThd chunk length is 6; any sane SMF has byte 4 == 0x00, while
+# prose starting with the literal word 'MThd' never does)
+MIDI_MAGIC_TEXT = "MThd"
+
+# 7z signature (6 bytes, the last four binary — no prose guard needed)
+SEVENZ_MAGIC_TEXT = "7z\xbc\xaf\x27\x1c"
 
 # dbf guard set: the \x03 version byte (a control char no prose starts
 # with), a plausible YY MM DD last-update stamp, and the first field
@@ -160,6 +170,11 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          LZW wrapper: decode in core/gzipbin.py, inner stream re-sniffs)
       4c3. head starts with 0x184D2204 LE         -> 'lz4' (LZ4 frame
          wrapper: decode in core/lz4bin.py, inner stream re-sniffs)
+      4c4. head starts with 'MThd' AND head[4] == '\\x00' -> 'midi'
+         (Standard MIDI file: text-class meta events route to
+         core/midibin.py; the guard keeps 'MThd'-opener prose out)
+      4c5. head starts with '7z\\xbc\\xaf\\x27\\x1c' -> '7z' (7z archive:
+         members route to core/sevenzip.py and recurse)
       4d. head starts with the 8-byte CFB magic   -> 'ole' (legacy Office
          compound file: .doc/.xls route to core/olebin.py)
       4e. head starts with 'SQLite format 3\\0'   -> 'sqlite' (database
@@ -241,6 +256,10 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_Z
     if head.startswith(LZ4_MAGIC_TEXT):
         return KIND_LZ4
+    if head.startswith(MIDI_MAGIC_TEXT) and head[4:5] == "\x00":
+        return KIND_MIDI
+    if head.startswith(SEVENZ_MAGIC_TEXT):
+        return KIND_SEVENZ
     if head.startswith(OLE_MAGIC_TEXT):
         return KIND_OLE
     if head.startswith(SQLITE_MAGIC_TEXT):

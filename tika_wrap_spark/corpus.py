@@ -43,6 +43,8 @@ from tika_wrap_spark.core.olebin import (
 )
 from tika_wrap_spark.core.arbin import build_ar_text
 from tika_wrap_spark.core.dbfbin import build_dbf_text
+from tika_wrap_spark.core.midibin import build_midi_text
+from tika_wrap_spark.core.sevenzip import build_7z_text
 from tika_wrap_spark.core.tnefbin import build_tnef_text
 from tika_wrap_spark.core.cpiobin import build_cpio_text
 from tika_wrap_spark.core.pdfbin import build_pdf_text
@@ -655,6 +657,28 @@ def _gen_cpio_payload(rng: random.Random) -> str:
     return build_cpio_text(entries)
 
 
+def _gen_7z_payload(rng: random.Random) -> str:
+    """A solid 7z archive (core/sevenzip.py): 2-4 members mixing text/csv
+    (~1/4 with one nested tar member exercising recursion), drawn half
+    Copy- and half LZMA2-coded, ~1/3 with the kEncodedHeader layout the
+    7z CLI writes by default."""
+    entries: list[tuple[str, str]] = []
+    for m in range(rng.randint(2, 4)):
+        if m == 0 and rng.random() < 0.25:
+            inner = build_tar_text(
+                [("nested/deep_%d.txt" % m, _gen_text_payload(rng))]
+            )
+            entries.append(("payload/inner.tar", inner))
+        elif rng.random() < 0.3:
+            entries.append(("sheets/table_%d.csv" % m, _gen_csv_payload(rng)))
+        else:
+            entries.append(("docs/note_%d.txt" % m, _gen_text_payload(rng)))
+    codec = "copy" if rng.random() < 0.5 else "lzma2"
+    return build_7z_text(
+        entries, codec=codec, encoded_header=rng.random() < 0.33
+    )
+
+
 def _gen_tnef_payload(rng: random.Random) -> str:
     """A TNEF winmail.dat stream (core/tnefbin.py): subject + plain body
     + 1-2 attachments mixing text/csv/pdf so the attachment recursion
@@ -686,6 +710,25 @@ def _gen_dbf_payload(rng: random.Random) -> str:
     ]
     deleted = {rng.randrange(len(rows))} if rng.random() < 0.25 else set()
     return build_dbf_text(names, rows, deleted)
+
+
+def _gen_midi_payload(rng: random.Random) -> str:
+    """A Standard MIDI file (core/midibin.py): 1-3 tracks, each with a
+    track name and 1-4 lyric/text/marker events, real note and
+    program-change events (running status) between them."""
+    n_tracks = rng.randint(1, 3)
+    tracks = []
+    for t in range(n_tracks):
+        evs: list[tuple[str, str]] = [("track_name", _words(rng, 2).title())]
+        if t == 0 and rng.random() < 0.5:
+            evs.append(("copyright", "(c) %d %s" % (1990 + rng.randrange(40),
+                                                    _words(rng, 1))))
+        for _ in range(rng.randint(1, 4)):
+            kind = rng.choice(("lyric", "text", "marker"))
+            evs.append((kind, _words(rng, rng.randint(2, 6))))
+        tracks.append(evs)
+    return build_midi_text(tracks, division=rng.choice((96, 192, 480)),
+                           notes_per_track=rng.randint(2, 6))
 
 
 def _gen_rtf_payload(rng: random.Random) -> str:
@@ -1043,8 +1086,14 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             # dbf docs skip the charset/z wrap draws below (binary tables
             # are neither transcoded nor wrapper-compressed in the mix).
             payloads = [("dbf", _gen_dbf_payload(rng), "")]
-        elif sub < 0.92:
+        elif sub < 0.90:
             payloads = [("text", _gen_json_payload(rng), "")]
+        elif sub < 0.92:  # Standard MIDI file (continuation r5; carved off
+            # the json slice tail — docs outside [0.90, 0.92) keep their
+            # payloads bit-exactly, the sub draw precedes generation).
+            # midi docs skip the charset/wrapper draws below (binary
+            # streams are neither transcoded nor wrapper-compressed).
+            payloads = [("midi", _gen_midi_payload(rng), "")]
         else:
             xmlp = _gen_xml_payload(rng)
             # xml subkind variety (continuation r5): rewrite the root
@@ -1146,12 +1195,16 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             # generic-container range — docs with sub >= 0.60 keep their
             # payloads bit-exactly, the sub draw precedes generation)
             payloads = [("cpio", _gen_cpio_payload(rng), "")]
+        elif sub < 0.63:  # 7z archive (continuation r5; carved off the
+            # generic-container range — docs with sub >= 0.63 keep their
+            # payloads bit-exactly, the sub draw precedes generation)
+            payloads = [("7z", _gen_7z_payload(rng), "")]
         else:
             payloads = [("zip", _gen_container_payload(rng), "")]
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 31
+N_ADVERSARIAL = 33
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1433,6 +1486,27 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 30),
             "spans": _make_spans([("lz4", bad_lz4, "")]),
+        }
+    )
+    # truncated MIDI: the last track's declared MTrk length overruns the
+    # cut file (midibin track-bounds check -> 'midi' taxonomy class)
+    cut_midi = build_midi_text([[("track_name", "Doomed"), ("lyric", "x" * 80)]])[:-60]
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 31),
+            "spans": _make_spans([("midi", cut_midi, "")]),
+        }
+    )
+    # CRC-corrupt 7z: one flipped Copy-coded pack-stream byte so the
+    # substream CRC verify fails ('7z:' prefix, 'archive' taxonomy class;
+    # Copy guarantees the CRC path fires — an LZMA flip would usually
+    # trip the entropy decoder first)
+    good_7z = build_7z_text([("doomed.txt", "y" * 300)], codec="copy")
+    bad_7z = good_7z[:40] + chr(ord(good_7z[40]) ^ 0xFF) + good_7z[41:]
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 32),
+            "spans": _make_spans([("7z", bad_7z, "")]),
         }
     )
     return rows

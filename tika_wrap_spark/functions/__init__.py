@@ -93,6 +93,12 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
         )
         .when(head.startswith("\x1f\x9d"), F.lit(sn.KIND_Z))
         .when(head.startswith(sn.LZ4_MAGIC_TEXT), F.lit(sn.KIND_LZ4))
+        .when(
+            head.startswith(sn.MIDI_MAGIC_TEXT)
+            & (F.substring(head, 5, 1) == "\x00"),
+            F.lit(sn.KIND_MIDI),
+        )
+        .when(head.startswith(sn.SEVENZ_MAGIC_TEXT), F.lit(sn.KIND_SEVENZ))
         .when(head.startswith(sn.OLE_MAGIC_TEXT), F.lit(sn.KIND_OLE))
         .when(head.startswith(sn.SQLITE_MAGIC_TEXT), F.lit(sn.KIND_SQLITE))
         .when(head.startswith(sn.FONT_TTF_MAGIC_TEXT), F.lit(sn.KIND_FONT))

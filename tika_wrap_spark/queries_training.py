@@ -3255,7 +3255,7 @@ def _corpus_df(spark, d):
 # bump when a corpus/extraction change isn't visible in the 40-doc canary
 # (e.g. a rare-kind-only behavior change) — the store key below hashes the
 # canary docs so most semantic changes invalidate automatically
-_EXTRACT_STORE_VERSION = "2"  # r5 continuation: lz4 wrapper slices
+_EXTRACT_STORE_VERSION = "4"  # r5 continuation: lz4 + midi + 7z slices
 
 
 def _extract_store_key(n_docs: int) -> str:
@@ -3431,7 +3431,8 @@ def _error_class_col():
             | F.col("error").startswith("xz:")
             | F.col("error").startswith("bz2:")
             | F.col("error").startswith("z:")
-            | F.col("error").startswith("lz4:"),
+            | F.col("error").startswith("lz4:")
+            | F.col("error").startswith("7z:"),
             F.lit("archive"),
         )
         .when(
@@ -3454,6 +3455,7 @@ def _error_class_col():
         )
         .when(F.col("error").startswith("sqlite:"), F.lit("sqlite"))
         .when(F.col("error").startswith("dbf:"), F.lit("dbf"))
+        .when(F.col("error").startswith("midi:"), F.lit("midi"))
         .when(F.col("error").startswith("tnef:"), F.lit("tnef"))
         .when(F.col("error").startswith("font:"), F.lit("font"))
         .when(F.col("error").startswith("warc:"), F.lit("warc"))
@@ -3812,6 +3814,73 @@ def q_z_route(spark, d):
             F.try_element_at("meta", F.lit("container_depth"))
             .cast("int")
             .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_sevenz_route(spark, d):
+    """7z archive extraction tallies (continuation r5): archives route by
+    the offset-0 '7z\\xbc\\xaf\\x27\\x1c' signature (sniffer kind 30, both
+    forms) and extract through the hand-rolled header walk + stdlib-LZMA
+    folder decode (core/sevenzip.py — Tika's commons-compress SevenZFile
+    analog, /root/reference/src/java-env.cpp:313-314; cross-validated
+    BOTH directions against the system bsdtar/libarchive in
+    tests/test_sevenzip.py, including its LZMA1 coder and the
+    kEncodedHeader layout). Members re-sniff and recurse like zip/tar
+    entries; a CRC-corrupt archive lands a '7z:' error in the 'archive'
+    taxonomy class, never a task failure. One pruned store scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("container_format") == "7z")
+            | F.col("error").startswith("7z:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.try_element_at("meta", F.lit("n_container_entries"))
+            .cast("int")
+            .alias("n_members"),
+            F.try_element_at("meta", F.lit("container_depth"))
+            .cast("int")
+            .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_midi_route(spark, d):
+    """Standard-MIDI extraction tallies (continuation r5): files route by
+    the guarded offset-0 'MThd' magic (sniffer kind 29, both forms —
+    header-length high byte must be NUL so 'MThd'-opener prose never
+    misroutes) and extract through the SMF chunk walk (core/midibin.py —
+    Tika's MidiParser analog, /root/reference/src/java-env.cpp:313-314):
+    the six text-class meta events (text/copyright/track name/instrument/
+    lyric/marker) emit one block per carrying track, note/sysex/tempo
+    events are skipped with running status honored; a truncated file
+    lands a 'midi' taxonomy row, never a task failure. One pruned store
+    scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("midi_tracks") != "") | F.col("error").startswith("midi:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.try_element_at("meta", F.lit("midi_tracks"))
+            .cast("int")
+            .alias("n_tracks"),
+            meta_at("midi_track_name").alias("track_name"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
         )
