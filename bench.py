@@ -106,6 +106,8 @@ HEADLINE = [
     "lz4_route",
     "midi_route",
     "sevenz_route",
+    "rar_route",
+    "zstd_route",
     "line_dedup",
     "readability",
 ]

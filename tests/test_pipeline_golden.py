@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 133  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 135  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -59,8 +59,8 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
     # pdf, unterminated ics, property-less msg, truncated sqlite,
     # truncated font, truncated warc, empty-sender mbox, truncated plist,
-    # truncated ar, corrupt lz4 frame, truncated midi, CRC-corrupt 7z
-    assert len(bad) == 32
+    # truncated ar, corrupt lz4 frame, truncated midi, CRC-corrupt 7z, rar, zstd
+    assert len(bad) == 34
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -180,8 +180,14 @@ def test_corpus_mix_composition_pinned():
     # seeds (composition here unchanged).
     # The 7z carve ([0.60, 0.63) of the raw-container sub-draw) turned one
     # tar-serialized container doc into a 7z archive (tar 2 -> 1, + 7z 1).
+    # The RAR5 carve ([0.63, 0.66) of the same sub-draw) turned two zip
+    # container docs into stored-member rar archives (zip 16 -> 14, + rar 2).
+    # The zstd carve (the [0.02, 0.03) sub-range of the text-family wrap
+    # draw) wrapped three text and two csv docs in .zst store frames
+    # (text 152 -> 149, csv 74 -> 72, + zstd 5; the tar.zst serialization
+    # carve [0.69, 0.70) hit no archive in this seed's 500 docs).
     assert dict(kinds) == {
-        "csv": 74,
+        "csv": 72,
         "dbf": 2,
         "tnef": 1,
         "pdf": 132,
@@ -189,15 +195,17 @@ def test_corpus_mix_composition_pinned():
         "html": 139,
         "xml": 12,
         "media": 59,
-        "text": 152,
+        "text": 149,
         "json": 21,
         "midi": 3,
         "z": 2,
+        "zstd": 5,
         "eml": 9,
         "mbox": 2,
         "rtf": 12,
         "plist": 3,
-        "zip": 16,
+        "zip": 14,
+        "rar": 2,
         "ole": 7,
         "tar": 1,
         "7z": 1,

@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 63  # 30 + 33 adversarial
+    assert read.count() == 65  # 30 + 35 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -276,6 +276,13 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # alone is plausible prose and must fall through
         "7z\xbc\xaf\x27\x1c", "7z\xbc\xaf\x27\x1c\x00\x04", "7z\xbc\xaf",
         "7z is a compressor", "x7z\xbc\xaf\x27\x1c", "7z",
+        # RAR marker prefix (v5 '\x01\x00' and v4 '\x00' tails both route)
+        # + near-misses — 'Rar!' prose must fall through
+        "Rar!\x1a\x07\x01\x00", "Rar!\x1a\x07\x00", "Rar!\x1a\x07",
+        "Rar!\x1a", "Rar! said the pirate", "xRar!\x1a\x07\x01\x00",
+        # Zstandard frame magic 0xFD2FB528 LE (offset-0 exact) + near-misses
+        "\x28\xb5\x2f\xfd", "\x28\xb5\x2f\xfd\x24\x00", "\x28\xb5\x2f",
+        "x\x28\xb5\x2f\xfd", "\x28\xb5", "\xfd\x2f\xb5\x28",
     ]
     payloads = []
     for _ in range(2000):

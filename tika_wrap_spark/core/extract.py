@@ -68,11 +68,15 @@ from tika_wrap_spark.core.sniff import (
     KIND_LZ4,
     KIND_MIDI,
     KIND_SEVENZ,
+    KIND_RAR,
+    KIND_ZSTD,
     KIND_ZIP,
     sniff_kind,
 )
 from tika_wrap_spark.core.lz4bin import unlz4_text
 from tika_wrap_spark.core.midibin import midi_extract_text_str
+from tika_wrap_spark.core.rarbin import parse_rar_text
+from tika_wrap_spark.core.zstdbin import unzstd_text
 from tika_wrap_spark.core.sevenzip import parse_7z_text
 from tika_wrap_spark.core.plistbin import plist_extract_text
 from tika_wrap_spark.core.sqlitebin import sqlite_extract_text
@@ -86,6 +90,7 @@ _WRAPPER_DECODERS = {
     KIND_BZ2: (unbz2_text, "bz2"),
     KIND_Z: (unz_text, "z"),
     KIND_LZ4: (unlz4_text, "lz4"),
+    KIND_ZSTD: (unzstd_text, "zst"),
 }
 from tika_wrap_spark.core.arbin import parse_ar_text
 from tika_wrap_spark.core.cpiobin import parse_cpio_text
@@ -324,7 +329,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                     route(
                         sniff_kind(payload, ""), payload, "", path + (name,), depth + 1
                     )
-        elif kind in (KIND_ZIP, KIND_TAR, KIND_AR, KIND_CPIO, KIND_SEVENZ):
+        elif kind in (KIND_ZIP, KIND_TAR, KIND_AR, KIND_CPIO, KIND_SEVENZ, KIND_RAR):
             if depth >= MAX_CONTAINER_DEPTH:
                 raise ExtractError(
                     "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
@@ -337,8 +342,10 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 entries = parse_ar_text(text)
             elif kind == KIND_CPIO:  # cpio newc/crc: core/cpiobin.py walk
                 entries = parse_cpio_text(text)
-            else:  # 7z: core/sevenzip.py header walk + LZMA folders
+            elif kind == KIND_SEVENZ:  # 7z: core/sevenzip.py header walk
                 entries = parse_7z_text(text)
+            else:  # rar: core/rarbin.py stored-member walk
+                entries = parse_rar_text(text)
             n_containers += 1
             depth_max = max(depth_max, depth + 1)
             pkg = _package_format(entries)

@@ -26,6 +26,8 @@ KIND_Z = "z"  # UNIX compress .Z (LZW), '\x1f\x9d' at offset 0
 KIND_LZ4 = "lz4"  # LZ4 frame, 0x184D2204 LE at offset 0
 KIND_MIDI = "midi"  # Standard MIDI file, 'MThd' at offset 0 (guarded)
 KIND_SEVENZ = "7z"  # 7z archive, '7z\xbc\xaf\x27\x1c' at offset 0
+KIND_RAR = "rar"  # RAR archive, 'Rar!\x1a\x07' at offset 0 (v4 and v5)
+KIND_ZSTD = "zstd"  # Zstandard frame, 0xFD2FB528 LE at offset 0
 KIND_TAR = "tar"
 KIND_XML = "xml"
 KIND_JSON = "json"
@@ -58,6 +60,13 @@ MIDI_MAGIC_TEXT = "MThd"
 
 # 7z signature (6 bytes, the last four binary — no prose guard needed)
 SEVENZ_MAGIC_TEXT = "7z\xbc\xaf\x27\x1c"
+
+# RAR marker block prefix shared by the v4 ('\x00' next) and v5
+# ('\x01\x00' next) signatures; v4 routes to an honest unsupported error
+RAR_MAGIC_TEXT = "Rar!\x1a\x07"
+
+# Zstandard frame magic 0xFD2FB528 little-endian (bytes-as-text latin-1)
+ZSTD_MAGIC_TEXT = "\x28\xb5\x2f\xfd"
 
 # dbf guard set: the \x03 version byte (a control char no prose starts
 # with), a plausible YY MM DD last-update stamp, and the first field
@@ -175,6 +184,12 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          core/midibin.py; the guard keeps 'MThd'-opener prose out)
       4c5. head starts with '7z\\xbc\\xaf\\x27\\x1c' -> '7z' (7z archive:
          members route to core/sevenzip.py and recurse)
+      4c6. head starts with 'Rar!\\x1a\\x07'         -> 'rar' (RAR archive:
+         stored members route to core/rarbin.py and recurse; RAR4 and
+         the proprietary compressed methods raise -> error rows)
+      4c7. head starts with 0xFD2FB528 LE         -> 'zstd' (Zstandard
+         frame wrapper: full RFC 8878 decode in core/zstdbin.py, inner
+         stream re-sniffs)
       4d. head starts with the 8-byte CFB magic   -> 'ole' (legacy Office
          compound file: .doc/.xls route to core/olebin.py)
       4e. head starts with 'SQLite format 3\\0'   -> 'sqlite' (database
@@ -260,6 +275,10 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_MIDI
     if head.startswith(SEVENZ_MAGIC_TEXT):
         return KIND_SEVENZ
+    if head.startswith(RAR_MAGIC_TEXT):
+        return KIND_RAR
+    if head.startswith(ZSTD_MAGIC_TEXT):
+        return KIND_ZSTD
     if head.startswith(OLE_MAGIC_TEXT):
         return KIND_OLE
     if head.startswith(SQLITE_MAGIC_TEXT):

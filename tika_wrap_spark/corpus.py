@@ -44,6 +44,8 @@ from tika_wrap_spark.core.olebin import (
 from tika_wrap_spark.core.arbin import build_ar_text
 from tika_wrap_spark.core.dbfbin import build_dbf_text
 from tika_wrap_spark.core.midibin import build_midi_text
+from tika_wrap_spark.core.rarbin import build_rar_text
+from tika_wrap_spark.core.zstdbin import zstd_text
 from tika_wrap_spark.core.sevenzip import build_7z_text
 from tika_wrap_spark.core.tnefbin import build_tnef_text
 from tika_wrap_spark.core.cpiobin import build_cpio_text
@@ -679,6 +681,24 @@ def _gen_7z_payload(rng: random.Random) -> str:
     )
 
 
+def _gen_rar_payload(rng: random.Random) -> str:
+    """A stored-member RAR5 archive (core/rarbin.py): 2-4 non-empty
+    text/csv members, ~1/4 with one nested tar member exercising
+    container recursion."""
+    entries: list[tuple[str, str]] = []
+    for m in range(rng.randint(2, 4)):
+        if m == 0 and rng.random() < 0.25:
+            inner = build_tar_text(
+                [("wrapped/part_%d.txt" % m, _gen_text_payload(rng))]
+            )
+            entries.append(("archive/part.tar", inner))
+        elif rng.random() < 0.3:
+            entries.append(("data/grid_%d.csv" % m, _gen_csv_payload(rng)))
+        else:
+            entries.append(("notes/memo_%d.txt" % m, _gen_text_payload(rng)))
+    return build_rar_text(entries)
+
+
 def _gen_tnef_payload(rng: random.Random) -> str:
     """A TNEF winmail.dat stream (core/tnefbin.py): subject + plain body
     + 1-2 attachments mixing text/csv/pdf so the attachment recursion
@@ -940,6 +960,10 @@ def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
         # so archives outside [0.68, 0.69) keep their serialization
         # bit-exactly (lz4_text makes no rng draws)
         return lz4_text(build_tar_text(entries))
+    if r < 0.70:  # tar.zst (Zstandard store frame, continuation r5) —
+        # carved off the TWC1 range; archives with r >= 0.70 keep their
+        # serialization bit-exactly (zstd_text makes no rng draws)
+        return zstd_text(build_tar_text(entries))
     return build_container(entries)
 
 
@@ -1126,6 +1150,11 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
                 payloads = [("z", z_text(payloads[0][1]), "")]
             elif w < 0.02:
                 payloads = [("lz4", lz4_text(payloads[0][1]), "")]
+            elif w < 0.03:
+                # .zst store frames (continuation r5) — the [0.02, 0.03)
+                # sub-range of the SAME wrap draw, so .Z/.lz4 docs and
+                # unwrapped docs keep their content byte-identically
+                payloads = [("zstd", zstd_text(payloads[0][1]), "")]
     elif r < 0.605:
         payloads = [("html", _gen_html_payload(rng), "")]
         # declared-charset slice (final r5): ~6% of html docs arrive as a
@@ -1199,12 +1228,16 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             # generic-container range — docs with sub >= 0.63 keep their
             # payloads bit-exactly, the sub draw precedes generation)
             payloads = [("7z", _gen_7z_payload(rng), "")]
+        elif sub < 0.66:  # RAR5 archive (continuation r5; carved off the
+            # generic-container range — docs with sub >= 0.66 keep their
+            # payloads bit-exactly, the sub draw precedes generation)
+            payloads = [("rar", _gen_rar_payload(rng), "")]
         else:
             payloads = [("zip", _gen_container_payload(rng), "")]
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 33
+N_ADVERSARIAL = 35
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1507,6 +1540,29 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 32),
             "spans": _make_spans([("7z", bad_7z, "")]),
+        }
+    )
+    # CRC-corrupt RAR5: one flipped stored-member data byte so the member
+    # CRC verify fails ('rar:' prefix in the 'archive' taxonomy class;
+    # header CRCs stay intact — the data area sits between them)
+    good_rar = build_rar_text([("doomed.txt", "w" * 250)])
+    bad_rar = good_rar[:-30] + chr(ord(good_rar[-30]) ^ 0x01) + good_rar[-29:]
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 33),
+            "spans": _make_spans([("rar", bad_rar, "")]),
+        }
+    )
+    # checksum-corrupt zstd frame: one flipped content-checksum byte
+    # (unzstd's xxh64 verify path -> 'zstd:' prefix in the 'archive'
+    # taxonomy class; the strict decoder also catches truncated blocks,
+    # reserved bits and frame-size mismatches)
+    good_zst = zstd_text("doomed zstd payload " * 30)
+    bad_zst = good_zst[:-1] + chr(ord(good_zst[-1]) ^ 0xFF)
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 34),
+            "spans": _make_spans([("zstd", bad_zst, "")]),
         }
     )
     return rows

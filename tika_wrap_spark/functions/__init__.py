@@ -99,6 +99,8 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
             F.lit(sn.KIND_MIDI),
         )
         .when(head.startswith(sn.SEVENZ_MAGIC_TEXT), F.lit(sn.KIND_SEVENZ))
+        .when(head.startswith(sn.RAR_MAGIC_TEXT), F.lit(sn.KIND_RAR))
+        .when(head.startswith(sn.ZSTD_MAGIC_TEXT), F.lit(sn.KIND_ZSTD))
         .when(head.startswith(sn.OLE_MAGIC_TEXT), F.lit(sn.KIND_OLE))
         .when(head.startswith(sn.SQLITE_MAGIC_TEXT), F.lit(sn.KIND_SQLITE))
         .when(head.startswith(sn.FONT_TTF_MAGIC_TEXT), F.lit(sn.KIND_FONT))

@@ -3255,7 +3255,7 @@ def _corpus_df(spark, d):
 # bump when a corpus/extraction change isn't visible in the 40-doc canary
 # (e.g. a rare-kind-only behavior change) — the store key below hashes the
 # canary docs so most semantic changes invalidate automatically
-_EXTRACT_STORE_VERSION = "4"  # r5 continuation: lz4 + midi + 7z slices
+_EXTRACT_STORE_VERSION = "6"  # r5 continuation: lz4/midi/7z/rar/zstd
 
 
 def _extract_store_key(n_docs: int) -> str:
@@ -3432,7 +3432,9 @@ def _error_class_col():
             | F.col("error").startswith("bz2:")
             | F.col("error").startswith("z:")
             | F.col("error").startswith("lz4:")
-            | F.col("error").startswith("7z:"),
+            | F.col("error").startswith("7z:")
+            | F.col("error").startswith("rar:")
+            | F.col("error").startswith("zstd:"),
             F.lit("archive"),
         )
         .when(
@@ -3804,6 +3806,86 @@ def q_z_route(spark, d):
     return (
         ext.filter(
             (meta_at("container_format") == "z") | F.col("error").startswith("z:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.try_element_at("meta", F.lit("n_container_entries"))
+            .cast("int")
+            .alias("n_members"),
+            F.try_element_at("meta", F.lit("container_depth"))
+            .cast("int")
+            .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_zstd_route(spark, d):
+    """Zstandard wrapper tallies (continuation r5): frames route by the
+    offset-0 0xFD2FB528 LE magic (sniffer kind 32, both forms) and
+    decode through the hand-rolled FULL RFC 8878 decoder
+    (core/zstdbin.py — FSE normalized-count tables, canonical Huffman
+    literals in 1- and 4-stream layouts, interleaved-state weight
+    decode, predefined/RLE/compressed/repeat sequence tables, the
+    three-slot repeat-offset history, skippable frames, xxHash64
+    checksums; Tika's commons-compress ZstdCompressorInputStream analog,
+    /root/reference/src/java-env.cpp:313-314). Cross-validated BOTH
+    directions against the system zstd CLI in tests/test_zstd.py —
+    levels 1..22/--ultra, --long windows, multithreaded multi-frame
+    output. Zstd is the wrapper modern web corpora actually ship
+    (Common Crawl .warc.zst), so the inner stream re-sniffs and recurses
+    (the corpus carries tar.zst); a corrupt frame lands a 'zstd:' error
+    in the 'archive' taxonomy class, never a task failure. One pruned
+    store scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("container_format") == "zstd")
+            | F.col("error").startswith("zstd:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.try_element_at("meta", F.lit("n_container_entries"))
+            .cast("int")
+            .alias("n_members"),
+            F.try_element_at("meta", F.lit("container_depth"))
+            .cast("int")
+            .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_rar_route(spark, d):
+    """RAR5 archive extraction tallies (continuation r5): archives route
+    by the offset-0 'Rar!\\x1a\\x07' marker (sniffer kind 31, both forms
+    — v4 and v5 signatures both route here, v4 raising the honest
+    unsupported error) and extract through the header walk in
+    core/rarbin.py (Tika's junrar analog,
+    /root/reference/src/java-env.cpp:313-314): vint-coded header blocks
+    with CRC32 over size-field+data, STORED members extracted with
+    per-member CRC verification, the proprietary compressed methods 1-5
+    raising the declared seam (commons-compress takes the same
+    position). Builder archives are pinned against the system
+    bsdtar/libarchive rar5 reader in tests/test_rarbin.py. Members
+    re-sniff and recurse; a CRC-corrupt member lands a 'rar:' error in
+    the 'archive' taxonomy class, never a task failure. One pruned store
+    scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("container_format") == "rar")
+            | F.col("error").startswith("rar:")
         )
         .select(
             "doc_id",

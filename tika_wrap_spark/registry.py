@@ -23,6 +23,8 @@ from tika_wrap_spark import queries_training as qt
 
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
+    "zstd_route": (qt.q_zstd_route, None),
+    "rar_route": (qt.q_rar_route, None),
     "sevenz_route": (qt.q_sevenz_route, None),
     "midi_route": (qt.q_midi_route, None),
     "lz4_route": (qt.q_lz4_route, None),
