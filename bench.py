@@ -108,6 +108,7 @@ HEADLINE = [
     "sevenz_route",
     "rar_route",
     "zstd_route",
+    "lzma_route",
     "line_dedup",
     "readability",
 ]

@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 135  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 136  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -59,8 +59,9 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # unclosed rtf, cut eml, truncated CFB, bad-Clx doc, password-locked
     # pdf, unterminated ics, property-less msg, truncated sqlite,
     # truncated font, truncated warc, empty-sender mbox, truncated plist,
-    # truncated ar, corrupt lz4 frame, truncated midi, CRC-corrupt 7z, rar, zstd
-    assert len(bad) == 34
+    # truncated ar, corrupt lz4 frame, truncated midi, CRC-corrupt 7z,
+    # rar, zstd, truncated lzma
+    assert len(bad) == 35
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -186,6 +187,10 @@ def test_corpus_mix_composition_pinned():
     # draw) wrapped three text and two csv docs in .zst store frames
     # (text 152 -> 149, csv 74 -> 72, + zstd 5; the tar.zst serialization
     # carve [0.69, 0.70) hit no archive in this seed's 500 docs).
+    # The .lzma carve (the [0.03, 0.04) sub-range of the same wrap draw)
+    # wrapped one more text doc in an alone-format stream (text 149 ->
+    # 148, + lzma 1; the tar.lzma serialization carve [0.70, 0.71) hit
+    # no archive in this seed's 500 docs).
     assert dict(kinds) == {
         "csv": 72,
         "dbf": 2,
@@ -195,11 +200,12 @@ def test_corpus_mix_composition_pinned():
         "html": 139,
         "xml": 12,
         "media": 59,
-        "text": 149,
+        "text": 148,
         "json": 21,
         "midi": 3,
         "z": 2,
         "zstd": 5,
+        "lzma": 1,
         "eml": 9,
         "mbox": 2,
         "rtf": 12,

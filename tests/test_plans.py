@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 65  # 30 + 35 adversarial
+    assert read.count() == 66  # 30 + 36 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -283,6 +283,14 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # Zstandard frame magic 0xFD2FB528 LE (offset-0 exact) + near-misses
         "\x28\xb5\x2f\xfd", "\x28\xb5\x2f\xfd\x24\x00", "\x28\xb5\x2f",
         "x\x28\xb5\x2f\xfd", "\x28\xb5", "\xfd\x2f\xb5\x28",
+        # LZMA alone-format header: 0x5D props + NUL dict low bytes + a
+        # plausible size field — ']'-opener prose, short heads and
+        # implausible declared sizes must all fall through in BOTH forms
+        "\x5d\x00\x00\x04\x00" + "\xff" * 8, "\x5d\x00\x00\x80\x00" + "\xff" * 8,
+        "\x5d\x00\x00\x04\x00\x40\x00\x00\x00\x00\x00\x00\x00",
+        "\x5d\x00\x00\x04\x00" + "\x01" * 8, "\x5d\x00\x00\x04\x00",
+        "\x5d\x00\x00", "\x5d\x00", "] a bracketed prose line",
+        "]\x00\x00" + "\xff" * 10, "x\x5d\x00\x00\x04\x00" + "\xff" * 8,
     ]
     payloads = []
     for _ in range(2000):

@@ -22,7 +22,13 @@ from tika_wrap_spark.core.charset import decode_charset, decode_html_charset
 from tika_wrap_spark.core.container import MAX_CONTAINER_DEPTH, parse_container
 from tika_wrap_spark.core.errors import ExtractError
 from tika_wrap_spark.core.exifbin import jpeg_exif_text
-from tika_wrap_spark.core.gzipbin import gunzip_text, unbz2_text, unxz_text, unz_text
+from tika_wrap_spark.core.gzipbin import (
+    gunzip_text,
+    unbz2_text,
+    unlzma_text,
+    unxz_text,
+    unz_text,
+)
 from tika_wrap_spark.core.html import (
     extract_html_blocks,
     extract_xml_text,
@@ -66,6 +72,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_XZ,
     KIND_Z,
     KIND_LZ4,
+    KIND_LZMA,
     KIND_MIDI,
     KIND_SEVENZ,
     KIND_RAR,
@@ -91,6 +98,7 @@ _WRAPPER_DECODERS = {
     KIND_Z: (unz_text, "z"),
     KIND_LZ4: (unlz4_text, "lz4"),
     KIND_ZSTD: (unzstd_text, "zst"),
+    KIND_LZMA: (unlzma_text, "lzma"),
 }
 from tika_wrap_spark.core.arbin import parse_ar_text
 from tika_wrap_spark.core.cpiobin import parse_cpio_text

@@ -306,6 +306,46 @@ def z_bytes(data: bytes, max_bits: int = 16) -> bytes:
     return bytes(out)
 
 
+def unlzma(data: bytes) -> bytes:
+    """Legacy LZMA "alone" format (.lzma) decode — the pre-xz container
+    7-Zip and lzma-utils shipped: 13-byte header (1 properties byte
+    ``(pb*5+lp)*9+lc``, LE32 dictionary size, LE64 uncompressed size or
+    all-0xFF for unknown/EOS-terminated), then one raw LZMA1 stream.
+    Decoded via stdlib ``lzma`` FORMAT_ALONE (the same liblzma engine the
+    ``xz`` CLI uses — tests/test_lzma_alone.py pins interop BOTH
+    directions against ``xz --format=lzma``). Tika reads .lzma via
+    commons-compress LZMACompressorInputStream — the reference reaches it
+    through Tika (/root/reference/src/java-env.cpp:313-314)."""
+    if not (len(data) >= 13 and data[0:1] == b"\x5d" and data[1:3] == b"\x00\x00"):
+        raise ExtractError("lzma: bad magic")
+    if data[5:13] != b"\xff" * 8 and data[10:13] != b"\x00\x00\x00":
+        # declared uncompressed size >= 2^40 — reject before liblzma
+        # allocates anything (the sniffer applies the same plausibility
+        # rule, so such bytes never route here in the pipeline)
+        raise ExtractError("lzma: implausible declared size")
+    d = _lzma.LZMADecompressor(format=_lzma.FORMAT_ALONE)
+    try:
+        out = d.decompress(data, MAX_INFLATED)
+    except _lzma.LZMAError as exc:
+        raise ExtractError("lzma: %s" % exc)
+    if not d.eof:
+        raise ExtractError(
+            "lzma: truncated stream"
+            if d.needs_input
+            else "lzma: inflated payload exceeds %d bytes" % MAX_INFLATED
+        )
+    if d.unused_data.strip(b"\x00"):
+        raise ExtractError("lzma: trailing garbage after stream")
+    return out
+
+
+def lzma_bytes(data: bytes) -> bytes:
+    """Deterministic .lzma (alone-format) framing — preset 0 for the same
+    small-dictionary reason as xz_bytes (256 KiB dict; members here are
+    KB-sized and the decoder allocates the full recorded dictionary)."""
+    return _lzma.compress(data, format=_lzma.FORMAT_ALONE, preset=0)
+
+
 def _text_bridge(fn, what: str):
     def wrapped(text: str) -> str:
         try:
@@ -323,6 +363,7 @@ gunzip_text = _text_bridge(gunzip, "gzip")
 unxz_text = _text_bridge(unxz, "xz")
 unbz2_text = _text_bridge(unbz2, "bz2")
 unz_text = _text_bridge(unz, "z")
+unlzma_text = _text_bridge(unlzma, "lzma")
 
 
 def gzip_text(text: str) -> str:
@@ -339,3 +380,7 @@ def bz2_text(text: str) -> str:
 
 def z_text(text: str, max_bits: int = 16) -> str:
     return z_bytes(text.encode("latin-1"), max_bits).decode("latin-1")
+
+
+def lzma_text(text: str) -> str:
+    return lzma_bytes(text.encode("latin-1")).decode("latin-1")

@@ -28,6 +28,7 @@ KIND_MIDI = "midi"  # Standard MIDI file, 'MThd' at offset 0 (guarded)
 KIND_SEVENZ = "7z"  # 7z archive, '7z\xbc\xaf\x27\x1c' at offset 0
 KIND_RAR = "rar"  # RAR archive, 'Rar!\x1a\x07' at offset 0 (v4 and v5)
 KIND_ZSTD = "zstd"  # Zstandard frame, 0xFD2FB528 LE at offset 0
+KIND_LZMA = "lzma"  # legacy LZMA alone format, guarded 0x5D header
 KIND_TAR = "tar"
 KIND_XML = "xml"
 KIND_JSON = "json"
@@ -67,6 +68,15 @@ RAR_MAGIC_TEXT = "Rar!\x1a\x07"
 
 # Zstandard frame magic 0xFD2FB528 little-endian (bytes-as-text latin-1)
 ZSTD_MAGIC_TEXT = "\x28\xb5\x2f\xfd"
+
+# LZMA alone-format header prefix: properties byte 0x5D ((pb=2,lp=0)*9
+# +lc=3, the universal encoder default) + the low two dictionary-size
+# bytes, zero for any dictionary that is a multiple of 64 KiB (every
+# real encoder's). 0x5D alone is ']' — prose-plausible — so the rule
+# ALSO requires the declared uncompressed size field (bytes 5..13 LE) to
+# be all-0xFF (unknown, EOS-terminated) or < 2^40 (bytes 10..13 zero).
+LZMA_MAGIC_TEXT = "\x5d\x00\x00"
+LZMA_SIZE_UNKNOWN_TEXT = "\xff" * 8
 
 # dbf guard set: the \x03 version byte (a control char no prose starts
 # with), a plausible YY MM DD last-update stamp, and the first field
@@ -190,6 +200,10 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       4c7. head starts with 0xFD2FB528 LE         -> 'zstd' (Zstandard
          frame wrapper: full RFC 8878 decode in core/zstdbin.py, inner
          stream re-sniffs)
+      4c8. head starts with '\\x5d\\x00\\x00' AND the declared size field
+         (bytes 5..13) is all-0xFF or < 2^40 -> 'lzma' (legacy LZMA
+         alone format: stdlib-liblzma decode in core/gzipbin.py, inner
+         stream re-sniffs; the size guard keeps ']'-opener binary out)
       4d. head starts with the 8-byte CFB magic   -> 'ole' (legacy Office
          compound file: .doc/.xls route to core/olebin.py)
       4e. head starts with 'SQLite format 3\\0'   -> 'sqlite' (database
@@ -279,6 +293,10 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_RAR
     if head.startswith(ZSTD_MAGIC_TEXT):
         return KIND_ZSTD
+    if head.startswith(LZMA_MAGIC_TEXT) and (
+        head[5:13] == LZMA_SIZE_UNKNOWN_TEXT or head[10:13] == "\x00\x00\x00"
+    ):
+        return KIND_LZMA
     if head.startswith(OLE_MAGIC_TEXT):
         return KIND_OLE
     if head.startswith(SQLITE_MAGIC_TEXT):

@@ -30,7 +30,7 @@ from tika_wrap_spark.core.charset import encode_charset
 from tika_wrap_spark.core.container import build_container
 from tika_wrap_spark.core.eml import build_eml
 from tika_wrap_spark.core.extract import extract_document
-from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, xz_text, z_text
+from tika_wrap_spark.core.gzipbin import bz2_text, gzip_text, lzma_text, xz_text, z_text
 from tika_wrap_spark.core.lz4bin import lz4_text
 from tika_wrap_spark.core.ical import build_ics, build_vcf
 from tika_wrap_spark.core.media import build_jpeg, build_png
@@ -930,8 +930,9 @@ def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
     parses — REAL PK-zip bytes (~40%; seeded per-member stored/deflate
     mix, 1-in-5 of those a zip64 layout and 1-in-5 a streamed
     data-descriptor layout), REAL ustar tar (~15%), tar wrapped in a REAL
-    gzip / xz / bz2 / compress-LZW / LZ4-frame stream (~6/3/3/1/1% — the
-    .tar.gz/.tar.xz/.tar.bz2/.tar.Z/.tar.lz4 paths: decompress ->
+    gzip / xz / bz2 / compress-LZW / LZ4-frame / zstd / lzma-alone stream
+    (~6/3/3/1/1/1/1% — the .tar.gz/.tar.xz/.tar.bz2/.tar.Z/.tar.lz4/
+    .tar.zst/.tar.lzma paths: decompress ->
     re-sniff -> tar recursion), or the TWC1 analog dialect (rest). All
     route through the same recursive member walk (zipbin / tarbin /
     gzipbin / lz4bin / container)."""
@@ -964,6 +965,10 @@ def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
         # carved off the TWC1 range; archives with r >= 0.70 keep their
         # serialization bit-exactly (zstd_text makes no rng draws)
         return zstd_text(build_tar_text(entries))
+    if r < 0.71:  # tar.lzma (legacy alone-format wrapper, continuation
+        # r5) — carved off the TWC1 range; archives with r >= 0.71 keep
+        # their serialization bit-exactly (lzma_text makes no rng draws)
+        return lzma_text(build_tar_text(entries))
     return build_container(entries)
 
 
@@ -975,8 +980,8 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
     (mimetype marker + content.xml; odt/ods/odp ~ 2:1:1) — the
     zip-that-is-a-document case. Every archive (any
     nesting level, any shape) draws its serialization from _encode_archive's
-    seven-way real-zip / real-tar / tar.gz / tar.xz / tar.bz2 / tar.Z-or-
-    tar.lz4 / TWC1 mix."""
+    real-zip / real-tar / wrapped-tar (gz/xz/bz2/Z/lz4/zst/lzma) / TWC1
+    mix."""
     entries: list[tuple[str, str]] = []
     if depth == 0 and rng.random() < 0.2:  # document-shaped archive
         shape = rng.random()
@@ -1155,6 +1160,12 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
                 # sub-range of the SAME wrap draw, so .Z/.lz4 docs and
                 # unwrapped docs keep their content byte-identically
                 payloads = [("zstd", zstd_text(payloads[0][1]), "")]
+            elif w < 0.04:
+                # legacy .lzma alone-format streams (continuation r5) —
+                # the [0.03, 0.04) sub-range of the SAME wrap draw, so
+                # every earlier-wrapped and unwrapped doc keeps its
+                # content byte-identically
+                payloads = [("lzma", lzma_text(payloads[0][1]), "")]
     elif r < 0.605:
         payloads = [("html", _gen_html_payload(rng), "")]
         # declared-charset slice (final r5): ~6% of html docs arrive as a
@@ -1237,7 +1248,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 35
+N_ADVERSARIAL = 36
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1563,6 +1574,17 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 34),
             "spans": _make_spans([("zstd", bad_zst, "")]),
+        }
+    )
+    # truncated .lzma alone stream: the 13-byte header declares an
+    # EOS-terminated stream but the cut body never reaches the end
+    # marker (liblzma's needs_input path -> 'lzma: truncated stream',
+    # 'archive' taxonomy class)
+    good_lzma = lzma_text("doomed lzma payload " * 30)
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 35),
+            "spans": _make_spans([("lzma", good_lzma[: len(good_lzma) // 2], "")]),
         }
     )
     return rows

@@ -101,6 +101,14 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
         .when(head.startswith(sn.SEVENZ_MAGIC_TEXT), F.lit(sn.KIND_SEVENZ))
         .when(head.startswith(sn.RAR_MAGIC_TEXT), F.lit(sn.KIND_RAR))
         .when(head.startswith(sn.ZSTD_MAGIC_TEXT), F.lit(sn.KIND_ZSTD))
+        .when(
+            head.startswith(sn.LZMA_MAGIC_TEXT)
+            & (
+                (F.substring(head, 6, 8) == sn.LZMA_SIZE_UNKNOWN_TEXT)
+                | (F.substring(head, 11, 3) == "\x00\x00\x00")
+            ),
+            F.lit(sn.KIND_LZMA),
+        )
         .when(head.startswith(sn.OLE_MAGIC_TEXT), F.lit(sn.KIND_OLE))
         .when(head.startswith(sn.SQLITE_MAGIC_TEXT), F.lit(sn.KIND_SQLITE))
         .when(head.startswith(sn.FONT_TTF_MAGIC_TEXT), F.lit(sn.KIND_FONT))

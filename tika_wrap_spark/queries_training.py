@@ -3255,7 +3255,7 @@ def _corpus_df(spark, d):
 # bump when a corpus/extraction change isn't visible in the 40-doc canary
 # (e.g. a rare-kind-only behavior change) — the store key below hashes the
 # canary docs so most semantic changes invalidate automatically
-_EXTRACT_STORE_VERSION = "6"  # r5 continuation: lz4/midi/7z/rar/zstd
+_EXTRACT_STORE_VERSION = "7"  # r5 continuation: lz4/midi/7z/rar/zstd/lzma
 
 
 def _extract_store_key(n_docs: int) -> str:
@@ -3434,7 +3434,8 @@ def _error_class_col():
             | F.col("error").startswith("lz4:")
             | F.col("error").startswith("7z:")
             | F.col("error").startswith("rar:")
-            | F.col("error").startswith("zstd:"),
+            | F.col("error").startswith("zstd:")
+            | F.col("error").startswith("lzma:"),
             F.lit("archive"),
         )
         .when(
@@ -3806,6 +3807,44 @@ def q_z_route(spark, d):
     return (
         ext.filter(
             (meta_at("container_format") == "z") | F.col("error").startswith("z:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.try_element_at("meta", F.lit("n_container_entries"))
+            .cast("int")
+            .alias("n_members"),
+            F.try_element_at("meta", F.lit("container_depth"))
+            .cast("int")
+            .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_lzma_route(spark, d):
+    """Legacy LZMA alone-format (.lzma) wrapper tallies (continuation
+    r5): streams route by the guarded 0x5D header rule (sniffer kind 33,
+    both forms — properties byte + 64KiB-aligned dictionary + plausible
+    declared size, so ']'-opener prose/binary never misroutes) and
+    decode through stdlib liblzma FORMAT_ALONE with strict header
+    validation and the shared 64 MiB inflation cap (core/gzipbin.py
+    unlzma — Tika's commons-compress LZMACompressorInputStream analog,
+    /root/reference/src/java-env.cpp:313-314). Cross-validated BOTH
+    directions against the system ``xz --format=lzma`` CLI in
+    tests/test_lzma_alone.py. The inner stream re-sniffs and recurses
+    (the corpus carries tar.lzma); a truncated stream lands an 'lzma:'
+    error in the 'archive' taxonomy class, never a task failure. One
+    pruned store scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("container_format") == "lzma")
+            | F.col("error").startswith("lzma:")
         )
         .select(
             "doc_id",
