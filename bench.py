@@ -109,6 +109,7 @@ HEADLINE = [
     "rar_route",
     "zstd_route",
     "lzma_route",
+    "iso_route",
     "line_dedup",
     "readability",
 ]

@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 66  # 30 + 36 adversarial
+    assert read.count() == 67  # 30 + 37 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -291,6 +291,10 @@ def test_jvm_sniffer_fuzz_parity(spark):
         "\x5d\x00\x00\x04\x00" + "\x01" * 8, "\x5d\x00\x00\x04\x00",
         "\x5d\x00\x00", "\x5d\x00", "] a bracketed prose line",
         "]\x00\x00" + "\xff" * 10, "x\x5d\x00\x00\x04\x00" + "\xff" * 8,
+        # ISO 9660 'CD001' at its fixed past-the-system-area offset 32769
+        # (the tar-rule shape: full payload, not the head window) + one
+        # off-by-one near-miss
+        "\x00" * 32769 + "CD001", "\x00" * 32770 + "CD001", "CD001",
     ]
     payloads = []
     for _ in range(2000):

@@ -68,6 +68,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_WARC,
     KIND_XML,
     KIND_DBF,
+    KIND_ISO,
     KIND_TNEF,
     KIND_XZ,
     KIND_Z,
@@ -102,6 +103,7 @@ _WRAPPER_DECODERS = {
 }
 from tika_wrap_spark.core.arbin import parse_ar_text
 from tika_wrap_spark.core.cpiobin import parse_cpio_text
+from tika_wrap_spark.core.isobin import parse_iso_text
 from tika_wrap_spark.core.dbfbin import dbf_extract_text
 from tika_wrap_spark.core.tnefbin import tnef_extract
 from tika_wrap_spark.core.tarbin import parse_tar_text
@@ -337,7 +339,15 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                     route(
                         sniff_kind(payload, ""), payload, "", path + (name,), depth + 1
                     )
-        elif kind in (KIND_ZIP, KIND_TAR, KIND_AR, KIND_CPIO, KIND_SEVENZ, KIND_RAR):
+        elif kind in (
+            KIND_ZIP,
+            KIND_TAR,
+            KIND_AR,
+            KIND_CPIO,
+            KIND_SEVENZ,
+            KIND_RAR,
+            KIND_ISO,
+        ):
             if depth >= MAX_CONTAINER_DEPTH:
                 raise ExtractError(
                     "container nesting exceeds depth %d" % MAX_CONTAINER_DEPTH
@@ -352,6 +362,8 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 entries = parse_cpio_text(text)
             elif kind == KIND_SEVENZ:  # 7z: core/sevenzip.py header walk
                 entries = parse_7z_text(text)
+            elif kind == KIND_ISO:  # ISO 9660: core/isobin.py record walk
+                entries = parse_iso_text(text)
             else:  # rar: core/rarbin.py stored-member walk
                 entries = parse_rar_text(text)
             n_containers += 1

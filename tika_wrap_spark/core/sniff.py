@@ -46,6 +46,7 @@ KIND_PLIST = "plist"  # Apple binary property list, 'bplist00' at offset 0
 KIND_AR = "ar"  # Unix ar archive (.a/.deb), '!<arch>\n' at offset 0
 KIND_CPIO = "cpio"  # cpio newc/crc archive, guarded '07070x' at offset 0
 KIND_DBF = "dbf"  # dBase table, guarded 0x03 version byte at offset 0
+KIND_ISO = "iso"  # ISO 9660 image, 'CD001' at offset 32769
 KIND_TNEF = "tnef"  # TNEF winmail.dat, 0x223E9F78 LE signature at offset 0
 
 # TNEF signature bytes-as-text (MS-OXTNEF §2.1)
@@ -129,6 +130,11 @@ FONT_WOFF_FLAVOR_BYTES = ("\x00", "O")
 # ustar magic position (bytes-as-text offset); checked against the FULL
 # payload, not the head window
 TAR_MAGIC_OFFSET = 257
+
+# ISO 9660 volume-descriptor signature position: sector 16 (2048-byte
+# sectors) + 1, past the type byte — checked against the FULL payload
+# like the tar rule (the 32 KiB system area precedes it)
+ISO_MAGIC_OFFSET = 32769
 
 _HTML_MARKERS = ("<!doctype html", "<html", "<head", "<body")
 
@@ -228,6 +234,12 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       4l. head starts with the TNEF signature 0x223E9F78 (LE) -> 'tnef'
          (winmail.dat: subject/body surface, attachments recurse through
          core/tnefbin.py)
+      4m. payload[32769:32774] == 'CD001'         -> 'iso' (ISO 9660
+         image: the volume-descriptor signature at its fixed
+         past-the-system-area offset, like the tar rule below; members
+         route to core/isobin.py and recurse. BEFORE the tar rule — the
+         more specific fixed-offset signature wins, the deterministic
+         pin for hybrid payloads)
       5. payload[257:262] == 'ustar'              -> 'tar' (POSIX ustar magic
          at its fixed in-header offset; after the offset-0 magics — a
          payload matching both is routed by the earlier rule, the
@@ -329,6 +341,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_DBF
     if head.startswith(TNEF_MAGIC_TEXT):
         return KIND_TNEF
+    if text[ISO_MAGIC_OFFSET : ISO_MAGIC_OFFSET + 5] == "CD001":
+        return KIND_ISO
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":
         return KIND_TAR
     for magic in _MEDIA_MAGICS:

@@ -49,6 +49,7 @@ from tika_wrap_spark.core.zstdbin import zstd_text
 from tika_wrap_spark.core.sevenzip import build_7z_text
 from tika_wrap_spark.core.tnefbin import build_tnef_text
 from tika_wrap_spark.core.cpiobin import build_cpio_text
+from tika_wrap_spark.core.isobin import build_iso_text
 from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.plistbin import build_bplist
 from tika_wrap_spark.core.procmemo import proc_memo
@@ -659,6 +660,29 @@ def _gen_cpio_payload(rng: random.Random) -> str:
     return build_cpio_text(entries)
 
 
+def _gen_iso_payload(rng: random.Random) -> str:
+    """An ISO 9660 disc image (core/isobin.py): 2-4 file members mixing
+    text/csv/html, ~half nested under subdirectories (the Rock Ridge NM
+    path — lowercase names survive the 8.3 identifier translation), and
+    ~1/4 carrying one nested tar member exercising container recursion."""
+    entries: list[tuple[str, str]] = []
+    for m in range(rng.randint(2, 4)):
+        if m == 0 and rng.random() < 0.25:
+            inner = build_tar_text(
+                [("bundle/inner_%d.txt" % m, _gen_text_payload(rng))]
+            )
+            entries.append(("images/bundle.tar", inner))
+            continue
+        prefix = rng.choice(("", "docs/", "web/pages/"))
+        if rng.random() < 0.3:
+            entries.append((prefix + "table_%d.csv" % m, _gen_csv_payload(rng)))
+        elif rng.random() < 0.4:
+            entries.append((prefix + "page_%d.html" % m, _gen_html_payload(rng)))
+        else:
+            entries.append((prefix + "readme_%d.txt" % m, _gen_text_payload(rng)))
+    return build_iso_text(entries)
+
+
 def _gen_7z_payload(rng: random.Random) -> str:
     """A solid 7z archive (core/sevenzip.py): 2-4 members mixing text/csv
     (~1/4 with one nested tar member exercising recursion), drawn half
@@ -1243,12 +1267,17 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             # generic-container range — docs with sub >= 0.66 keep their
             # payloads bit-exactly, the sub draw precedes generation)
             payloads = [("rar", _gen_rar_payload(rng), "")]
+        elif sub < 0.69:  # ISO 9660 disc image (continuation r5; carved
+            # off the generic-container range — docs with sub >= 0.69
+            # keep their payloads bit-exactly, the sub draw precedes
+            # generation)
+            payloads = [("iso", _gen_iso_payload(rng), "")]
         else:
             payloads = [("zip", _gen_container_payload(rng), "")]
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 36
+N_ADVERSARIAL = 37
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1585,6 +1614,18 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 35),
             "spans": _make_spans([("lzma", good_lzma[: len(good_lzma) // 2], "")]),
+        }
+    )
+    # truncated ISO 9660 image: the directory tree survives the cut but a
+    # file extent points past end-of-image ('iso: file extent overruns
+    # image' -> 'iso:' prefix, 'archive' taxonomy class)
+    good_iso = build_iso_text(
+        [("doomed.txt", "iso payload " * 40), ("sub/deep.txt", "x" * 3000)]
+    )
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 36),
+            "spans": _make_spans([("iso", good_iso[: 23 * 2048], "")]),
         }
     )
     return rows

@@ -147,6 +147,14 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
             F.lit(sn.KIND_DBF),
         )
         .when(head.startswith(sn.TNEF_MAGIC_TEXT), F.lit(sn.KIND_TNEF))
+        # ISO 9660 'CD001' signature past the 32 KiB system area (before
+        # the tar rule — the deterministic pin for hybrid payloads);
+        # shorter payloads yield a short/empty substring -> no match,
+        # same as the Python slice
+        .when(
+            F.substring(text, sn.ISO_MAGIC_OFFSET + 1, 5) == "CD001",
+            F.lit(sn.KIND_ISO),
+        )
         # ustar magic at its fixed in-header offset (1-based substring);
         # shorter payloads yield a short/empty substring -> no match, same
         # as the Python slice

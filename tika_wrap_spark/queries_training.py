@@ -3255,7 +3255,7 @@ def _corpus_df(spark, d):
 # bump when a corpus/extraction change isn't visible in the 40-doc canary
 # (e.g. a rare-kind-only behavior change) — the store key below hashes the
 # canary docs so most semantic changes invalidate automatically
-_EXTRACT_STORE_VERSION = "7"  # r5 continuation: lz4/midi/7z/rar/zstd/lzma
+_EXTRACT_STORE_VERSION = "8"  # r5 continuation: ...zstd/lzma/iso
 
 
 def _extract_store_key(n_docs: int) -> str:
@@ -3435,7 +3435,8 @@ def _error_class_col():
             | F.col("error").startswith("7z:")
             | F.col("error").startswith("rar:")
             | F.col("error").startswith("zstd:")
-            | F.col("error").startswith("lzma:"),
+            | F.col("error").startswith("lzma:")
+            | F.col("error").startswith("iso:"),
             F.lit("archive"),
         )
         .when(
@@ -3807,6 +3808,47 @@ def q_z_route(spark, d):
     return (
         ext.filter(
             (meta_at("container_format") == "z") | F.col("error").startswith("z:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.try_element_at("meta", F.lit("n_container_entries"))
+            .cast("int")
+            .alias("n_members"),
+            F.try_element_at("meta", F.lit("container_depth"))
+            .cast("int")
+            .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_iso_route(spark, d):
+    """ISO 9660 disc-image tallies (continuation r5): images route by the
+    'CD001' volume-descriptor signature at its fixed past-the-system-area
+    offset 32769 (sniffer kind 34, both forms — the same full-payload
+    fixed-offset shape as the tar rule) and extract through the
+    hand-rolled ECMA-119 walk (core/isobin.py — primary volume
+    descriptor, directory-record recursion with both-endian fields,
+    SUSP/Rock Ridge NM names with continue-flag concatenation; Tika
+    routes application/x-iso9660-image through the same AutoParser the
+    reference calls, /root/reference/src/java-env.cpp:313-314).
+    Cross-validated BOTH directions against the system bsdtar
+    (libarchive's independent ISO implementation) in tests/test_isobin.py
+    — including the RR-entry activation quirk libarchive requires before
+    it honors NM names. Members re-sniff and recurse ('iso'
+    container_format); a truncated image lands an 'iso:' error in the
+    'archive' taxonomy class, never a task failure. One pruned store
+    scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("container_format") == "iso")
+            | F.col("error").startswith("iso:")
         )
         .select(
             "doc_id",
