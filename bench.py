@@ -110,6 +110,7 @@ HEADLINE = [
     "zstd_route",
     "lzma_route",
     "iso_route",
+    "cab_route",
     "line_dedup",
     "readability",
 ]

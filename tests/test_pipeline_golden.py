@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 137  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 138  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -60,8 +60,8 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # pdf, unterminated ics, property-less msg, truncated sqlite,
     # truncated font, truncated warc, empty-sender mbox, truncated plist,
     # truncated ar, corrupt lz4 frame, truncated midi, CRC-corrupt 7z,
-    # rar, zstd, truncated lzma, truncated iso
-    assert len(bad) == 36
+    # rar, zstd, truncated lzma, truncated iso, checksum-corrupt cab
+    assert len(bad) == 37
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -192,7 +192,9 @@ def test_corpus_mix_composition_pinned():
     # 148, + lzma 1; the tar.lzma serialization carve [0.70, 0.71) hit
     # no archive in this seed's 500 docs). The ISO carve ([0.66, 0.69)
     # of the raw-container sub-draw) turned one zip container doc into a
-    # disc image (zip 14 -> 13, + iso 1).
+    # disc image (zip 14 -> 13, + iso 1); the CAB carve ([0.69, 0.72) of
+    # the same sub-draw) turned one more into a cabinet (zip 13 -> 12,
+    # + cab 1).
     assert dict(kinds) == {
         "csv": 72,
         "dbf": 2,
@@ -212,9 +214,10 @@ def test_corpus_mix_composition_pinned():
         "mbox": 2,
         "rtf": 12,
         "plist": 3,
-        "zip": 13,
+        "zip": 12,
         "rar": 2,
         "iso": 1,
+        "cab": 1,
         "ole": 7,
         "tar": 1,
         "7z": 1,

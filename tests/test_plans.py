@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 67  # 30 + 37 adversarial
+    assert read.count() == 68  # 30 + 38 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -295,6 +295,10 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # (the tar-rule shape: full payload, not the head window) + one
         # off-by-one near-miss
         "\x00" * 32769 + "CD001", "\x00" * 32770 + "CD001", "CD001",
+        # MS Cabinet 'MSCF' + zero reserved1 — 'MSCF'-opener prose and a
+        # nonzero reserved1 must fall through in BOTH forms
+        "MSCF\x00\x00\x00\x00", "MSCF\x00\x00\x00\x00\x4a\x01", "MSCF",
+        "MSCF stands for", "MSCF\x00\x00\x00\x01", "xMSCF\x00\x00\x00\x00",
     ]
     payloads = []
     for _ in range(2000):

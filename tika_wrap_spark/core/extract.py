@@ -67,6 +67,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_VCF,
     KIND_WARC,
     KIND_XML,
+    KIND_CAB,
     KIND_DBF,
     KIND_ISO,
     KIND_TNEF,
@@ -103,6 +104,7 @@ _WRAPPER_DECODERS = {
 }
 from tika_wrap_spark.core.arbin import parse_ar_text
 from tika_wrap_spark.core.cpiobin import parse_cpio_text
+from tika_wrap_spark.core.cabbin import parse_cab_text
 from tika_wrap_spark.core.isobin import parse_iso_text
 from tika_wrap_spark.core.dbfbin import dbf_extract_text
 from tika_wrap_spark.core.tnefbin import tnef_extract
@@ -347,6 +349,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             KIND_SEVENZ,
             KIND_RAR,
             KIND_ISO,
+            KIND_CAB,
         ):
             if depth >= MAX_CONTAINER_DEPTH:
                 raise ExtractError(
@@ -364,6 +367,8 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 entries = parse_7z_text(text)
             elif kind == KIND_ISO:  # ISO 9660: core/isobin.py record walk
                 entries = parse_iso_text(text)
+            elif kind == KIND_CAB:  # MS Cabinet: core/cabbin.py folder walk
+                entries = parse_cab_text(text)
             else:  # rar: core/rarbin.py stored-member walk
                 entries = parse_rar_text(text)
             n_containers += 1

@@ -47,10 +47,15 @@ KIND_AR = "ar"  # Unix ar archive (.a/.deb), '!<arch>\n' at offset 0
 KIND_CPIO = "cpio"  # cpio newc/crc archive, guarded '07070x' at offset 0
 KIND_DBF = "dbf"  # dBase table, guarded 0x03 version byte at offset 0
 KIND_ISO = "iso"  # ISO 9660 image, 'CD001' at offset 32769
+KIND_CAB = "cab"  # MS Cabinet, 'MSCF' + zero reserved1 at offset 0
 KIND_TNEF = "tnef"  # TNEF winmail.dat, 0x223E9F78 LE signature at offset 0
 
 # TNEF signature bytes-as-text (MS-OXTNEF §2.1)
 TNEF_MAGIC_TEXT = "\x78\x9f\x3e\x22"
+
+# MS Cabinet signature + the 4-byte reserved1 field ([MS-CAB] §2.1 —
+# always zero): 'MSCF' alone is prose-plausible, the NULs are not
+CAB_MAGIC_TEXT = "MSCF\x00\x00\x00\x00"
 
 # LZ4 frame magic, 0x184D2204 little-endian (bytes-as-text latin-1)
 LZ4_MAGIC_TEXT = "\x04\x22\x4d\x18"
@@ -234,6 +239,9 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       4l. head starts with the TNEF signature 0x223E9F78 (LE) -> 'tnef'
          (winmail.dat: subject/body surface, attachments recurse through
          core/tnefbin.py)
+      4l2. head starts with 'MSCF' + four NUL reserved1 bytes -> 'cab'
+         (MS Cabinet: Copy/MSZIP folder members route to core/cabbin.py
+         and recurse; 'MSCF'-opener prose never carries the NULs)
       4m. payload[32769:32774] == 'CD001'         -> 'iso' (ISO 9660
          image: the volume-descriptor signature at its fixed
          past-the-system-area offset, like the tar rule below; members
@@ -341,6 +349,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_DBF
     if head.startswith(TNEF_MAGIC_TEXT):
         return KIND_TNEF
+    if head.startswith(CAB_MAGIC_TEXT):
+        return KIND_CAB
     if text[ISO_MAGIC_OFFSET : ISO_MAGIC_OFFSET + 5] == "CD001":
         return KIND_ISO
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":

@@ -49,6 +49,7 @@ from tika_wrap_spark.core.zstdbin import zstd_text
 from tika_wrap_spark.core.sevenzip import build_7z_text
 from tika_wrap_spark.core.tnefbin import build_tnef_text
 from tika_wrap_spark.core.cpiobin import build_cpio_text
+from tika_wrap_spark.core.cabbin import build_cab_text
 from tika_wrap_spark.core.isobin import build_iso_text
 from tika_wrap_spark.core.pdfbin import build_pdf_text
 from tika_wrap_spark.core.plistbin import build_bplist
@@ -658,6 +659,27 @@ def _gen_cpio_payload(rng: random.Random) -> str:
         else:
             entries.append(("etc/notes_%d.txt" % m, _gen_text_payload(rng)))
     return build_cpio_text(entries)
+
+
+def _gen_cab_payload(rng: random.Random) -> str:
+    """An MS Cabinet (core/cabbin.py): 2-4 members mixing text/csv/html in
+    a single folder, ~60% MSZIP- and ~40% Copy-coded, ~1/4 carrying one
+    nested tar member exercising container recursion."""
+    entries: list[tuple[str, str]] = []
+    for m in range(rng.randint(2, 4)):
+        if m == 0 and rng.random() < 0.25:
+            inner = build_tar_text(
+                [("bundle/inner_%d.txt" % m, _gen_text_payload(rng))]
+            )
+            entries.append(("setup/bundle.tar", inner))
+            continue
+        if rng.random() < 0.3:
+            entries.append(("data/table_%d.csv" % m, _gen_csv_payload(rng)))
+        elif rng.random() < 0.4:
+            entries.append(("help/page_%d.html" % m, _gen_html_payload(rng)))
+        else:
+            entries.append(("readme_%d.txt" % m, _gen_text_payload(rng)))
+    return build_cab_text(entries, mszip=rng.random() < 0.6)
 
 
 def _gen_iso_payload(rng: random.Random) -> str:
@@ -1272,12 +1294,16 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             # keep their payloads bit-exactly, the sub draw precedes
             # generation)
             payloads = [("iso", _gen_iso_payload(rng), "")]
+        elif sub < 0.72:  # MS Cabinet (continuation r5; carved off the
+            # generic-container range — docs with sub >= 0.72 keep their
+            # payloads bit-exactly, the sub draw precedes generation)
+            payloads = [("cab", _gen_cab_payload(rng), "")]
         else:
             payloads = [("zip", _gen_container_payload(rng), "")]
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 37
+N_ADVERSARIAL = 38
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1626,6 +1652,18 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 36),
             "spans": _make_spans([("iso", good_iso[: 23 * 2048], "")]),
+        }
+    )
+    # checksum-corrupt MSZIP cabinet: one flipped compressed-data byte so
+    # the [MS-CAB] CFDATA checksum verify fails ('cab:' prefix, 'archive'
+    # taxonomy class; the strict parser also catches bad CK signatures
+    # and block/stream overruns)
+    good_cab = build_cab_text([("doomed.txt", "cab payload " * 50)], mszip=True)
+    bad_cab = good_cab[:-2] + chr(ord(good_cab[-2]) ^ 0x55) + good_cab[-1]
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 37),
+            "spans": _make_spans([("cab", bad_cab, "")]),
         }
     )
     return rows

@@ -3255,7 +3255,7 @@ def _corpus_df(spark, d):
 # bump when a corpus/extraction change isn't visible in the 40-doc canary
 # (e.g. a rare-kind-only behavior change) — the store key below hashes the
 # canary docs so most semantic changes invalidate automatically
-_EXTRACT_STORE_VERSION = "8"  # r5 continuation: ...zstd/lzma/iso
+_EXTRACT_STORE_VERSION = "9"  # r5 continuation: ...zstd/lzma/iso/cab
 
 
 def _extract_store_key(n_docs: int) -> str:
@@ -3436,7 +3436,8 @@ def _error_class_col():
             | F.col("error").startswith("rar:")
             | F.col("error").startswith("zstd:")
             | F.col("error").startswith("lzma:")
-            | F.col("error").startswith("iso:"),
+            | F.col("error").startswith("iso:")
+            | F.col("error").startswith("cab:"),
             F.lit("archive"),
         )
         .when(
@@ -3808,6 +3809,45 @@ def q_z_route(spark, d):
     return (
         ext.filter(
             (meta_at("container_format") == "z") | F.col("error").startswith("z:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.try_element_at("meta", F.lit("n_container_entries"))
+            .cast("int")
+            .alias("n_members"),
+            F.try_element_at("meta", F.lit("container_depth"))
+            .cast("int")
+            .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_cab_route(spark, d):
+    """MS Cabinet tallies (continuation r5): cabinets route by the 'MSCF'
+    + zero-reserved1 signature (sniffer kind 35, both forms — the NULs
+    keep 'MSCF'-opener prose out) and extract through the hand-rolled
+    [MS-CAB] walk (core/cabbin.py — CFHEADER/CFFOLDER/CFFILE/CFDATA,
+    the §2.9 XOR-fold checksum VERIFIED per block, Copy and MSZIP
+    folders with the 32 KiB deflate history persisting across blocks;
+    Tika reads cabinets via commons-compress through the same AutoParser
+    the reference calls, /root/reference/src/java-env.cpp:313-314). The
+    builder twin is pinned against the system bsdtar (libarchive's
+    independent cab reader) in tests/test_cabbin.py — Copy and MSZIP
+    both byte-extract. Members re-sniff and recurse ('cab'
+    container_format); a checksum-corrupt block lands a 'cab:' error in
+    the 'archive' taxonomy class, never a task failure. One pruned store
+    scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("container_format") == "cab")
+            | F.col("error").startswith("cab:")
         )
         .select(
             "doc_id",

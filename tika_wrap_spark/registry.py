@@ -23,6 +23,7 @@ from tika_wrap_spark import queries_training as qt
 
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
+    "cab_route": (qt.q_cab_route, None),
     "iso_route": (qt.q_iso_route, None),
     "lzma_route": (qt.q_lzma_route, None),
     "zstd_route": (qt.q_zstd_route, None),
