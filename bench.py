@@ -111,6 +111,8 @@ HEADLINE = [
     "lzma_route",
     "iso_route",
     "cab_route",
+    "collocations",
+    "length_gini",
     "line_dedup",
     "readability",
 ]

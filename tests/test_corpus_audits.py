@@ -186,3 +186,56 @@ def test_new_audit_plans_stay_jvm_side(spark, tmp_path):
     assert not plans.has_node(plan, "BatchEvalPython"), plan
     assert plans.count_node(plan, "Window") == 2, plan
     assert "transform(sequence" not in plan, plan
+
+
+def test_collocations_hand_computed(spark, tmp_path):
+    # "x y x y x y x y": pairs xy=4, yx=3; uni x=4, y=4, total=8
+    # lift(x,y) = 1000*4*8 // 16 = 2000 ; lift(y,x) = 1000*3*8 // 16 = 1500
+    d = _docs_dir(spark, tmp_path, [("x y x y x y x y", "en", "A")])
+    rows = qt.q_collocations(spark, d).collect()
+    assert [(r["w1"], r["w2"], r["pair_cnt"], r["lift_milli"]) for r in rows] == [
+        ("x", "y", 4, 2000),
+        ("y", "x", 3, 1500),
+    ]
+
+
+def test_collocations_min_pair_threshold(spark, tmp_path):
+    # every bigram occurs < 3 times -> empty result, not a divide surprise
+    d = _docs_dir(spark, tmp_path, [("a b c d e f", "en", "A")])
+    assert qt.q_collocations(spark, d).collect() == []
+
+
+def test_length_gini_hand_computed(spark, tmp_path):
+    # source A: two equal docs -> gini 0; source B: lengths 10 and 30 ->
+    # grouped formula S = 10*1 + 30*2 = 70, T = 40, N = 2:
+    # (1000*(2*70 - 3*40)) // (2*40) = 250 (the true Gini of [10,30])
+    d = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            ("x" * 10, "en", "A"),
+            ("y" * 10, "en", "A"),
+            ("x" * 10, "en", "B"),
+            ("y" * 30, "en", "B"),
+        ],
+    )
+    got = {r["source"]: r for r in qt.q_length_gini(spark, d).collect()}
+    assert (got["A"]["gini_milli"], got["A"]["n_docs"]) == (0, 2)
+    assert (got["B"]["gini_milli"], got["B"]["total_chars"]) == (250, 40)
+
+
+def test_collocation_gini_plans(spark, tmp_path):
+    d = _docs_dir(spark, tmp_path, [("a b a b a b", "en", "A")])
+    # collocations: finding-28 bigrams (ONE lead window, no lambda
+    # n-grams), top-50 as TakeOrderedAndProject, and the two aggregates
+    # hang off the SAME windowed subtree so the doc_id Exchange is reused
+    # (no finding-27 double corpus scan)
+    plan = plans.formatted_plan(qt.q_collocations(spark, d))
+    assert not plans.has_node(plan, "BatchEvalPython"), plan
+    assert "transform(sequence" not in plan, plan
+    assert plans.has_node(plan, "TakeOrderedAndProject"), plan
+    # length_gini: the only window runs over the bounded (source, length)
+    # mid-grain, never the corpus — exactly one Window node
+    plan = plans.formatted_plan(qt.q_length_gini(spark, d))
+    assert not plans.has_node(plan, "BatchEvalPython"), plan
+    assert plans.count_node(plan, "Window") == 1, plan

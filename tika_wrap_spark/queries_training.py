@@ -1055,6 +1055,167 @@ ORDER BY batch
 """
 
 
+def q_collocations(spark, d):
+    """Collocation mining (continuation r5): the top-50 bigrams by
+    pointwise lift — ``count(xy) * N / (count(x) * count(y))``, the
+    integer-exact core of PMI ranking (log is monotone, so the lift
+    ordering IS the PMI ordering without a float in sight) — over the
+    whitespace-normalized corpus, pair count >= 3. This is the phrase
+    detector (word2vec-phrases / NLTK collocations shape) a tokenizer or
+    curation pipeline runs to find multiword units worth protecting.
+
+    Scale shape: bigrams ride the finding-28 posexplode + lead() window
+    (never a transform(sequence) lambda over a derived array); unigram
+    and pair counts are partial-aggregable groupBys; the two
+    count-lookup joins key on words (dimension-sized at the pair_cnt>=3
+    grain), the 1-row total broadcasts, and the top-50 is
+    TakeOrderedAndProject. Arithmetic stays in BIGINT — exact for corpora
+    to ~10^12 tokens; beyond that the product needs decimal(38,0).
+    Ties break on (pair_cnt desc, w1, w2) so the limit is deterministic."""
+    docs = _t(spark, d, "documents")
+    toks = dd.normalized(docs).select(
+        "doc_id", F.posexplode(F.split("norm", " ")).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # BOTH aggregates hang off the SAME windowed subtree: the doc_id
+    # Exchange feeding the window is then byte-identical in the two
+    # branches and AQE reuses it (ReusedExchange) — one scan + one
+    # explode, not the finding-27 double-scan fold
+    wtoks = toks.withColumn("nxt", F.lead("tok").over(wdoc))
+    pairs = (
+        wtoks.filter(
+            F.col("nxt").isNotNull() & (F.col("tok") != "") & (F.col("nxt") != "")
+        )
+        .groupBy(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 3)
+    )
+    uni = (
+        wtoks.filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        pairs.join(
+            uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("c1")), "w1"
+        )
+        .join(uni.select(F.col("tok").alias("w2"), F.col("cnt").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lift_milli",
+            F.expr("(1000 * pair_cnt * total) div (c1 * c2)").cast("long"),
+        )
+        .select("w1", "w2", "pair_cnt", "lift_milli")
+        .orderBy(
+            F.desc("lift_milli"), F.desc("pair_cnt"), "w1", "w2"
+        )
+        .limit(50)
+    )
+
+
+SQL_COLLOCATIONS = f"""
+WITH base AS (
+  SELECT doc_id, str_split({_NORM_DUCK}, ' ') AS arr FROM documents
+), toks AS (
+  SELECT unnest(arr) AS tok FROM base
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks WHERE tok <> ''
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni
+), pairs AS (
+  SELECT arr[i] AS w1, arr[i + 1] AS w2, CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM base, unnest(range(1, len(arr))) AS t(i)
+  WHERE arr[i] <> '' AND arr[i + 1] <> ''
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT w1, w2, pair_cnt,
+       CAST((1000 * pair_cnt * tot.total) // (u1.cnt * u2.cnt) AS BIGINT)
+         AS lift_milli
+FROM pairs
+JOIN uni u1 ON u1.tok = pairs.w1
+JOIN uni u2 ON u2.tok = pairs.w2
+CROSS JOIN tot
+ORDER BY lift_milli DESC, pair_cnt DESC, w1, w2
+LIMIT 50
+"""
+
+
+def q_length_gini(spark, d):
+    """Per-source length-inequality audit (continuation r5): the exact
+    Gini coefficient of document lengths, integer-exact via the grouped
+    formula — a mixture designer reads this next to length_drift to spot
+    sources whose token mass concentrates in a few giant documents
+    (gini -> 1) vs uniform shards (gini -> 0).
+
+    Scale shape (the pack_sequences mid-grain discipline): the corpus
+    reduces FIRST to the bounded (source, n_chars) grain — one
+    partial-aggregable shuffle; distinct lengths per source are
+    thousands, not corpus-sized — and the rank-dependent sums run as a
+    window over THAT mid-table only. For a value group with count n at
+    cumulative offset N_<, the sorted-rank sum is
+    n*N_< + n*(n+1)/2, so  S = sum v * rank_sum  is exact without ever
+    sorting documents. gini_milli = (1000 * (2*S - (N+1)*T)) div (N*T)
+    with T = sum v*n, N = doc count — all BIGINT."""
+    docs = _t(spark, d, "documents")
+    mid = docs.groupBy("source", F.col("n_chars").cast("long").alias("v")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mid = mid.withColumn("n_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return (
+        mid.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(F.expr("v * n")).cast("long").alias("total_chars"),
+            F.sum(F.expr("v * (n * n_before + (n * (n + 1)) div 2)"))
+            .cast("long")
+            .alias("rank_mass"),
+        )
+        .withColumn(
+            "gini_milli",
+            F.expr(
+                "(1000 * (2 * rank_mass - (n_docs + 1) * total_chars))"
+                " div (n_docs * total_chars)"
+            ).cast("long"),
+        )
+        .select("source", "n_docs", "total_chars", "gini_milli")
+        .orderBy("source")
+    )
+
+
+SQL_LENGTH_GINI = """
+WITH mid AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT source, v, n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_before
+  FROM mid
+), agg AS (
+  SELECT source,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(v * n) AS BIGINT) AS total_chars,
+         CAST(sum(v * (n * n_before + (n * (n + 1)) // 2)) AS BIGINT)
+           AS rank_mass
+  FROM cum GROUP BY 1
+)
+SELECT source, n_docs, total_chars,
+       CAST((1000 * (2 * rank_mass - (n_docs + 1) * total_chars))
+            // (n_docs * total_chars) AS BIGINT) AS gini_milli
+FROM agg
+ORDER BY source
+"""
+
+
 def q_source_vocab_overlap(spark, d):
     """Cross-source vocabulary overlap (r5): Jaccard over the type sets of
     every source pair — the domain-similarity matrix a mixture designer
