@@ -113,6 +113,7 @@ HEADLINE = [
     "cab_route",
     "collocations",
     "length_gini",
+    "xps_route",
     "line_dedup",
     "readability",
 ]

@@ -768,3 +768,97 @@ class TestEpub:
             res = extract_document(_doc(_gen_epub_payload(rng)))
             assert res["parse_ok"], res["error"]
             assert res["meta"]["container_format"] == "epub"
+
+
+class TestXps:
+    """XPS/OpenXPS (ECMA-388): an OPC zip whose page text lives in
+    Glyphs/@UnicodeString ATTRIBUTES — the generic element-text strip
+    yields nothing for .fpage members, so extraction reads the attributes
+    (Tika's XPSParser analog). Detection keys on .fdseq/.fpage member
+    names and must BEAT the OOXML-marker rule (a real .xps also carries
+    [Content_Types].xml)."""
+
+    def _xps_zip(self, fpages: list[str], with_marker: bool = True) -> str:
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        entries = []
+        if with_marker:
+            entries.append(("[Content_Types].xml", '<?xml version="1.0"?><Types/>'))
+        entries.append(
+            (
+                "FixedDocumentSequence.fdseq",
+                '<FixedDocumentSequence><DocumentReference '
+                'Source="/Documents/1/FixedDocument.fdoc" />'
+                "</FixedDocumentSequence>",
+            )
+        )
+        entries.append(
+            (
+                "Documents/1/FixedDocument.fdoc",
+                "<FixedDocument>"
+                + "".join(
+                    '<PageContent Source="/Documents/1/Pages/%d.fpage" />' % (i + 1)
+                    for i in range(len(fpages))
+                )
+                + "</FixedDocument>",
+            )
+        )
+        for i, fp in enumerate(fpages):
+            entries.append(("Documents/1/Pages/%d.fpage" % (i + 1), fp))
+        return build_zip_text(entries)
+
+    def test_glyphs_attribute_text(self):
+        fpage = (
+            '<FixedPage xmlns="http://schemas.microsoft.com/xps/2005/06">'
+            '<Glyphs OriginX="10" UnicodeString="Hello XPS page" />'
+            '<Glyphs UnicodeString="costs &amp; revenue" OriginY="60" />'
+            "<Path Data=\"M 0,0\" /></FixedPage>"
+        )
+        res = extract_document(_doc(self._xps_zip([fpage])))
+        assert res["parse_ok"], res["error"]
+        assert res["meta"]["container_format"] == "xps"
+        texts = [s["text"] for s in res["spans"]]
+        assert "Hello XPS page\ncosts & revenue" in texts
+
+    def test_xps_beats_ooxml_marker(self):
+        # [Content_Types].xml present AND .fpage members -> xps, not ooxml
+        fpage = '<FixedPage><Glyphs UnicodeString="x" /></FixedPage>'
+        res = extract_document(_doc(self._xps_zip([fpage], with_marker=True)))
+        assert res["meta"]["container_format"] == "xps"
+
+    def test_structure_members_never_surface(self):
+        # fdseq/fdoc are package structure: not spans, not counted
+        fpage = '<FixedPage><Glyphs UnicodeString="only this" /></FixedPage>'
+        res = extract_document(_doc(self._xps_zip([fpage], with_marker=False)))
+        assert res["meta"]["n_container_entries"] == "1"
+        assert [s["text"] for s in res["spans"]] == ["only this"]
+
+    def test_brace_escape_and_quotes(self):
+        # the '{}' literal-brace escape strips; single-quoted attrs parse
+        fpage = (
+            "<FixedPage><Glyphs UnicodeString='{}literal {braces} text' />"
+            "</FixedPage>"
+        )
+        res = extract_document(_doc(self._xps_zip([fpage], with_marker=False)))
+        assert [s["text"] for s in res["spans"]] == ["literal {braces} text"]
+
+    def test_corpus_xps_roundtrip(self):
+        import random
+
+        from tika_wrap_spark.corpus import _gen_xps_fpage
+        from tika_wrap_spark.core.zipbin import build_zip_text
+
+        rng = random.Random(17)
+        for _ in range(5):
+            zt = build_zip_text(
+                [
+                    ("FixedDocumentSequence.fdseq", "<FixedDocumentSequence/>"),
+                    ("Documents/1/Pages/1.fpage", _gen_xps_fpage(rng)),
+                ]
+            )
+            res = extract_document(_doc(zt))
+            assert res["parse_ok"], res["error"]
+            assert res["meta"]["container_format"] == "xps"
+            assert res["spans"] and all(
+                "<" not in s["text"] for s in res["spans"]
+            )

@@ -34,6 +34,7 @@ from tika_wrap_spark.core.html import (
     extract_xml_text,
     html_title,
     xml_root_tag,
+    xps_fpage_text,
 )
 from tika_wrap_spark.core.media import image_dims_text, png_text_meta_text
 from tika_wrap_spark.core.olebin import ole_extract_text
@@ -374,7 +375,23 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             n_containers += 1
             depth_max = max(depth_max, depth + 1)
             pkg = _package_format(entries)
-            if any(name == OOXML_MARKER for name, _p in entries):
+            is_xps = any(
+                name.endswith((".fdseq", ".fpage")) for name, _p in entries
+            )
+            if is_xps:
+                # XPS/OpenXPS (ECMA-388): an OPC package like OOXML — a
+                # real .xps ALSO carries [Content_Types].xml, so this
+                # check must come FIRST; page text is read from
+                # Glyphs/@UnicodeString attributes below. The fdseq/fdoc
+                # members are package STRUCTURE (like the ODF mimetype
+                # marker): never emitted as content, never counted
+                container_format = "xps"
+                entries = [
+                    e
+                    for e in entries
+                    if not e[0].endswith((".fdseq", ".fdoc"))
+                ]
+            elif any(name == OOXML_MARKER for name, _p in entries):
                 container_format = "ooxml"
             elif pkg:
                 container_format = pkg
@@ -393,6 +410,12 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
                 container_format = kind
             for name, payload in entries:
                 n_entries += 1
+                if is_xps and name.endswith(".fpage"):
+                    # FixedPage text lives in attributes, not element
+                    # content — the generic xml strip yields nothing
+                    # (core/html.py xps_fpage_text, Tika XPSParser analog)
+                    emit(KIND_TEXT, xps_fpage_text(payload), "")
+                    continue
                 route(sniff_kind(payload, ""), payload, "", path + (name,), depth + 1)
         elif kind in _WRAPPER_DECODERS:
             # wrapper, not an archive: decompress and re-sniff the inner

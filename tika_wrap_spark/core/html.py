@@ -99,6 +99,31 @@ def extract_xml_text(xml: str) -> str:
     return _normalize_ws(_decode_entities(_XML_TAG_RE.sub(" ", xml)))
 
 
+_XPS_GLYPHS_RE = re.compile(
+    r"<Glyphs\b[^>]*?\bUnicodeString\s*=\s*(\"([^\"]*)\"|'([^']*)')",
+    re.DOTALL,
+)
+
+
+def xps_fpage_text(xml: str) -> str:
+    """XPS FixedPage -> text: the page's visible text lives in
+    ``Glyphs/@UnicodeString`` ATTRIBUTES (ECMA-388 §12), so the generic
+    element-text strip above yields nothing for .fpage members — this is
+    the attribute-level reader Tika's XPSParser implements. One line per
+    Glyphs run, document order, entities decoded. A leading ``{}`` escape
+    (literal-brace guard for strings that would otherwise parse as
+    indexed-glyph syntax) is stripped the way XPS consumers do."""
+    runs = []
+    for m in _XPS_GLYPHS_RE.finditer(xml):
+        raw = m.group(2) if m.group(2) is not None else m.group(3)
+        s = _decode_entities(raw)
+        if s.startswith("{}"):
+            s = s[2:]
+        if s:
+            runs.append(_normalize_ws(s))
+    return "\n".join(r for r in runs if r)
+
+
 _XML_ROOT_RE = None  # compiled lazily below (module import order)
 
 

@@ -661,6 +661,57 @@ def _gen_cpio_payload(rng: random.Random) -> str:
     return build_cpio_text(entries)
 
 
+def _gen_xps_fpage(rng: random.Random) -> str:
+    """One XPS FixedPage: 2-6 positioned Glyphs runs whose visible text
+    rides the UnicodeString attribute; ~1/4 of runs carry an XML entity
+    and ~1/8 the literal-brace '{}' escape the reader must strip."""
+    runs = []
+    for i in range(rng.randint(2, 6)):
+        words = _sentence(rng)
+        if rng.random() < 0.25:
+            words = words.replace(" ", " &amp; ", 1)
+        if rng.random() < 0.125:
+            words = "{}" + words
+        runs.append(
+            '<Glyphs Fill="#000000" FontUri="/Resources/f1.odttf" '
+            'FontRenderingEmSize="%d" OriginX="%d" OriginY="%d" '
+            'UnicodeString="%s" />'
+            % (8 + i, 10 + 3 * i, 40 + 20 * i, words)
+        )
+    return (
+        '<FixedPage xmlns="http://schemas.microsoft.com/xps/2005/06" '
+        'Width="816" Height="1056">' + "".join(runs) + "</FixedPage>"
+    )
+
+
+def _gen_xps_payload(rng: random.Random) -> str:
+    """A direct XPS package (real zip, like _gen_odf_payload): OPC marker
+    + fdseq/fdoc structure members + 1-3 FixedPages whose text rides
+    Glyphs/@UnicodeString attributes."""
+    n_pages = rng.randint(1, 3)
+    entries = [
+        ("[Content_Types].xml", _gen_xml_payload(rng)),
+        (
+            "FixedDocumentSequence.fdseq",
+            '<FixedDocumentSequence xmlns="http://schemas.microsoft.com/'
+            'xps/2005/06"><DocumentReference Source="/Documents/1/'
+            'FixedDocument.fdoc" /></FixedDocumentSequence>',
+        ),
+        (
+            "Documents/1/FixedDocument.fdoc",
+            "<FixedDocument>"
+            + "".join(
+                '<PageContent Source="/Documents/1/Pages/%d.fpage" />' % p
+                for p in range(1, n_pages + 1)
+            )
+            + "</FixedDocument>",
+        ),
+    ]
+    for p in range(1, n_pages + 1):
+        entries.append(("Documents/1/Pages/%d.fpage" % p, _gen_xps_fpage(rng)))
+    return build_zip_text(entries)
+
+
 def _gen_cab_payload(rng: random.Random) -> str:
     """An MS Cabinet (core/cabbin.py): 2-4 members mixing text/csv/html in
     a single folder, ~60% MSZIP- and ~40% Copy-coded, ~1/4 carrying one
@@ -1036,6 +1087,42 @@ def _gen_container_payload(rng: random.Random, depth: int = 0) -> str:
             entries.append(("mimetype", _ODF_MIMES[sub]))
             entries.append(("content.xml", _gen_odf_content_xml(rng, sub)))
             return _encode_archive(rng, entries)
+        if shape >= 0.68:  # XPS/OpenXPS (continuation r5; carved off the
+            # xlsx sub-range tail — docs with shape < 0.68 keep their
+            # payloads bit-exactly): an OPC package whose page text lives
+            # in Glyphs/@UnicodeString ATTRIBUTES (core/html.py
+            # xps_fpage_text); carries [Content_Types].xml like a real
+            # .xps, so detection-order (.fdseq/.fpage before the OOXML
+            # marker) stays exercised
+            entries.append(("[Content_Types].xml", _gen_xml_payload(rng)))
+            entries.append(
+                (
+                    "FixedDocumentSequence.fdseq",
+                    '<FixedDocumentSequence xmlns="http://schemas.microsoft.com/'
+                    'xps/2005/06"><DocumentReference Source="/Documents/1/'
+                    'FixedDocument.fdoc" /></FixedDocumentSequence>',
+                )
+            )
+            n_pages = rng.randint(1, 3)
+            entries.append(
+                (
+                    "Documents/1/FixedDocument.fdoc",
+                    "<FixedDocument>"
+                    + "".join(
+                        '<PageContent Source="/Documents/1/Pages/%d.fpage" />' % p
+                        for p in range(1, n_pages + 1)
+                    )
+                    + "</FixedDocument>",
+                )
+            )
+            for p in range(1, n_pages + 1):
+                entries.append(
+                    (
+                        "Documents/1/Pages/%d.fpage" % p,
+                        _gen_xps_fpage(rng),
+                    )
+                )
+            return _encode_archive(rng, entries)
         entries.append(("[Content_Types].xml", _gen_xml_payload(rng)))
         if shape < 0.40:  # docx: WordprocessingML w:t runs
             entries.append(("word/document.xml", _gen_docx_xml(rng)))
@@ -1298,6 +1385,10 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             # generic-container range — docs with sub >= 0.72 keep their
             # payloads bit-exactly, the sub draw precedes generation)
             payloads = [("cab", _gen_cab_payload(rng), "")]
+        elif sub < 0.75:  # XPS package (continuation r5; carved off the
+            # generic-container range — docs with sub >= 0.75 keep their
+            # payloads bit-exactly, the sub draw precedes generation)
+            payloads = [("zip", _gen_xps_payload(rng), "")]
         else:
             payloads = [("zip", _gen_container_payload(rng), "")]
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}

@@ -3416,7 +3416,7 @@ def _corpus_df(spark, d):
 # bump when a corpus/extraction change isn't visible in the 40-doc canary
 # (e.g. a rare-kind-only behavior change) — the store key below hashes the
 # canary docs so most semantic changes invalidate automatically
-_EXTRACT_STORE_VERSION = "9"  # r5 continuation: ...zstd/lzma/iso/cab
+_EXTRACT_STORE_VERSION = "11"  # r5 continuation: ...lzma/iso/cab/xps-slice
 
 
 def _extract_store_key(n_docs: int) -> str:
@@ -3980,6 +3980,35 @@ def q_z_route(spark, d):
             F.try_element_at("meta", F.lit("container_depth"))
             .cast("int")
             .alias("container_depth"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_xps_route(spark, d):
+    """XPS/OpenXPS package tallies (continuation r5): an OPC zip whose
+    .fdseq/.fpage member names route container_format to 'xps' BEFORE
+    the OOXML-marker check (a real .xps also carries
+    [Content_Types].xml); page text is read from Glyphs/@UnicodeString
+    ATTRIBUTES (core/html.py xps_fpage_text — the generic element-text
+    strip yields nothing for FixedPages; Tika's XPSParser analog,
+    reached through the AutoParser the reference calls,
+    /root/reference/src/java-env.cpp:313-314). The fdseq/fdoc structure
+    members are package metadata — never emitted, never counted, like
+    the ODF mimetype marker. One pruned store scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(meta_at("container_format") == "xps")
+        .select(
+            "doc_id",
+            "parse_ok",
+            F.try_element_at("meta", F.lit("n_container_entries"))
+            .cast("int")
+            .alias("n_members"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
         )
