@@ -114,6 +114,7 @@ HEADLINE = [
     "collocations",
     "length_gini",
     "xps_route",
+    "avro_route",
     "line_dedup",
     "readability",
 ]

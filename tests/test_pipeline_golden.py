@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 138  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 139  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -60,8 +60,9 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # pdf, unterminated ics, property-less msg, truncated sqlite,
     # truncated font, truncated warc, empty-sender mbox, truncated plist,
     # truncated ar, corrupt lz4 frame, truncated midi, CRC-corrupt 7z,
-    # rar, zstd, truncated lzma, truncated iso, checksum-corrupt cab
-    assert len(bad) == 37
+    # rar, zstd, truncated lzma, truncated iso, checksum-corrupt cab,
+    # sync-corrupt avro
+    assert len(bad) == 38
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -194,9 +195,12 @@ def test_corpus_mix_composition_pinned():
     # of the raw-container sub-draw) turned one zip container doc into a
     # disc image (zip 14 -> 13, + iso 1); the CAB carve ([0.69, 0.72) of
     # the same sub-draw) turned one more into a cabinet (zip 13 -> 12,
-    # + cab 1).
+    # + cab 1). The Avro carve ([0.78, 0.80) of the csv slice tail)
+    # turned one csv doc into an object container (csv 72 -> 71,
+    # + avro 1); the XPS slices left the pin untouched (an XPS package
+    # still sniffs zip).
     assert dict(kinds) == {
-        "csv": 72,
+        "csv": 71,
         "dbf": 2,
         "tnef": 1,
         "pdf": 132,
@@ -218,6 +222,7 @@ def test_corpus_mix_composition_pinned():
         "rar": 2,
         "iso": 1,
         "cab": 1,
+        "avro": 1,
         "ole": 7,
         "tar": 1,
         "7z": 1,

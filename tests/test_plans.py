@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 68  # 30 + 38 adversarial
+    assert read.count() == 69  # 30 + 39 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -299,6 +299,10 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # nonzero reserved1 must fall through in BOTH forms
         "MSCF\x00\x00\x00\x00", "MSCF\x00\x00\x00\x00\x4a\x01", "MSCF",
         "MSCF stands for", "MSCF\x00\x00\x00\x01", "xMSCF\x00\x00\x00\x00",
+        # Avro object-container magic 'Obj\x01' — 'Obj'-opener prose
+        # lacks the version control byte and must fall through
+        "Obj\x01", "Obj\x01\x04\x16avro.schema", "Obj", "Object lesson",
+        "Obj\x02", "xObj\x01",
     ]
     payloads = []
     for _ in range(2000):

@@ -68,6 +68,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_VCF,
     KIND_WARC,
     KIND_XML,
+    KIND_AVRO,
     KIND_CAB,
     KIND_DBF,
     KIND_ISO,
@@ -105,6 +106,7 @@ _WRAPPER_DECODERS = {
 }
 from tika_wrap_spark.core.arbin import parse_ar_text
 from tika_wrap_spark.core.cpiobin import parse_cpio_text
+from tika_wrap_spark.core.avrobin import avro_extract_text
 from tika_wrap_spark.core.cabbin import parse_cab_text
 from tika_wrap_spark.core.isobin import parse_iso_text
 from tika_wrap_spark.core.dbfbin import dbf_extract_text
@@ -212,6 +214,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     ical_summary = ""  # first event SUMMARY / first card FN (core/ical.py)
     sqlite_tables = ""  # first database's user-table names, comma-joined
     dbf_fields = ""  # first dBase table's field names, comma-joined
+    avro_fields = ""  # first Avro container's field names, comma-joined
     midi_tracks = ""  # first MIDI file's track count (+ first track name)
     midi_track_name = ""
     plist_keys = ""  # first binary plist's top-level dict keys
@@ -238,6 +241,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         nonlocal media1_dims, container_format  # media1_png_text/exif mutate
         nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
         nonlocal sqlite_tables, warc_target, plist_keys, xml_root, dbf_fields
+        nonlocal avro_fields
         nonlocal midi_tracks, midi_track_name
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
@@ -486,6 +490,15 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             if not dbf_fields:
                 dbf_fields = d_fields
             emit(KIND_TEXT, d_text, "")
+        elif kind == KIND_AVRO:
+            # Avro object container (core/avrobin.py): varint/zigzag
+            # record decode, null/deflate codecs, per-block sync-marker
+            # verify; rows flatten to one csv-shaped text block (the
+            # dbf/sqlite convention), field names -> avro_fields meta
+            a_text, a_fields = avro_extract_text(text)
+            if not avro_fields:
+                avro_fields = a_fields
+            emit(KIND_TEXT, a_text, "")
         elif kind == KIND_PLIST:
             # Apple binary property list (core/plistbin.py; Tika
             # PListParser analog): the object graph flattens to one
@@ -638,6 +651,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "ical_summary": ical_summary,
         "sqlite_tables": sqlite_tables,
         "dbf_fields": dbf_fields,
+        "avro_fields": avro_fields,
         "midi_tracks": midi_tracks,
         "midi_track_name": midi_track_name,
         "plist_keys": plist_keys,

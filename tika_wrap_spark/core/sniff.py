@@ -48,6 +48,7 @@ KIND_CPIO = "cpio"  # cpio newc/crc archive, guarded '07070x' at offset 0
 KIND_DBF = "dbf"  # dBase table, guarded 0x03 version byte at offset 0
 KIND_ISO = "iso"  # ISO 9660 image, 'CD001' at offset 32769
 KIND_CAB = "cab"  # MS Cabinet, 'MSCF' + zero reserved1 at offset 0
+KIND_AVRO = "avro"  # Avro object container, 'Obj\x01' at offset 0
 KIND_TNEF = "tnef"  # TNEF winmail.dat, 0x223E9F78 LE signature at offset 0
 
 # TNEF signature bytes-as-text (MS-OXTNEF §2.1)
@@ -56,6 +57,10 @@ TNEF_MAGIC_TEXT = "\x78\x9f\x3e\x22"
 # MS Cabinet signature + the 4-byte reserved1 field ([MS-CAB] §2.1 —
 # always zero): 'MSCF' alone is prose-plausible, the NULs are not
 CAB_MAGIC_TEXT = "MSCF\x00\x00\x00\x00"
+
+# Avro object-container magic (Avro spec "Object Container Files"):
+# 'Obj' + the \x01 version byte — the control char keeps prose out
+AVRO_MAGIC_TEXT = "Obj\x01"
 
 # LZ4 frame magic, 0x184D2204 little-endian (bytes-as-text latin-1)
 LZ4_MAGIC_TEXT = "\x04\x22\x4d\x18"
@@ -242,6 +247,10 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
       4l2. head starts with 'MSCF' + four NUL reserved1 bytes -> 'cab'
          (MS Cabinet: Copy/MSZIP folder members route to core/cabbin.py
          and recurse; 'MSCF'-opener prose never carries the NULs)
+      4l3. head starts with 'Obj\\x01'            -> 'avro' (Avro object
+         container: records flatten to a csv-shaped block via
+         core/avrobin.py; the \\x01 version byte keeps 'Obj'-opener
+         prose out)
       4m. payload[32769:32774] == 'CD001'         -> 'iso' (ISO 9660
          image: the volume-descriptor signature at its fixed
          past-the-system-area offset, like the tar rule below; members
@@ -351,6 +360,8 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_TNEF
     if head.startswith(CAB_MAGIC_TEXT):
         return KIND_CAB
+    if head.startswith(AVRO_MAGIC_TEXT):
+        return KIND_AVRO
     if text[ISO_MAGIC_OFFSET : ISO_MAGIC_OFFSET + 5] == "CD001":
         return KIND_ISO
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":

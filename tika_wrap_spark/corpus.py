@@ -49,6 +49,7 @@ from tika_wrap_spark.core.zstdbin import zstd_text
 from tika_wrap_spark.core.sevenzip import build_7z_text
 from tika_wrap_spark.core.tnefbin import build_tnef_text
 from tika_wrap_spark.core.cpiobin import build_cpio_text
+from tika_wrap_spark.core.avrobin import build_avro_text
 from tika_wrap_spark.core.cabbin import build_cab_text
 from tika_wrap_spark.core.isobin import build_iso_text
 from tika_wrap_spark.core.pdfbin import build_pdf_text
@@ -661,6 +662,30 @@ def _gen_cpio_payload(rng: random.Random) -> str:
     return build_cpio_text(entries)
 
 
+def _gen_avro_payload(rng: random.Random) -> str:
+    """An Avro object container (core/avrobin.py): 2-5 typed fields
+    (long/string/double, ~1/3 of string fields nullable), 3-20 records,
+    ~half deflate-coded."""
+    fields: list[tuple[str, str]] = [("id_0", "long")]
+    for f in range(1, rng.randint(2, 5)):
+        t = rng.choice(("string", "long", "double", "?string"))
+        fields.append(("%s_%d" % (rng.choice(_WORDS), f), t))
+    rows = []
+    for i in range(rng.randint(3, 20)):
+        row: list = []
+        for _n, t in fields:
+            if t == "long":
+                row.append(rng.randint(-1000, 100000))
+            elif t == "double":
+                row.append(round(rng.uniform(-100, 100), 3))
+            elif t == "?string" and rng.random() < 0.3:
+                row.append(None)
+            else:
+                row.append(rng.choice(_WORDS))
+        rows.append(row)
+    return build_avro_text(fields, rows, codec="deflate" if rng.random() < 0.5 else "null")
+
+
 def _gen_xps_fpage(rng: random.Random) -> str:
     """One XPS FixedPage: 2-6 positioned Glyphs runs whose visible text
     rides the UnicodeString attribute; ~1/4 of runs carry an XML entity
@@ -1240,8 +1265,15 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
         sub = rng.random()
         if sub < 0.70:
             payloads = [("text", _gen_text_payload(rng), "")]
-        elif sub < 0.80:
+        elif sub < 0.78:
             payloads = [("text", _gen_csv_payload(rng), "")]
+        elif sub < 0.80:  # Avro object container (continuation r5; carved
+            # off the csv slice tail — docs outside [0.78, 0.80) keep
+            # their payloads bit-exactly, the sub draw precedes
+            # generation). avro docs skip the charset/wrap draws below
+            # (binary tables are neither transcoded nor
+            # wrapper-compressed in the mix).
+            payloads = [("avro", _gen_avro_payload(rng), "")]
         elif sub < 0.82:  # dBase table (continuation r5; carved off the
             # csv slice tail — docs outside [0.80, 0.82) keep their
             # payloads bit-exactly, the sub draw precedes generation).
@@ -1394,7 +1426,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 38
+N_ADVERSARIAL = 39
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1755,6 +1787,20 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 37),
             "spans": _make_spans([("cab", bad_cab, "")]),
+        }
+    )
+    # sync-corrupt Avro container: one flipped byte in the trailing sync
+    # marker so the per-block verify fails ('avro:' prefix -> 'avro'
+    # taxonomy class)
+    good_avro = build_avro_text(
+        [("id_0", "long"), ("name_1", "string")],
+        [[i, "doomed"] for i in range(8)],
+    )
+    bad_avro = good_avro[:-1] + chr(ord(good_avro[-1]) ^ 0xFF)
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 38),
+            "spans": _make_spans([("avro", bad_avro, "")]),
         }
     )
     return rows

@@ -148,6 +148,7 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
         )
         .when(head.startswith(sn.TNEF_MAGIC_TEXT), F.lit(sn.KIND_TNEF))
         .when(head.startswith(sn.CAB_MAGIC_TEXT), F.lit(sn.KIND_CAB))
+        .when(head.startswith(sn.AVRO_MAGIC_TEXT), F.lit(sn.KIND_AVRO))
         # ISO 9660 'CD001' signature past the 32 KiB system area (before
         # the tar rule — the deterministic pin for hybrid payloads);
         # shorter payloads yield a short/empty substring -> no match,

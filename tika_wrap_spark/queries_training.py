@@ -3416,7 +3416,7 @@ def _corpus_df(spark, d):
 # bump when a corpus/extraction change isn't visible in the 40-doc canary
 # (e.g. a rare-kind-only behavior change) — the store key below hashes the
 # canary docs so most semantic changes invalidate automatically
-_EXTRACT_STORE_VERSION = "11"  # r5 continuation: ...lzma/iso/cab/xps-slice
+_EXTRACT_STORE_VERSION = "12"  # r5 continuation: ...iso/cab/xps/avro
 
 
 def _extract_store_key(n_docs: int) -> str:
@@ -3621,6 +3621,7 @@ def _error_class_col():
         )
         .when(F.col("error").startswith("sqlite:"), F.lit("sqlite"))
         .when(F.col("error").startswith("dbf:"), F.lit("dbf"))
+        .when(F.col("error").startswith("avro:"), F.lit("avro"))
         .when(F.col("error").startswith("midi:"), F.lit("midi"))
         .when(F.col("error").startswith("tnef:"), F.lit("tnef"))
         .when(F.col("error").startswith("font:"), F.lit("font"))
@@ -4342,6 +4343,36 @@ def q_tnef_route(spark, d):
             F.try_element_at("meta", F.lit("n_container_entries"))
             .cast("int")
             .alias("n_attachments"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_avro_route(spark, d):
+    """Avro object-container tallies (continuation r5): .avro files route
+    by the offset-0 'Obj\\x01' magic (sniffer kind 36, both forms) and
+    decode through the hand-rolled varint/zigzag record reader
+    (core/avrobin.py — header metadata map, null/deflate codecs,
+    per-block sync-marker VERIFY; records flatten to one csv-shaped text
+    block, the dbf/sqlite convention; Tika routes avro containers via
+    the AutoParser the reference calls,
+    /root/reference/src/java-env.cpp:313-314). Field names land in the
+    ``avro_fields`` meta key; a sync-corrupt container lands an 'avro:'
+    error in its own taxonomy class, never a task failure. One pruned
+    store scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("avro_fields") != "") | F.col("error").startswith("avro:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            meta_at("avro_fields").alias("avro_fields"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
         )
