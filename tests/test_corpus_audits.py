@@ -239,3 +239,28 @@ def test_collocation_gini_plans(spark, tmp_path):
     plan = plans.formatted_plan(qt.q_length_gini(spark, d))
     assert not plans.has_node(plan, "BatchEvalPython"), plan
     assert plans.count_node(plan, "Window") == 1, plan
+
+
+def test_token_burstiness_hand_computed(spark, tmp_path):
+    # 'a': 60 occurrences all in one of 2 docs -> N*sumsq - T^2 =
+    # 2*3600 - 3600 = 3600, vmr = 1000*3600 // (2*60) = 30000 (bursty).
+    # 'c': 30 + 30 evenly split -> 2*1800 - 3600 = 0, vmr = 0 (uniform).
+    d = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            (("a " * 60) + ("c " * 30).strip(), "en", "A"),
+            ("c " * 30, "en", "A"),
+        ],
+    )
+    rows = qt.q_token_burstiness(spark, d).collect()
+    got = {r["tok"]: (r["total_cnt"], r["n_docs_with"], r["vmr_milli"]) for r in rows}
+    assert got["a"] == (60, 1, 30000)
+    assert got["c"] == (60, 2, 0)
+    assert [r["tok"] for r in rows] == ["a", "c"]  # bursty first
+
+
+def test_token_burstiness_threshold(spark, tmp_path):
+    # tokens below the 50-count threshold never reach the ratio
+    d = _docs_dir(spark, tmp_path, [("rare words only", "en", "A")])
+    assert qt.q_token_burstiness(spark, d).collect() == []

@@ -1143,6 +1143,79 @@ LIMIT 50
 """
 
 
+def q_token_burstiness(spark, d):
+    """Token burstiness audit (continuation r5): the top-30 frequent
+    tokens by variance-to-mean ratio of their per-document counts
+    (Church & Gale's burstiness, zeros included) — VMR ~ 1000 is
+    Poisson-like function-word behavior, VMR >> 1000 marks content/
+    template tokens that clump into few documents (the boilerplate-spam
+    signal a curator reads next to line_dedup). Integer-exact:
+    vmr_milli = (1000 * (N*Σc² - T²)) div (N*T) with T = total count,
+    Σc² from per-doc counts, N the doc count on a 1-row broadcast.
+    BIGINT-exact while T < ~3e9 (T² < 2^63); beyond that the squares
+    need decimal(38,0).
+
+    Scale shape: one (tok, doc) partial-aggregable groupBy (bounded by
+    tokens-per-doc, the same grain token_count uses), one token-grain
+    rollup, a count-threshold filter BEFORE the ratio, and a
+    TakeOrderedAndProject top-30 with a full (vmr, T, tok) tie-break."""
+    docs = _t(spark, d, "documents")
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    per_doc = (
+        dd.normalized(docs)
+        .select("doc_id", F.explode(F.split("norm", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        per_doc.groupBy("tok")
+        .agg(
+            F.sum("c").cast("long").alias("total_cnt"),
+            F.sum(F.expr("c * c")).cast("long").alias("sum_sq"),
+            F.count("*").cast("long").alias("n_docs_with"),
+        )
+        .filter(F.col("total_cnt") >= 50)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "vmr_milli",
+            F.expr(
+                "(1000 * (n_docs * sum_sq - total_cnt * total_cnt))"
+                " div (n_docs * total_cnt)"
+            ).cast("long"),
+        )
+        .select("tok", "total_cnt", "n_docs_with", "vmr_milli")
+        .orderBy(F.desc("vmr_milli"), F.desc("total_cnt"), "tok")
+        .limit(30)
+    )
+
+
+SQL_TOKEN_BURSTINESS = f"""
+WITH per_doc AS (
+  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, unnest(str_split({_NORM_DUCK}, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+  GROUP BY 1, 2
+), tok_stats AS (
+  SELECT tok,
+         CAST(sum(c) AS BIGINT) AS total_cnt,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq,
+         CAST(count(*) AS BIGINT) AS n_docs_with
+  FROM per_doc GROUP BY 1
+  HAVING sum(c) >= 50
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT tok, total_cnt, n_docs_with,
+       CAST((1000 * (nd.n_docs * sum_sq - total_cnt * total_cnt))
+            // (nd.n_docs * total_cnt) AS BIGINT) AS vmr_milli
+FROM tok_stats CROSS JOIN nd
+ORDER BY vmr_milli DESC, total_cnt DESC, tok
+LIMIT 30
+"""
+
+
 def q_length_gini(spark, d):
     """Per-source length-inequality audit (continuation r5): the exact
     Gini coefficient of document lengths, integer-exact via the grouped

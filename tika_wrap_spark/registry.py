@@ -27,6 +27,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "xps_route": (qt.q_xps_route, None),
     "collocations": (qt.q_collocations, qt.SQL_COLLOCATIONS),
     "length_gini": (qt.q_length_gini, qt.SQL_LENGTH_GINI),
+    "token_burstiness": (qt.q_token_burstiness, qt.SQL_TOKEN_BURSTINESS),
     "cab_route": (qt.q_cab_route, None),
     "iso_route": (qt.q_iso_route, None),
     "lzma_route": (qt.q_lzma_route, None),
