@@ -152,3 +152,77 @@ def test_extraction_corrupt_z_is_row_not_failure():
 def test_unicode_payload_refused():
     with pytest.raises(ExtractError, match="not a byte stream"):
         unz_text("ሴcompressed?")
+
+
+class TestConcatenatedMembers:
+    """RFC 1952 §2.2 / xz(1) / pbzip2 / the lz4 frame spec all allow
+    CONCATENATED members in one file, and the reference CLIs decode the
+    concatenation — so must the wrapper decoders (Tika's commons-compress
+    uses decompressConcatenated for exactly this)."""
+
+    def test_gzip_members_concatenate(self):
+        from tika_wrap_spark.core.gzipbin import gunzip, gzip_bytes
+
+        two = gzip_bytes(b"first member\n") + gzip_bytes(b"second member\n")
+        assert gunzip(two) == b"first member\nsecond member\n"
+        three = two + gzip_bytes(b"third\n") + b"\x00" * 7
+        assert gunzip(three).endswith(b"third\n")
+
+    def test_bz2_streams_concatenate(self):
+        from tika_wrap_spark.core.gzipbin import bz2_bytes, unbz2
+
+        two = bz2_bytes(b"alpha ") + bz2_bytes(b"beta")
+        assert unbz2(two) == b"alpha beta"
+
+    def test_xz_streams_concatenate_with_padding(self):
+        from tika_wrap_spark.core.gzipbin import unxz, xz_bytes
+
+        # 4-byte-aligned NUL stream padding between streams is legal
+        two = xz_bytes(b"alpha ") + b"\x00" * 8 + xz_bytes(b"beta")
+        assert unxz(two) == b"alpha beta"
+
+    def test_lz4_frames_concatenate_and_skippables_skip(self):
+        import struct
+
+        from tika_wrap_spark.core.lz4bin import lz4_bytes, unlz4
+
+        skip = struct.pack("<II", 0x184D2A50, 5) + b"SKIPx"
+        data = lz4_bytes(b"first ") + skip + lz4_bytes(b"second") + b"\x00\x00"
+        assert unlz4(data) == b"first second"
+
+    def test_garbage_after_members_still_raises(self):
+        import pytest
+
+        from tika_wrap_spark.core.errors import ExtractError
+        from tika_wrap_spark.core.gzipbin import (
+            bz2_bytes,
+            gunzip,
+            gzip_bytes,
+            unbz2,
+            unxz,
+            xz_bytes,
+        )
+        from tika_wrap_spark.core.lz4bin import lz4_bytes, unlz4
+
+        for enc, dec in (
+            (gzip_bytes, gunzip),
+            (bz2_bytes, unbz2),
+            (xz_bytes, unxz),
+            (lz4_bytes, unlz4),
+        ):
+            with pytest.raises(ExtractError, match="trailing garbage"):
+                dec(enc(b"x") + b"NOTASTREAM")
+
+    def test_multi_member_rides_extraction(self):
+        # a split tar.gz extracts identically to the unsplit one
+        from tika_wrap_spark.core.extract import extract_document
+        from tika_wrap_spark.core.gzipbin import gzip_text
+        from tika_wrap_spark.core.tarbin import build_tar_text
+
+        tar = build_tar_text([("a.txt", "alpha"), ("b.txt", "beta")])
+        cut = len(tar) // 2
+        split = gzip_text(tar[:cut]) + gzip_text(tar[cut:])
+        one = extract_document([{"kind": "gzip", "text": gzip_text(tar), "media_ref": "", "offset": 0}])
+        two = extract_document([{"kind": "gzip", "text": split, "media_ref": "", "offset": 0}])
+        assert one["parse_ok"] and two["parse_ok"]
+        assert [s["text"] for s in one["spans"]] == [s["text"] for s in two["spans"]]

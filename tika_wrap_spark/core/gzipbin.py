@@ -38,20 +38,31 @@ MAX_INFLATED = 64 * 1024 * 1024
 
 
 def gunzip(data: bytes) -> bytes:
+    """Decode one or more CONCATENATED gzip members (RFC 1952 §2.2: "a
+    gzip file consists of a series of members" — pigz, rotated logs and
+    `cat a.gz b.gz` all produce these; the gzip CLI and commons-compress'
+    decompressConcatenated both decode the concatenation)."""
     if not data.startswith(MAGIC):
         raise ExtractError("gzip: bad magic")
-    d = zlib.decompressobj(wbits=31)
-    try:
-        out = d.decompress(data, MAX_INFLATED)
-    except zlib.error as exc:
-        raise ExtractError("gzip: %s" % exc)
-    if d.unconsumed_tail:
-        raise ExtractError("gzip: inflated payload exceeds %d bytes" % MAX_INFLATED)
-    if not d.eof:
-        raise ExtractError("gzip: truncated stream")
-    if d.unused_data.strip(b"\x00"):
-        raise ExtractError("gzip: trailing garbage after stream")
-    return out
+    out = bytearray()
+    remaining = data
+    while True:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(remaining, MAX_INFLATED + 1 - len(out))
+        except zlib.error as exc:
+            raise ExtractError("gzip: %s" % exc)
+        if d.unconsumed_tail or len(out) > MAX_INFLATED:
+            raise ExtractError(
+                "gzip: inflated payload exceeds %d bytes" % MAX_INFLATED
+            )
+        if not d.eof:
+            raise ExtractError("gzip: truncated stream")
+        remaining = d.unused_data
+        if not remaining.strip(b"\x00"):
+            return bytes(out)
+        if not remaining.startswith(MAGIC):
+            raise ExtractError("gzip: trailing garbage after stream")
 
 
 def gzip_bytes(data: bytes) -> bytes:
@@ -64,24 +75,32 @@ def gzip_bytes(data: bytes) -> bytes:
 
 
 def unxz(data: bytes) -> bytes:
+    """Decode one or more CONCATENATED xz streams (xz(1): "it is possible
+    to concatenate .xz files as is"; 4-byte-aligned NUL stream padding
+    between streams is legal and stripped)."""
     if not data.startswith(XZ_MAGIC):
         raise ExtractError("xz: bad magic")
-    d = _lzma.LZMADecompressor(format=_lzma.FORMAT_XZ)
-    try:
-        out = d.decompress(data, MAX_INFLATED)
-    except _lzma.LZMAError as exc:
-        raise ExtractError("xz: %s" % exc)
-    if not d.eof:
-        # needs_input => the stream ended early; otherwise output pending
-        # beyond the cap => decompression bomb
-        raise ExtractError(
-            "xz: truncated stream"
-            if d.needs_input
-            else "xz: inflated payload exceeds %d bytes" % MAX_INFLATED
-        )
-    if d.unused_data.strip(b"\x00"):
-        raise ExtractError("xz: trailing garbage after stream")
-    return out
+    out = bytearray()
+    remaining = data
+    while True:
+        d = _lzma.LZMADecompressor(format=_lzma.FORMAT_XZ)
+        try:
+            out += d.decompress(remaining, MAX_INFLATED + 1 - len(out))
+        except _lzma.LZMAError as exc:
+            raise ExtractError("xz: %s" % exc)
+        if len(out) > MAX_INFLATED:
+            raise ExtractError("xz: inflated payload exceeds %d bytes" % MAX_INFLATED)
+        if not d.eof:
+            raise ExtractError(
+                "xz: truncated stream"
+                if d.needs_input
+                else "xz: inflated payload exceeds %d bytes" % MAX_INFLATED
+            )
+        remaining = d.unused_data.lstrip(b"\x00")  # inter-stream padding
+        if not remaining:
+            return bytes(out)
+        if not remaining.startswith(XZ_MAGIC):
+            raise ExtractError("xz: trailing garbage after stream")
 
 
 def xz_bytes(data: bytes) -> bytes:
@@ -96,6 +115,9 @@ def xz_bytes(data: bytes) -> bytes:
 
 
 def unbz2(data: bytes) -> bytes:
+    """Decode one or more CONCATENATED bzip2 streams (pbzip2 emits
+    multi-stream files by default; bzip2(1) and commons-compress both
+    decode the concatenation)."""
     if not (
         data.startswith(BZ2_MAGIC)
         and len(data) > 3
@@ -103,20 +125,34 @@ def unbz2(data: bytes) -> bytes:
         and data[3:4] != b"0"
     ):
         raise ExtractError("bz2: bad magic")
-    d = _bz2.BZ2Decompressor()
-    try:
-        out = d.decompress(data, MAX_INFLATED)
-    except OSError as exc:
-        raise ExtractError("bz2: %s" % exc)
-    if not d.eof:
-        raise ExtractError(
-            "bz2: truncated stream"
-            if d.needs_input
-            else "bz2: inflated payload exceeds %d bytes" % MAX_INFLATED
-        )
-    if d.unused_data.strip(b"\x00"):
-        raise ExtractError("bz2: trailing garbage after stream")
-    return out
+    out = bytearray()
+    remaining = data
+    while True:
+        d = _bz2.BZ2Decompressor()
+        try:
+            out += d.decompress(remaining, MAX_INFLATED + 1 - len(out))
+        except OSError as exc:
+            raise ExtractError("bz2: %s" % exc)
+        if len(out) > MAX_INFLATED:
+            raise ExtractError(
+                "bz2: inflated payload exceeds %d bytes" % MAX_INFLATED
+            )
+        if not d.eof:
+            raise ExtractError(
+                "bz2: truncated stream"
+                if d.needs_input
+                else "bz2: inflated payload exceeds %d bytes" % MAX_INFLATED
+            )
+        remaining = d.unused_data
+        if not remaining.strip(b"\x00"):
+            return bytes(out)
+        if not (
+            remaining.startswith(BZ2_MAGIC)
+            and len(remaining) > 3
+            and remaining[3:4].isdigit()
+            and remaining[3:4] != b"0"
+        ):
+            raise ExtractError("bz2: trailing garbage after stream")
 
 
 def bz2_bytes(data: bytes) -> bytes:

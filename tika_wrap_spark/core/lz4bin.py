@@ -146,14 +146,45 @@ def _block_decode(src: bytes, out: bytearray, window_base: int, limit: int) -> N
 
 
 def unlz4(data: bytes) -> bytes:
-    """Decode one LZ4 frame (strict: header checksum, block checksums and
-    content checksum verified when present, trailing NUL padding only)."""
+    """Decode one or more CONCATENATED LZ4 frames (the frame format spec
+    allows appended frames and skippable frames; the lz4 CLI decodes
+    `cat a.lz4 b.lz4` as the concatenation). Strict per frame: header
+    checksum, block checksums and content checksum verified when
+    present; each frame decodes into its OWN window (matches never reach
+    a previous frame); trailing NUL padding only."""
     if not data.startswith(LZ4_MAGIC):
         raise ExtractError("lz4: bad magic")
-    if len(data) < 7:
+    outs: list[bytes] = []
+    pos = 0
+    total = 0
+    n = len(data)
+    while pos < n:
+        if not data[pos:].strip(b"\x00"):
+            break  # trailing NUL padding
+        magic = data[pos : pos + 4]
+        word = int.from_bytes(magic, "little") if len(magic) == 4 else 0
+        if (word & 0xFFFFFFF0) == 0x184D2A50:  # skippable frame
+            if n < pos + 8:
+                raise ExtractError("lz4: truncated skippable frame")
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            if n < pos + 8 + size:
+                raise ExtractError("lz4: truncated skippable frame")
+            pos += 8 + size
+            continue
+        if magic != LZ4_MAGIC:
+            raise ExtractError("lz4: trailing garbage after frame")
+        frame, pos = _un_frame(data, pos, MAX_INFLATED - total)
+        outs.append(frame)
+        total += len(frame)
+    return b"".join(outs)
+
+
+def _un_frame(data: bytes, start: int, budget: int) -> tuple[bytes, int]:
+    """Decode the single frame at ``start``; -> (payload, next offset)."""
+    if len(data) < start + 7:
         raise ExtractError("lz4: truncated frame descriptor")
-    flg = data[4]
-    bd = data[5]
+    flg = data[start + 4]
+    bd = data[start + 5]
     if (flg >> 6) != 0b01:
         raise ExtractError("lz4: unsupported frame version %d" % (flg >> 6))
     if flg & 0x02:
@@ -169,7 +200,7 @@ def unlz4(data: bytes) -> bytes:
     if not 4 <= bmax_code <= 7:
         raise ExtractError("lz4: bad block max-size code %d" % bmax_code)
     bmax = 1 << (8 + 2 * bmax_code)  # 4 -> 64 KB ... 7 -> 4 MB
-    i = 6
+    i = start + 6
     content_size = None
     if has_csize:
         if len(data) < i + 8:
@@ -181,7 +212,7 @@ def unlz4(data: bytes) -> bytes:
     if len(data) < i + 1:
         raise ExtractError("lz4: truncated header checksum")
     hc = data[i]
-    want_hc = (xxh32(data[4:i]) >> 8) & 0xFF
+    want_hc = (xxh32(data[start + 4 : i]) >> 8) & 0xFF
     if hc != want_hc:
         raise ExtractError("lz4: header checksum mismatch")
     i += 1
@@ -209,13 +240,13 @@ def unlz4(data: bytes) -> bytes:
             i += 4
         if stored:
             out += block
-            if len(out) > MAX_INFLATED:
+            if len(out) > budget:
                 raise ExtractError(
                     "lz4: inflated payload exceeds %d bytes" % MAX_INFLATED
                 )
         else:
             base = len(out) if indep else 0
-            _block_decode(block, out, base, MAX_INFLATED)
+            _block_decode(block, out, base, budget)
     if c_cksum:
         if len(data) < i + 4:
             raise ExtractError("lz4: truncated content checksum")
@@ -226,9 +257,7 @@ def unlz4(data: bytes) -> bytes:
         raise ExtractError(
             "lz4: content size %d != decoded %d" % (content_size, len(out))
         )
-    if data[i:].strip(b"\x00"):
-        raise ExtractError("lz4: trailing garbage after frame")
-    return bytes(out)
+    return bytes(out), i
 
 
 # encoder: greedy hash-chainless match finder (one 4-byte-key slot), the

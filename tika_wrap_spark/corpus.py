@@ -1069,7 +1069,18 @@ def _encode_archive(rng: random.Random, entries: list[tuple[str, str]]) -> str:
     if r < 0.55:
         return build_tar_text(entries)
     if r < 0.61:
-        return gzip_text(build_tar_text(entries))
+        tar = build_tar_text(entries)
+        if len(tar) % 3 == 0 and len(tar) >= 2:
+            # ~1/3 multi-member gzip (the pigz / rotated-log /
+            # `cat a.gz b.gz` shape — RFC 1952 §2.2): the tar stream
+            # splits mid-byte across two members; the decoder
+            # concatenates. The split decision derives from the PAYLOAD
+            # LENGTH, never an rng draw — _encode_archive runs mid-doc
+            # for nested containers, so an extra draw here would shift
+            # every downstream byte (the xml-root shared-generator rule)
+            cut = len(tar) // 2
+            return gzip_text(tar[:cut]) + gzip_text(tar[cut:])
+        return gzip_text(tar)
     if r < 0.64:
         return xz_text(build_tar_text(entries))
     if r < 0.67:
@@ -1319,12 +1330,30 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
             if w < 0.01:
                 payloads = [("z", z_text(payloads[0][1]), "")]
             elif w < 0.02:
-                payloads = [("lz4", lz4_text(payloads[0][1]), "")]
+                # ~half the .lz4 docs arrive as TWO concatenated frames
+                # (`cat a.lz4 b.lz4` / lz4-CLI append semantics) — the
+                # extra draw comes AFTER every other use of this doc's
+                # rng, so nothing downstream shifts
+                body = payloads[0][1]
+                if rng.random() < 0.5 and len(body) >= 2:
+                    cut = len(body) // 2
+                    wrapped = lz4_text(body[:cut]) + lz4_text(body[cut:])
+                else:
+                    wrapped = lz4_text(body)
+                payloads = [("lz4", wrapped, "")]
             elif w < 0.03:
                 # .zst store frames (continuation r5) — the [0.02, 0.03)
                 # sub-range of the SAME wrap draw, so .Z/.lz4 docs and
-                # unwrapped docs keep their content byte-identically
-                payloads = [("zstd", zstd_text(payloads[0][1]), "")]
+                # unwrapped docs keep their content byte-identically.
+                # ~half arrive as TWO concatenated frames (zstd's
+                # multi-frame append shape; post-draw, nothing shifts)
+                body = payloads[0][1]
+                if rng.random() < 0.5 and len(body) >= 2:
+                    cut = len(body) // 2
+                    wrapped = zstd_text(body[:cut]) + zstd_text(body[cut:])
+                else:
+                    wrapped = zstd_text(body)
+                payloads = [("zstd", wrapped, "")]
             elif w < 0.04:
                 # legacy .lzma alone-format streams (continuation r5) —
                 # the [0.03, 0.04) sub-range of the SAME wrap draw, so

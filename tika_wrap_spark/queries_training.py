@@ -3489,7 +3489,7 @@ def _corpus_df(spark, d):
 # bump when a corpus/extraction change isn't visible in the 40-doc canary
 # (e.g. a rare-kind-only behavior change) — the store key below hashes the
 # canary docs so most semantic changes invalidate automatically
-_EXTRACT_STORE_VERSION = "12"  # r5 continuation: ...iso/cab/xps/avro
+_EXTRACT_STORE_VERSION = "13"  # r5 continuation: + multi-member wrappers
 
 
 def _extract_store_key(n_docs: int) -> str:
