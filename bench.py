@@ -115,6 +115,7 @@ HEADLINE = [
     "length_gini",
     "xps_route",
     "avro_route",
+    "parquet_route",
     "token_burstiness",
     "line_dedup",
     "readability",

@@ -169,7 +169,7 @@ def test_truncated_adversarial_row_lands_in_archive_class():
     from tika_wrap_spark.corpus import N_ADVERSARIAL, adversarial_rows, generate_golden
 
     rows = adversarial_rows(0)
-    assert len(rows) == N_ADVERSARIAL == 39
+    assert len(rows) == N_ADVERSARIAL == 40
     golden = generate_golden(rows[25:26])  # the truncated-ar row
     assert not golden[0]["parse_ok"]
     assert golden[0]["error"].startswith("ar:")

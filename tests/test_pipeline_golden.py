@@ -24,7 +24,7 @@ def _key_seq(spans):
 
 def test_doc_count_preserved(golden_pair):
     golden, result = golden_pair
-    assert len(result) == len(golden) == 139  # 100 + N_ADVERSARIAL
+    assert len(result) == len(golden) == 140  # 100 + N_ADVERSARIAL
 
 
 def test_span_sequence_exact_match(golden_pair):
@@ -61,8 +61,8 @@ def test_error_policy_bad_docs_are_rows(golden_pair):
     # truncated font, truncated warc, empty-sender mbox, truncated plist,
     # truncated ar, corrupt lz4 frame, truncated midi, CRC-corrupt 7z,
     # rar, zstd, truncated lzma, truncated iso, checksum-corrupt cab,
-    # sync-corrupt avro
-    assert len(bad) == 38
+    # sync-corrupt avro, footer-corrupt parquet
+    assert len(bad) == 39
     assert all(r["spans"] == [] and r["error"] for r in bad)
 
 
@@ -198,9 +198,11 @@ def test_corpus_mix_composition_pinned():
     # + cab 1). The Avro carve ([0.78, 0.80) of the csv slice tail)
     # turned one csv doc into an object container (csv 72 -> 71,
     # + avro 1); the XPS slices left the pin untouched (an XPS package
-    # still sniffs zip).
+    # still sniffs zip). The Parquet carve ([0.76, 0.78) of the csv
+    # slice tail) turned two more csv docs into pyarrow-written files
+    # (csv 71 -> 69, + parquet 2).
     assert dict(kinds) == {
-        "csv": 71,
+        "csv": 69,
         "dbf": 2,
         "tnef": 1,
         "pdf": 132,
@@ -223,6 +225,7 @@ def test_corpus_mix_composition_pinned():
         "iso": 1,
         "cab": 1,
         "avro": 1,
+        "parquet": 2,
         "ole": 7,
         "tar": 1,
         "7z": 1,

@@ -140,7 +140,7 @@ def test_consistent_read_is_shuffle_free(spark, tmp_path_factory):
     assert not plans.has_node(plan, "BroadcastHashJoin"), plan  # isin prunes, no join
     # the committed-parts filter reaches the scan as a partition filter
     assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters", 1)[1][:300], plan
-    assert read.count() == 69  # 30 + 39 adversarial
+    assert read.count() == 70  # 30 + 40 adversarial
 
 
 def test_multi_table_lsh_probe_broadcasts_queries(spark, q):
@@ -303,6 +303,10 @@ def test_jvm_sniffer_fuzz_parity(spark):
         # lacks the version control byte and must fall through
         "Obj\x01", "Obj\x01\x04\x16avro.schema", "Obj", "Object lesson",
         "Obj\x02", "xObj\x01",
+        # Parquet 'PAR1' needs BOTH ends of the FULL payload + len>=12
+        # — 'PAR1'-opener prose and one-sided magics must fall through
+        "PAR1" + "\x00" * 8 + "PAR1", "PAR1PAR1", "PAR1 is the magic",
+        "PAR1" + "x" * 20, "x" * 20 + "PAR1", "PAR1",
     ]
     payloads = []
     for _ in range(2000):

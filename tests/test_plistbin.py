@@ -119,7 +119,7 @@ def test_adversarial_row_lands_in_plist_class():
     from tika_wrap_spark.corpus import N_ADVERSARIAL, adversarial_rows, generate_golden
 
     rows = adversarial_rows(0)
-    assert len(rows) == N_ADVERSARIAL == 39
+    assert len(rows) == N_ADVERSARIAL == 40
     golden = generate_golden(rows[24:25])  # the truncated-plist row
     assert not golden[0]["parse_ok"]
     assert golden[0]["error"].startswith("plist:")

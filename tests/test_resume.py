@@ -36,7 +36,7 @@ def test_kill_resume_equals_single_run(spark, corpus, tmp_path_factory):
     a = extracted_to_rows(read_extracted(spark, out_interrupted).drop("part_key"))
     b = extracted_to_rows(read_extracted(spark, out_single).drop("part_key"))
     assert a == b
-    assert len(a) == 119  # 80 + 39 adversarial
+    assert len(a) == 120  # 80 + 40 adversarial
 
 
 def test_resume_skips_completed_partitions(spark, corpus, tmp_path_factory):
@@ -48,7 +48,7 @@ def test_resume_skips_completed_partitions(spark, corpus, tmp_path_factory):
     lineage2 = read_lineage(spark, out).collect()
     assert len(lineage1) == len(lineage2) == PARTS
     result = extracted_to_rows(read_extracted(spark, out).drop("part_key"))
-    assert len(result) == 119  # no duplicates from the no-op rerun
+    assert len(result) == 120  # no duplicates from the no-op rerun
 
 
 def test_lineage_metrics(spark, corpus, tmp_path_factory):
@@ -57,8 +57,8 @@ def test_lineage_metrics(spark, corpus, tmp_path_factory):
     lin = read_lineage(spark, out)
     rows = lin.collect()
     assert {r["part_key"] for r in rows} == set(range(PARTS))
-    assert sum(r["doc_count"] for r in rows) == 119
-    assert sum(r["error_count"] for r in rows) == 38  # the adversarial docs
+    assert sum(r["doc_count"] for r in rows) == 120
+    assert sum(r["error_count"] for r in rows) == 39  # the adversarial docs
     golden = generate_golden(generate_corpus(80, seed=7))
     assert sum(r["span_count"] for r in rows) == sum(len(g["spans"]) for g in golden)
     assert all(r["input_snapshot_id"].startswith("fp-") for r in rows)
@@ -85,8 +85,8 @@ def test_write_is_idempotent_after_uncommitted_partition(spark, corpus, tmp_path
     # resume: full run sees no lineage, processes everything incl. part 0
     run_extraction(spark, corpus, out, parts=PARTS)
     result = extracted_to_rows(read_extracted(spark, out).drop("part_key"))
-    assert len(result) == 119  # one copy per doc, no duplicates
-    assert len({r["doc_id"] for r in result}) == 119
+    assert len(result) == 120  # one copy per doc, no duplicates
+    assert len({r["doc_id"] for r in result}) == 120
 
 
 def test_lineage_scan_partition_prunes(spark, corpus, tmp_path_factory):

@@ -209,7 +209,7 @@ def test_adversarial_row_lands_in_sqlite_class():
     from tika_wrap_spark.corpus import generate_golden
 
     rows = adversarial_rows(0)
-    assert len(rows) == N_ADVERSARIAL == 39
+    assert len(rows) == N_ADVERSARIAL == 40
     golden = generate_golden(rows[20:21])  # the truncated-sqlite row
     assert not golden[0]["parse_ok"]
     assert golden[0]["error"].startswith("sqlite:")

@@ -70,6 +70,7 @@ from tika_wrap_spark.core.sniff import (
     KIND_XML,
     KIND_AVRO,
     KIND_CAB,
+    KIND_PARQUET,
     KIND_DBF,
     KIND_ISO,
     KIND_TNEF,
@@ -107,6 +108,7 @@ _WRAPPER_DECODERS = {
 from tika_wrap_spark.core.arbin import parse_ar_text
 from tika_wrap_spark.core.cpiobin import parse_cpio_text
 from tika_wrap_spark.core.avrobin import avro_extract_text
+from tika_wrap_spark.core.parquetbin import parquet_extract_text
 from tika_wrap_spark.core.cabbin import parse_cab_text
 from tika_wrap_spark.core.isobin import parse_iso_text
 from tika_wrap_spark.core.dbfbin import dbf_extract_text
@@ -215,6 +217,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
     sqlite_tables = ""  # first database's user-table names, comma-joined
     dbf_fields = ""  # first dBase table's field names, comma-joined
     avro_fields = ""  # first Avro container's field names, comma-joined
+    parquet_columns = ""  # first Parquet file's column names, comma-joined
     midi_tracks = ""  # first MIDI file's track count (+ first track name)
     midi_track_name = ""
     plist_keys = ""  # first binary plist's top-level dict keys
@@ -241,7 +244,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         nonlocal media1_dims, container_format  # media1_png_text/exif mutate
         nonlocal eml_subject, eml_from, ical_summary, charset_first, n_transcoded
         nonlocal sqlite_tables, warc_target, plist_keys, xml_root, dbf_fields
-        nonlocal avro_fields
+        nonlocal avro_fields, parquet_columns
         nonlocal midi_tracks, midi_track_name
         if kind in _CHARSET_SNIFF_KINDS:
             # charset ladder (core/charset.py): a UTF-16/BOM'd/CJK payload
@@ -499,6 +502,16 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
             if not avro_fields:
                 avro_fields = a_fields
             emit(KIND_TEXT, a_text, "")
+        elif kind == KIND_PARQUET:
+            # Parquet file (core/parquetbin.py): hand-rolled thrift-
+            # compact footer walk + PLAIN v1 data pages + RLE/bit-packed
+            # definition levels; columns flatten to one csv-shaped text
+            # block (the avro/dbf/sqlite convention), column names ->
+            # parquet_columns meta
+            p_text, p_cols = parquet_extract_text(text)
+            if not parquet_columns:
+                parquet_columns = p_cols
+            emit(KIND_TEXT, p_text, "")
         elif kind == KIND_PLIST:
             # Apple binary property list (core/plistbin.py; Tika
             # PListParser analog): the object graph flattens to one
@@ -652,6 +665,7 @@ def _extract_or_raise(spans: list[Span] | None) -> dict[str, Any]:
         "sqlite_tables": sqlite_tables,
         "dbf_fields": dbf_fields,
         "avro_fields": avro_fields,
+        "parquet_columns": parquet_columns,
         "midi_tracks": midi_tracks,
         "midi_track_name": midi_track_name,
         "plist_keys": plist_keys,

@@ -49,6 +49,7 @@ KIND_DBF = "dbf"  # dBase table, guarded 0x03 version byte at offset 0
 KIND_ISO = "iso"  # ISO 9660 image, 'CD001' at offset 32769
 KIND_CAB = "cab"  # MS Cabinet, 'MSCF' + zero reserved1 at offset 0
 KIND_AVRO = "avro"  # Avro object container, 'Obj\x01' at offset 0
+KIND_PARQUET = "parquet"  # Parquet file, 'PAR1' at BOTH ends
 KIND_TNEF = "tnef"  # TNEF winmail.dat, 0x223E9F78 LE signature at offset 0
 
 # TNEF signature bytes-as-text (MS-OXTNEF §2.1)
@@ -61,6 +62,11 @@ CAB_MAGIC_TEXT = "MSCF\x00\x00\x00\x00"
 # Avro object-container magic (Avro spec "Object Container Files"):
 # 'Obj' + the \x01 version byte — the control char keeps prose out
 AVRO_MAGIC_TEXT = "Obj\x01"
+
+# Parquet framing magic: 'PAR1' alone is prose-plausible, so the rule
+# requires it at BOTH ends of the FULL payload (the parquet-format file
+# layout) plus the 12-byte minimum a real footer implies
+PARQUET_MAGIC_TEXT = "PAR1"
 
 # LZ4 frame magic, 0x184D2204 little-endian (bytes-as-text latin-1)
 LZ4_MAGIC_TEXT = "\x04\x22\x4d\x18"
@@ -251,6 +257,10 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
          container: records flatten to a csv-shaped block via
          core/avrobin.py; the \\x01 version byte keeps 'Obj'-opener
          prose out)
+      4l4. head starts with 'PAR1' AND the FULL payload ends with 'PAR1'
+         AND len >= 12 -> 'parquet' (Parquet file: columns flatten to a
+         csv-shaped block via core/parquetbin.py; the both-ends rule
+         keeps 'PAR1'-opener prose out)
       4m. payload[32769:32774] == 'CD001'         -> 'iso' (ISO 9660
          image: the volume-descriptor signature at its fixed
          past-the-system-area offset, like the tar rule below; members
@@ -362,6 +372,12 @@ def sniff_kind(text: str, media_ref: str = "") -> str:
         return KIND_CAB
     if head.startswith(AVRO_MAGIC_TEXT):
         return KIND_AVRO
+    if (
+        head.startswith(PARQUET_MAGIC_TEXT)
+        and len(text) >= 12
+        and text[-4:] == PARQUET_MAGIC_TEXT
+    ):
+        return KIND_PARQUET
     if text[ISO_MAGIC_OFFSET : ISO_MAGIC_OFFSET + 5] == "CD001":
         return KIND_ISO
     if text[TAR_MAGIC_OFFSET : TAR_MAGIC_OFFSET + 5] == "ustar":

@@ -50,6 +50,7 @@ from tika_wrap_spark.core.sevenzip import build_7z_text
 from tika_wrap_spark.core.tnefbin import build_tnef_text
 from tika_wrap_spark.core.cpiobin import build_cpio_text
 from tika_wrap_spark.core.avrobin import build_avro_text
+from tika_wrap_spark.core.parquetbin import build_parquet_text
 from tika_wrap_spark.core.cabbin import build_cab_text
 from tika_wrap_spark.core.isobin import build_iso_text
 from tika_wrap_spark.core.pdfbin import build_pdf_text
@@ -660,6 +661,36 @@ def _gen_cpio_payload(rng: random.Random) -> str:
         else:
             entries.append(("etc/notes_%d.txt" % m, _gen_text_payload(rng)))
     return build_cpio_text(entries)
+
+
+def _gen_parquet_payload(rng: random.Random) -> str:
+    """A Parquet file (core/parquetbin.py): 2-5 typed columns
+    (long/string/double/bool, ~1/4 of string columns nullable), 3-20
+    rows, ~1/3 split into small row groups. Built by pyarrow (the
+    reference Arrow writer) in the reader-supported shape."""
+    names = ["id_0"]
+    types = ["long"]
+    for f in range(1, rng.randint(2, 5)):
+        t = rng.choice(("string", "long", "double", "bool", "?string"))
+        names.append("%s_%d" % (rng.choice(_WORDS), f))
+        types.append(t)
+    rows = []
+    for i in range(rng.randint(3, 20)):
+        row: list = []
+        for t in types:
+            if t == "long":
+                row.append(rng.randint(-1000, 100000))
+            elif t == "double":
+                row.append(round(rng.uniform(-100, 100), 3))
+            elif t == "bool":
+                row.append(rng.random() < 0.5)
+            elif t == "?string" and rng.random() < 0.3:
+                row.append(None)
+            else:
+                row.append(rng.choice(_WORDS))
+        rows.append(row)
+    rg = 4 if rng.random() < 0.33 else None
+    return build_parquet_text(names, rows, types, row_group_size=rg)
 
 
 def _gen_avro_payload(rng: random.Random) -> str:
@@ -1276,8 +1307,14 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
         sub = rng.random()
         if sub < 0.70:
             payloads = [("text", _gen_text_payload(rng), "")]
-        elif sub < 0.78:
+        elif sub < 0.76:
             payloads = [("text", _gen_csv_payload(rng), "")]
+        elif sub < 0.78:  # Parquet file (continuation r5; carved off the
+            # csv slice tail — docs outside [0.76, 0.78) keep their
+            # payloads bit-exactly, the sub draw precedes generation).
+            # parquet docs skip the charset/wrap draws below (binary
+            # tables, the avro/dbf rule).
+            payloads = [("parquet", _gen_parquet_payload(rng), "")]
         elif sub < 0.80:  # Avro object container (continuation r5; carved
             # off the csv slice tail — docs outside [0.78, 0.80) keep
             # their payloads bit-exactly, the sub draw precedes
@@ -1455,7 +1492,7 @@ def gen_doc(i: int, seed: int = 42) -> dict[str, Any]:
     return {"doc_id": doc_id, "spans": _make_spans(payloads)}
 
 
-N_ADVERSARIAL = 39
+N_ADVERSARIAL = 40
 
 
 def _wrapper_bombs() -> tuple[str, str, str]:
@@ -1830,6 +1867,20 @@ def adversarial_rows(base: int) -> list[dict[str, Any]]:
         {
             "doc_id": "doc_%07d" % (base + 38),
             "spans": _make_spans([("avro", bad_avro, "")]),
+        }
+    )
+    # footer-corrupt Parquet: the high byte of the LE metadata-length
+    # word blows the declared footer past the file ('parquet:' prefix ->
+    # 'parquet' taxonomy class; framing magics stay intact — a flip
+    # inside created_by would parse clean, the LENGTH field cannot)
+    good_pq = build_parquet_text(
+        ["id_0", "name_1"], [[i, "doomed"] for i in range(8)], ["long", "string"]
+    )
+    bad_pq = good_pq[:-6] + "\xff" + good_pq[-5:]
+    rows.append(
+        {
+            "doc_id": "doc_%07d" % (base + 39),
+            "spans": _make_spans([("parquet", bad_pq, "")]),
         }
     )
     return rows

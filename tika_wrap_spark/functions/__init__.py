@@ -149,6 +149,15 @@ def sniff_kind_col(text: Column, media_ref: Column) -> Column:
         .when(head.startswith(sn.TNEF_MAGIC_TEXT), F.lit(sn.KIND_TNEF))
         .when(head.startswith(sn.CAB_MAGIC_TEXT), F.lit(sn.KIND_CAB))
         .when(head.startswith(sn.AVRO_MAGIC_TEXT), F.lit(sn.KIND_AVRO))
+        # Parquet 'PAR1' at BOTH ends of the FULL payload (negative-start
+        # substring = the Python text[-4:] slice; short payloads yield a
+        # short substring -> no match, same as Python)
+        .when(
+            head.startswith(sn.PARQUET_MAGIC_TEXT)
+            & (F.length(text) >= 12)
+            & (F.substring(text, -4, 4) == sn.PARQUET_MAGIC_TEXT),
+            F.lit(sn.KIND_PARQUET),
+        )
         # ISO 9660 'CD001' signature past the 32 KiB system area (before
         # the tar rule — the deterministic pin for hybrid payloads);
         # shorter payloads yield a short/empty substring -> no match,

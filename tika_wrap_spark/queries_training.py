@@ -3489,7 +3489,7 @@ def _corpus_df(spark, d):
 # bump when a corpus/extraction change isn't visible in the 40-doc canary
 # (e.g. a rare-kind-only behavior change) — the store key below hashes the
 # canary docs so most semantic changes invalidate automatically
-_EXTRACT_STORE_VERSION = "13"  # r5 continuation: + multi-member wrappers
+_EXTRACT_STORE_VERSION = "14"  # r5 continuation: + parquet
 
 
 def _extract_store_key(n_docs: int) -> str:
@@ -3695,6 +3695,7 @@ def _error_class_col():
         .when(F.col("error").startswith("sqlite:"), F.lit("sqlite"))
         .when(F.col("error").startswith("dbf:"), F.lit("dbf"))
         .when(F.col("error").startswith("avro:"), F.lit("avro"))
+        .when(F.col("error").startswith("parquet:"), F.lit("parquet"))
         .when(F.col("error").startswith("midi:"), F.lit("midi"))
         .when(F.col("error").startswith("tnef:"), F.lit("tnef"))
         .when(F.col("error").startswith("font:"), F.lit("font"))
@@ -4416,6 +4417,39 @@ def q_tnef_route(spark, d):
             F.try_element_at("meta", F.lit("n_container_entries"))
             .cast("int")
             .alias("n_attachments"),
+            F.size("spans").alias("n_spans"),
+            tw.span_seq_hash("spans").alias("span_seq_hash"),
+        )
+    )
+
+
+def q_parquet_route(spark, d):
+    """Parquet file tallies (continuation r5): .parquet files route by
+    the 'PAR1'-at-both-ends rule (sniffer kind 37, both forms — the
+    JVM side uses a negative-start substring for the tail check) and
+    decode through the hand-rolled footer walk (core/parquetbin.py —
+    Thrift compact protocol, flat-schema PLAIN v1 data pages,
+    RLE/bit-packed definition levels for nullable columns; dictionary
+    pages, compression codecs and nested schemas raise honest seams).
+    The builder twin is pyarrow — the reference Arrow C++ writer — so
+    every fixture cross-validates the reader against the reference
+    implementation (the sqlite/plist discipline). Columns flatten to
+    one csv-shaped text block, names -> ``parquet_columns`` meta; a
+    corrupt footer lands a 'parquet:' error in its own taxonomy class,
+    never a task failure. One pruned store scan."""
+    from tika_wrap_spark import functions as tw  # noqa: PLC0415
+
+    ext = _extracted_df(spark, d)
+    meta_at = lambda k: F.coalesce(F.try_element_at("meta", F.lit(k)), F.lit(""))  # noqa: E731
+    return (
+        ext.filter(
+            (meta_at("parquet_columns") != "")
+            | F.col("error").startswith("parquet:")
+        )
+        .select(
+            "doc_id",
+            "parse_ok",
+            meta_at("parquet_columns").alias("parquet_columns"),
             F.size("spans").alias("n_spans"),
             tw.span_seq_hash("spans").alias("span_seq_hash"),
         )

@@ -23,6 +23,7 @@ from tika_wrap_spark import queries_training as qt
 
 REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- block 1: round-5 debuts + semantics-changed (star/cap rework) ----
+    "parquet_route": (qt.q_parquet_route, None),
     "avro_route": (qt.q_avro_route, None),
     "xps_route": (qt.q_xps_route, None),
     "collocations": (qt.q_collocations, qt.SQL_COLLOCATIONS),
